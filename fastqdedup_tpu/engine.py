@@ -1,0 +1,241 @@
+"""Dense clustering engine: the TPU-native replacement for the radix trie.
+
+The reference extracts duplicate clusters one at a time by BFS over a radix
+trie with fast-fail distance walks (``Trie.pop_cluster``,
+_triemodule.c:778-897).  Those clusters are exactly the connected components
+of the "within distance d" relation over the unique keys with aggregated
+counts (see SURVEY.md section 3.2), so this engine computes the entire
+partition at once:
+
+1. group unique keys by length (Hamming never links unequal lengths,
+   distances.h:16-20);
+2. within each group, find all within-distance pairs on device — brute-force
+   MXU tiles when the group is small, pigeonhole bucketing when large;
+3. in edit mode additionally generate shifted-segment candidates across
+   length groups and verify with the batched DP kernel;
+4. union-find over the resulting edge list -> components.
+
+Each returned cluster carries its member keys, counts, and local adjacency so
+the dissection strategies never recompute a distance.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from .ops.bucket import edit_candidate_pairs, hamming_neighbor_pairs_bucketed
+from .ops.components import connected_components_host
+from .ops.encode import EncodeTable, keys_to_matrix
+from .ops.hamming import neighbor_pairs
+
+# Below this group size brute-force tiling beats bucketing overhead.
+BRUTE_FORCE_LIMIT = 3072
+# Below this size, plain numpy on host beats device dispatch + compile.
+HOST_LIMIT = 64
+
+
+def _host_hamming_pairs(matrix: np.ndarray, max_distance: int
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    distances = (matrix[:, None, :] != matrix[None, :, :]).sum(axis=2)
+    ii, jj = np.nonzero(distances <= max_distance)
+    keep = ii < jj
+    return ii[keep].astype(np.int64), jj[keep].astype(np.int64)
+
+
+@dataclass
+class Cluster:
+    """One connected component of the within-distance graph."""
+    keys: List[bytes]
+    counts: np.ndarray          # int64, aligned with keys
+    edges: Set[Tuple[int, int]]  # local (i < j) within-distance pairs
+
+    def as_count_string_list(self) -> List[Tuple[int, str]]:
+        return [(int(c), k.decode("latin-1"))
+                for c, k in zip(self.counts, self.keys)]
+
+
+def _group_by_length(keys: Sequence[bytes]) -> Dict[int, np.ndarray]:
+    lengths = np.fromiter((len(k) for k in keys), dtype=np.int64,
+                          count=len(keys))
+    groups: Dict[int, np.ndarray] = {}
+    for length in np.unique(lengths):
+        groups[int(length)] = np.flatnonzero(lengths == length)
+    return groups
+
+
+def _hamming_edges(keys: Sequence[bytes], groups: Dict[int, np.ndarray],
+                   table: EncodeTable, max_distance: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    edges_i: List[np.ndarray] = []
+    edges_j: List[np.ndarray] = []
+    for length, idx in groups.items():
+        if len(idx) < 2 or length == 0:
+            continue
+        matrix, _ = keys_to_matrix([keys[i] for i in idx], table)
+        if len(idx) <= HOST_LIMIT:
+            li, lj = _host_hamming_pairs(matrix, max_distance)
+        elif len(idx) <= BRUTE_FORCE_LIMIT:
+            li, lj = neighbor_pairs(matrix, table.size, max_distance)
+        else:
+            li, lj = hamming_neighbor_pairs_bucketed(
+                matrix, table.size, max_distance)
+        edges_i.append(idx[li])
+        edges_j.append(idx[lj])
+    if not edges_i:
+        return (np.empty(0, dtype=np.int64),) * 2
+    return np.concatenate(edges_i), np.concatenate(edges_j)
+
+
+def _host_edit_edges(keys: Sequence[bytes], max_distance: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    from .distance import within_distance
+    strings = [k.decode("latin-1") for k in keys]
+    ii: List[int] = []
+    jj: List[int] = []
+    for i in range(len(strings)):
+        for j in range(i + 1, len(strings)):
+            if within_distance(strings[i], strings[j], max_distance,
+                               use_edit_distance=True):
+                ii.append(i)
+                jj.append(j)
+    return np.asarray(ii, dtype=np.int64), np.asarray(jj, dtype=np.int64)
+
+
+def _edit_edges(keys: Sequence[bytes], groups: Dict[int, np.ndarray],
+                table: EncodeTable, max_distance: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    from .ops.edit import batched_within_edit_distance
+
+    if len(keys) <= HOST_LIMIT:
+        return _host_edit_edges(keys, max_distance)
+
+    matrices: List[np.ndarray] = []
+    gidx: List[np.ndarray] = []
+    for length, idx in sorted(groups.items()):
+        matrix, _ = keys_to_matrix([keys[i] for i in idx], table)
+        matrices.append(matrix)
+        gidx.append(idx)
+    cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance)
+    if not len(cand_i):
+        return cand_i, cand_j
+    lengths = np.fromiter((len(k) for k in keys), dtype=np.int64,
+                          count=len(keys))
+    lmax = int(lengths.max())
+    # Pad every key to a common width once for gather-based verification.
+    padded = np.full((len(keys), max(lmax, 1)), 0xFF, dtype=np.uint8)
+    for length, idx in groups.items():
+        if length:
+            matrix, _ = keys_to_matrix([keys[i] for i in idx], table)
+            padded[idx, :length] = matrix
+    keep = np.empty(len(cand_i), dtype=bool)
+    batch = 1 << 16
+    for start in range(0, len(cand_i), batch):
+        sl = slice(start, start + batch)
+        keep[sl] = np.asarray(batched_within_edit_distance(
+            padded[cand_i[sl]], lengths[cand_i[sl]],
+            padded[cand_j[sl]], lengths[cand_j[sl]], max_distance))
+    return cand_i[keep], cand_j[keep]
+
+
+def build_clusters(keys: Sequence[bytes], counts: Sequence[int],
+                   max_distance: int, use_edit_distance: bool = False,
+                   table: Optional[EncodeTable] = None) -> List[Cluster]:
+    """Partition unique ``keys`` into within-distance connected components.
+
+    Output-equivalent to repeatedly calling the reference's
+    ``Trie.pop_cluster`` until empty (cluster membership and counts match;
+    extraction order is not part of the contract — the reference's own tests
+    compare clusters as sets, tests/test_trie.py:96-106).
+    """
+    n = len(keys)
+    counts_arr = np.asarray(counts, dtype=np.int64)
+    if n == 0:
+        return []
+    if table is None:
+        table = EncodeTable("ACGTN")
+    if max_distance <= 0:
+        return [Cluster([k], counts_arr[i:i + 1], set())
+                for i, k in enumerate(keys)]
+    groups = _group_by_length(keys)
+    if use_edit_distance:
+        ei, ej = _edit_edges(keys, groups, table, max_distance)
+    else:
+        ei, ej = _hamming_edges(keys, groups, table, max_distance)
+
+    labels = connected_components_host(n, ei, ej)
+    order = np.argsort(labels, kind="stable")
+    sorted_labels = labels[order]
+    boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [n]])
+
+    # Distribute edges to their cluster (both endpoints share a label).
+    local_index = np.empty(n, dtype=np.int64)
+    cluster_of = np.empty(n, dtype=np.int64)
+    clusters: List[Cluster] = []
+    for c, (s, e) in enumerate(zip(starts, ends)):
+        members = order[s:e]
+        local_index[members] = np.arange(e - s)
+        cluster_of[members] = c
+        clusters.append(Cluster([keys[i] for i in members],
+                                counts_arr[members], set()))
+    for a, b in zip(ei.tolist(), ej.tolist()):
+        c = cluster_of[a]
+        la, lb = int(local_index[a]), int(local_index[b])
+        if la > lb:
+            la, lb = lb, la
+        clusters[c].edges.add((la, lb))
+    return clusters
+
+
+def contains_within(keys: Sequence[bytes], query: bytes, max_distance: int,
+                    use_edit_distance: bool,
+                    table: Optional[EncodeTable] = None) -> bool:
+    """True iff any key is within ``max_distance`` of ``query``.
+
+    Batch equivalent of the trie's approximate membership test
+    (``Trie.contains_sequence``, _triemodule.c:730-758).
+    """
+    if not keys:
+        return False
+    if len(keys) <= HOST_LIMIT:
+        from .distance import within_distance
+        query_str = query.decode("latin-1")
+        return any(within_distance(query_str, k.decode("latin-1"),
+                                   max_distance, use_edit_distance)
+                   for k in keys)
+    if table is None:
+        table = EncodeTable("ACGTN")
+    if use_edit_distance:
+        from .ops.edit import batched_within_edit_distance
+        lengths = np.fromiter((len(k) for k in keys), dtype=np.int64,
+                              count=len(keys))
+        near = np.abs(lengths - len(query)) <= max_distance
+        cand = [k for k, ok in zip(keys, near) if ok]
+        if not cand:
+            return False
+        lmax = max(max(len(k) for k in cand), len(query), 1)
+        padded = np.full((len(cand), lmax), 0xFF, dtype=np.uint8)
+        for i, k in enumerate(cand):
+            padded[i, :len(k)] = table.encode(
+                np.frombuffer(k, dtype=np.uint8))
+        q = np.full((len(cand), lmax), 0xFF, dtype=np.uint8)
+        q[:, :len(query)] = table.encode(
+            np.frombuffer(query, dtype=np.uint8))
+        res = np.asarray(batched_within_edit_distance(
+            q, np.full(len(cand), len(query), dtype=np.int64),
+            padded, lengths[near], max_distance))
+        return bool(res.any())
+    # Hamming: only keys of identical length can match.
+    same = [k for k in keys if len(k) == len(query)]
+    if not same or len(query) == 0:
+        # Zero-length query matches a zero-length key at distance 0.
+        return any(len(k) == 0 for k in keys)
+    from .ops.hamming import rowwise_within
+    matrix, _ = keys_to_matrix(same, table)
+    q = np.broadcast_to(
+        table.encode(np.frombuffer(query, dtype=np.uint8)),
+        matrix.shape)
+    res = np.asarray(rowwise_within(q, matrix, table.size, max_distance))
+    return bool(res.any())

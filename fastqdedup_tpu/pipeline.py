@@ -1,0 +1,311 @@
+"""End-to-end deduplication pipeline (three passes).
+
+Drop-in equivalent of the reference's ``deduplicate_cluster``
+(/root/reference/src/fastqdedup/__init__.py:209-288), re-architected for
+batch execution:
+
+* **Pass 1 — ingest**: columnar FASTQ chunks -> vectorized check-slice keys
+  -> quality filter (bit-exact float64 LUT reduction, see
+  fastqdedup_tpu.quality) -> per-chunk sort/unique exact-duplicate collapse
+  into a global (key -> count) map.  This replaces per-record trie insertion
+  (_triemodule.c:222-288).
+* **Pass 2 — cluster & dissect**: the dense engine partitions unique keys
+  into within-distance connected components on device
+  (fastqdedup_tpu.engine), and the dissection strategies pick representative
+  keys per cluster using the already-computed adjacency.
+* **Pass 3 — filtered rewrite**: re-stream the inputs, emit the first record
+  whose key is in the kept set, then retire the key — first occurrence in
+  file order wins, exactly like the reference (__init__.py:203-206), except
+  the kept set holds exact keys rather than 64-bit Python hashes (the
+  reference's hash-collision quirk is deliberately not reproduced; see
+  SURVEY.md section 5).
+"""
+
+import logging
+from typing import Callable, Dict, Iterator, List, Optional, Set, Tuple
+
+import numpy as np
+
+from .dissect import (
+    CLUSTER_DISSECTION_METHODS,
+    ClusterDissectionFunc,
+    cluster_dissection_directional,
+    dissect_with_adjacency,
+)
+from .engine import build_clusters
+from .io.fastq import FastqChunk, FastqFormatError, read_fastq_chunks
+from .io.opener import xopen
+from .keys import make_keyfunc
+from .quality import batch_average_error_rate
+from .utils.ragged import (
+    apply_slice,
+    concat_ragged,
+    group_rows_by_length,
+    pad_to_matrix,
+    rows_as_void,
+)
+from .utils.timing import Timer
+
+DEFAULT_MAX_DISTANCE = 1
+DEFAULT_MAX_AVERAGE_ERROR_RATE = 0.001
+DEFAULT_CHUNK_RECORDS = 1 << 18
+
+logger = logging.getLogger("fastqdedup")
+
+
+def _method_name_for(func: ClusterDissectionFunc) -> Optional[str]:
+    for name, known in CLUSTER_DISSECTION_METHODS.items():
+        if func is known:
+            return name
+    return None
+
+
+def _zip_chunks(input_files: List[str], chunk_records: int
+                ) -> Iterator[Tuple[FastqChunk, ...]]:
+    """Read all files in lockstep chunks; like zip(), stop at the shortest
+    file (matching the reference's zip at __init__.py:180)."""
+    iterators = [read_fastq_chunks(f, chunk_records) for f in input_files]
+    while True:
+        chunks = []
+        for it in iterators:
+            chunk = next(it, None)
+            if chunk is None:
+                return
+            chunks.append(chunk)
+        counts = [c.count for c in chunks]
+        if len(set(counts)) > 1:
+            low = min(counts)
+            chunks = [_truncate_chunk(c, low) for c in chunks]
+            if low:
+                yield tuple(chunks)
+            return
+        yield tuple(chunks)
+
+
+def _truncate_chunk(chunk: FastqChunk, count: int) -> FastqChunk:
+    return FastqChunk(
+        sequences=chunk.sequences[:chunk.offsets[count]],
+        qualities=chunk.qualities[:chunk.offsets[count]],
+        offsets=chunk.offsets[:count + 1],
+        headers=chunk.headers[:chunk.header_offsets[count]],
+        header_offsets=chunk.header_offsets[:count + 1],
+    )
+
+
+def _validate_mates(chunks: Tuple[FastqChunk, ...]) -> None:
+    """Vectorized mate-sync check (reference __init__.py:180-186)."""
+    first = chunks[0]
+    # Fast path: raw headers byte-identical across files.
+    if all(len(c.headers) == len(first.headers)
+           and np.array_equal(c.header_offsets, first.header_offsets)
+           and np.array_equal(c.headers, first.headers)
+           for c in chunks[1:]):
+        return
+    from .io.fastq import FastqRecord, records_are_mates
+    for i in range(first.count):
+        ids = [c.record_id(i) for c in chunks]
+        records = [FastqRecord(rid.decode("ascii", "replace"), "", "")
+                   for rid in ids]
+        if not records_are_mates(*records):
+            names = ", ".join(c.header(i).decode("ascii", "replace")
+                              for c in chunks)
+            raise FastqFormatError(
+                f"FASTQ files not in sync: {names} are not mates.")
+
+
+def _chunk_keys(chunks: Tuple[FastqChunk, ...],
+                check_slices: Optional[List[slice]],
+                use_qualities: bool
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Build per-record key bytes (and sliced qualities) for a chunk tuple.
+
+    Returns (key_data, key_offsets, qual_data, qual_offsets); quality arrays
+    are empty placeholders when ``use_qualities`` is False.
+    """
+    seq_parts = []
+    qual_parts = []
+    for f, chunk in enumerate(chunks):
+        slc = check_slices[f] if check_slices else slice(None)
+        seq_parts.append(apply_slice(chunk.sequences, chunk.offsets, slc))
+        if use_qualities:
+            qual_parts.append(
+                apply_slice(chunk.qualities, chunk.offsets, slc))
+    key_data, key_offsets = concat_ragged(seq_parts)
+    if use_qualities:
+        qual_data, qual_offsets = concat_ragged(qual_parts)
+    else:
+        qual_data = np.empty(0, dtype=np.uint8)
+        qual_offsets = np.zeros(1, dtype=np.int64)
+    return key_data, key_offsets, qual_data, qual_offsets
+
+
+def _accumulate_counts(counts: Dict[int, Dict[bytes, int]],
+                       key_data: np.ndarray, key_offsets: np.ndarray,
+                       rows: np.ndarray) -> None:
+    """Collapse exact duplicates within the chunk (sort/unique per length
+    group), then merge into the global per-length count maps."""
+    lengths = np.diff(key_offsets)[rows]
+    for length in np.unique(lengths):
+        sel = rows[lengths == length]
+        void = rows_as_void(key_data, key_offsets, sel, int(length))
+        uniq, cnt = np.unique(void, return_counts=True)
+        bucket = counts.setdefault(int(length), {})
+        for v, c in zip(uniq, cnt):
+            key = v.tobytes()
+            bucket[key] = bucket.get(key, 0) + int(c)
+
+
+def deduplicate_cluster(
+    input_files: List[str],
+    output_files: List[str],
+    check_slices: Optional[List[slice]],
+    max_distance: int = DEFAULT_MAX_DISTANCE,
+    max_average_error_rate: float = DEFAULT_MAX_AVERAGE_ERROR_RATE,
+    cluster_dissection_func: ClusterDissectionFunc =
+        cluster_dissection_directional,
+    use_edit_distance: bool = False,
+    chunk_records: int = DEFAULT_CHUNK_RECORDS,
+) -> None:
+    """Deduplicate ``input_files`` into ``output_files``.
+
+    Same contract as the reference driver (__init__.py:209-288): arity
+    validation, quality filter applied over the check-sliced qualities,
+    within-distance clustering, cluster dissection, first-wins rewrite.
+    """
+    if len(input_files) != len(output_files):
+        raise ValueError(f"Amount of output files ({len(output_files)}) "
+                         f"must be equal to the amount of input files "
+                         f"({len(input_files)}). ")
+    if check_slices and len(input_files) != len(check_slices):
+        raise ValueError(f"Amount of check lengths ({len(check_slices)}) "
+                         f"must be equal to the amount of input files "
+                         f"({len(input_files)}). ")
+
+    filter_on_quality = max_average_error_rate < 1.0
+    timer = Timer()
+    total_records = 0
+    discarded_records = 0
+    total_kept = 0
+
+    # ---------------- Pass 1: ingest, filter, count unique keys ----------
+    counts: Dict[int, Dict[bytes, int]] = {}
+    for chunks in _zip_chunks(input_files, chunk_records):
+        if len(chunks) > 1:
+            _validate_mates(chunks)
+        key_data, key_offsets, qual_data, qual_offsets = _chunk_keys(
+            chunks, check_slices, use_qualities=filter_on_quality)
+        b = chunks[0].count
+        total_records += b
+        if filter_on_quality:
+            qmatrix, qlengths = pad_to_matrix(qual_data, qual_offsets,
+                                              fill=33)
+            rates = batch_average_error_rate(qmatrix, qlengths)
+            keep = ~(rates > max_average_error_rate)
+            discarded_records += int(b - keep.sum())
+            rows = np.flatnonzero(keep)
+        else:
+            rows = np.arange(b, dtype=np.int64)
+        total_kept += len(rows)
+        _accumulate_counts(counts, key_data, key_offsets, rows)
+
+    if filter_on_quality:
+        logger.info(
+            f"{discarded_records} records out of {total_records} "
+            f"records had an error rate higher than {max_average_error_rate} "
+            f"and were discarded.")
+    logger.info(f"Processed {total_kept} sequences. "
+                f"({timer.get_difference()})")
+
+    # ---------------- Pass 2: cluster and dissect ------------------------
+    keys: List[bytes] = []
+    key_counts: List[int] = []
+    for length in sorted(counts):
+        for key, count in counts[length].items():
+            keys.append(key)
+            key_counts.append(count)
+    counts.clear()
+
+    clusters = build_clusters(keys, key_counts, max_distance,
+                              use_edit_distance)
+    method_name = _method_name_for(cluster_dissection_func)
+    kept_keys: Set[bytes] = set()
+    number_of_clusters = len(clusters)
+    for cluster in clusters:
+        if len(cluster.keys) == 1:
+            kept_keys.add(cluster.keys[0])
+            continue
+        if method_name is not None:
+            chosen = dissect_with_adjacency(
+                method_name, cluster.as_count_string_list(), cluster.edges)
+        else:  # user-supplied strategy: fall back to the scalar oracle API
+            chosen = list(cluster_dissection_func(
+                cluster.as_count_string_list(), max_distance,
+                use_edit_distance))
+        for string in chosen:
+            kept_keys.add(string.encode("latin-1"))
+
+    logger.info(f"Found {len(kept_keys)} distinct reads "
+                f"in {number_of_clusters} clusters."
+                f"({timer.get_difference()})")
+
+    # ---------------- Pass 3: filtered rewrite ---------------------------
+    _filter_and_write(input_files, output_files, check_slices, kept_keys,
+                      chunk_records)
+    logger.info(f"Filtered FASTQ files based on distinct reads from each "
+                f"cluster. ({timer.get_difference()}) ")
+
+
+def _kept_lookup(kept_keys: Set[bytes]
+                 ) -> Dict[int, np.ndarray]:
+    """Per-length sorted void arrays for vectorized membership tests."""
+    by_length: Dict[int, List[bytes]] = {}
+    for key in kept_keys:
+        by_length.setdefault(len(key), []).append(key)
+    lookup = {}
+    for length, key_list in by_length.items():
+        if length == 0:
+            continue
+        arr = np.frombuffer(b"".join(sorted(key_list)), dtype=np.uint8)
+        lookup[length] = np.ascontiguousarray(
+            arr.reshape(len(key_list), length)).view(
+            np.dtype((np.void, length))).ravel()
+    return lookup
+
+
+def _filter_and_write(input_files: List[str], output_files: List[str],
+                      check_slices: Optional[List[slice]],
+                      kept_keys: Set[bytes], chunk_records: int) -> None:
+    """Second streaming pass: write the first record matching each kept key
+    (reference filter_fastq_files_on_set, __init__.py:189-206; no quality
+    filter is applied here, matching the reference's behavior)."""
+    lookup = _kept_lookup(kept_keys)
+    writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
+    try:
+        for chunks in _zip_chunks(input_files, chunk_records):
+            key_data, key_offsets, _, _ = _chunk_keys(
+                chunks, check_slices, use_qualities=False)
+            lengths = np.diff(key_offsets)
+            hits: List[int] = []
+            for length, rows in group_rows_by_length(key_offsets):
+                if length == 0:
+                    if b"" in kept_keys:
+                        hits.extend(rows.tolist())
+                    continue
+                table = lookup.get(length)
+                if table is None or not len(table):
+                    continue
+                void = rows_as_void(key_data, key_offsets, rows, length)
+                mask = np.isin(void, table)
+                hits.extend(rows[mask].tolist())
+            for i in sorted(hits):
+                key = key_data[key_offsets[i]:key_offsets[i + 1]].tobytes()
+                if key not in kept_keys:
+                    continue  # an earlier record already claimed this key
+                kept_keys.remove(key)
+                for chunk, writer in zip(chunks, writers):
+                    writer.write(
+                        b"@" + chunk.header(i) + b"\n" + chunk.sequence(i)
+                        + b"\n+\n" + chunk.quality(i) + b"\n")
+    finally:
+        for writer in writers:
+            writer.close()

@@ -1,0 +1,165 @@
+"""Cluster dissection golden tests (reference tests/test_fastqdedup.py)."""
+
+import pytest
+
+from fastqdedup_tpu import (
+    cluster_dissection_adjacency,
+    cluster_dissection_directional,
+    cluster_dissection_highest_count,
+    length_string_to_slices,
+)
+from fastqdedup_tpu.dissect import dissect_with_adjacency
+from fastqdedup_tpu.distance import within_distance
+
+TEST_CLUSTER = [
+    (3, "AAAGT"),   # derived
+    (10, "AAAAT"),  # derived
+    (50, "AACAA"),  # origin read
+    (60, "AAAAA"),  # origin read
+    (10, "CAAAA"),  # derived
+    (30, "CTAAA"),  # origin read
+]
+
+ALL_METHODS = [cluster_dissection_directional,
+               cluster_dissection_adjacency,
+               cluster_dissection_highest_count]
+
+
+@pytest.mark.parametrize(["string", "result"], [
+    ("5,6,7", [slice(5), slice(6), slice(7)]),
+    ("5:8,3,-5:3:-1", [slice(5, 8), slice(3), slice(-5, 3, -1)]),
+    ("None:None:16", [slice(None, None, 16)]),
+    ("::16", [slice(None, None, 16)]),
+])
+def test_length_string_to_slices(string, result):
+    assert length_string_to_slices(string) == result
+
+
+def test_highest_count():
+    dissected = list(cluster_dissection_highest_count(TEST_CLUSTER))
+    assert dissected == ["AAAAA"]
+
+
+def test_adjacency():
+    dissected = set(cluster_dissection_adjacency(TEST_CLUSTER))
+    assert dissected == {"AAAAA", "CTAAA", "AAAGT"}
+
+
+def test_directional():
+    dissected = set(cluster_dissection_directional(TEST_CLUSTER))
+    assert dissected == {"AACAA", "AAAAA", "CTAAA"}
+
+
+@pytest.mark.parametrize("function", ALL_METHODS)
+def test_input_not_mutated(function):
+    cluster = TEST_CLUSTER[:]
+    snapshot = cluster[:]
+    list(function(cluster))
+    assert cluster == snapshot
+
+
+def test_directional_long_chain():
+    # A mutation chain whose count ordering is deliberately misaligned with
+    # alphabetical order, plus one member with a count too high to absorb
+    # (2*2-1 > 1): both chain origin and that member must be kept.
+    cluster = [
+        (100, "GGGGGG"),
+        (1, "GGGTGG"),
+        (1, "GGGTTG"),
+        (1, "GGCTTG"),
+        (1, "GACTTG"),
+        (2, "AACTTG"),
+    ]
+    dissected = set(cluster_dissection_directional(cluster))
+    assert dissected == {"GGGGGG", "AACTTG"}
+
+
+@pytest.mark.parametrize("function", ALL_METHODS)
+def test_single_origin_cluster(function):
+    cluster = [(7, "AAAA"), (1, "AAAT"), (1, "CAAA")]
+    assert set(function(cluster)) == {"AAAA"}
+
+
+def _edges_for(cluster, max_distance=1):
+    edges = set()
+    for i in range(len(cluster)):
+        for j in range(i + 1, len(cluster)):
+            if within_distance(cluster[i][1], cluster[j][1], max_distance):
+                edges.add((i, j))
+    return edges
+
+
+@pytest.mark.parametrize("method", ["highest_count", "adjacency",
+                                    "directional"])
+def test_dissect_with_adjacency_matches_scalar(method):
+    from fastqdedup_tpu.dissect import CLUSTER_DISSECTION_METHODS
+    for cluster in [TEST_CLUSTER,
+                    [(100, "GGGGGG"), (1, "GGGTGG"), (1, "GGGTTG"),
+                     (1, "GGCTTG"), (1, "GACTTG"), (2, "AACTTG")],
+                    [(7, "AAAA"), (1, "AAAT"), (1, "CAAA")]]:
+        expected = set(CLUSTER_DISSECTION_METHODS[method](cluster, 1, False))
+        got = set(dissect_with_adjacency(method, cluster,
+                                         _edges_for(cluster)))
+        assert got == expected
+
+
+def _directional_literal(cluster, max_distance=1):
+    """Literal re-enactment of the reference's directional loop
+    (reference __init__.py:60-91): sorted ascending, pop max, absorb into an
+    append-while-iterating template list.  Used to property-check that our
+    BFS-closure formulation is output-equivalent."""
+    items = sorted(cluster)
+    kept = []
+    while items:
+        origin = items.pop()
+        templates = [origin]
+        for template_count, template_string in templates:
+            if not items:
+                break
+            distinct = []
+            for item in items:
+                count, string = item
+                if (2 * count - 1) <= template_count and within_distance(
+                        template_string, string, max_distance):
+                    templates.append(item)
+                else:
+                    distinct.append(item)
+            items = distinct
+        kept.append(origin[1])
+    return kept
+
+
+def test_directional_matches_literal_reference_loop():
+    import random
+
+    rng = random.Random(987)
+    for _ in range(120):
+        size = rng.randrange(1, 14)
+        cluster = [(rng.randrange(1, 9),
+                    "".join(rng.choice("ACG") for _ in range(4)))
+                   for _ in range(size)]
+        expected = _directional_literal(cluster)
+        got = list(cluster_dissection_directional(cluster))
+        assert sorted(got) == sorted(expected), cluster
+        assert got == expected, cluster  # yield order matches too
+
+
+def test_dissect_randomized_parity():
+    """Property test: array/adjacency path == scalar reference semantics."""
+    import random
+
+    from fastqdedup_tpu.dissect import CLUSTER_DISSECTION_METHODS
+
+    rng = random.Random(1234)
+    for trial in range(60):
+        size = rng.randrange(2, 12)
+        cluster = []
+        for _ in range(size):
+            seq = "".join(rng.choice("ACGT") for _ in range(5))
+            cluster.append((rng.randrange(1, 8), seq))
+        for method in ("highest_count", "adjacency", "directional"):
+            expected = set(
+                CLUSTER_DISSECTION_METHODS[method](cluster, 1, False))
+            got = set(dissect_with_adjacency(method, cluster,
+                                             _edges_for(cluster)))
+            assert got == expected, (method, cluster)

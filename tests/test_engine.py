@@ -1,0 +1,192 @@
+"""Dense clustering engine tests: kernel paths vs brute-force oracle."""
+
+import random
+
+import numpy as np
+import pytest
+
+from fastqdedup_tpu.engine import build_clusters
+from fastqdedup_tpu.distance import within_distance
+from fastqdedup_tpu.ops.bucket import hamming_neighbor_pairs_bucketed
+from fastqdedup_tpu.ops.encode import EncodeTable, keys_to_matrix
+from fastqdedup_tpu.ops.hamming import neighbor_pairs
+
+
+def _random_keys(rng, n, length, alphabet="ACGT", mutate_from=None):
+    keys = []
+    for _ in range(n):
+        if mutate_from and rng.random() < 0.7:
+            base = list(rng.choice(mutate_from))
+            pos = rng.randrange(len(base))
+            base[pos] = rng.choice(alphabet)
+            keys.append("".join(base).encode())
+        else:
+            keys.append("".join(rng.choice(alphabet)
+                                for _ in range(length)).encode())
+            if mutate_from is not None:
+                mutate_from.append(keys[-1].decode())
+    return keys
+
+
+def _oracle_components(keys, max_distance, use_edit):
+    n = len(keys)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    strings = [k.decode() for k in keys]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if within_distance(strings[i], strings[j], max_distance,
+                               use_edit):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+    comps = {}
+    for i in range(n):
+        comps.setdefault(find(i), set()).add(keys[i])
+    return sorted([frozenset(v) for v in comps.values()], key=sorted)
+
+
+def _engine_components(clusters):
+    return sorted([frozenset(c.keys) for c in clusters], key=sorted)
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_neighbor_pairs_vs_bruteforce(d):
+    rng = random.Random(7 + d)
+    seeds = []
+    keys = _random_keys(rng, 300, 12, mutate_from=seeds)
+    keys = list(dict.fromkeys(keys))  # unique
+    table = EncodeTable("ACGTN")
+    matrix, _ = keys_to_matrix(keys, table)
+    ii, jj = neighbor_pairs(matrix, table.size, d, tile=128)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    expected = set()
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            if within_distance(keys[i].decode(), keys[j].decode(), d):
+                expected.add((i, j))
+    assert got == expected
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_bucketed_pairs_vs_bruteforce(d):
+    rng = random.Random(77 + d)
+    seeds = []
+    keys = _random_keys(rng, 500, 10, mutate_from=seeds)
+    keys = list(dict.fromkeys(keys))
+    table = EncodeTable("ACGTN")
+    matrix, _ = keys_to_matrix(keys, table)
+    ii, jj = hamming_neighbor_pairs_bucketed(matrix, table.size, d)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    expected = set()
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            if within_distance(keys[i].decode(), keys[j].decode(), d):
+                expected.add((i, j))
+    assert got == expected
+
+
+def test_bucketed_handles_large_buckets():
+    # Keys sharing one segment exactly force oversized buckets.
+    rng = random.Random(5)
+    keys = set()
+    while len(keys) < 600:
+        keys.add(b"ACGTACGT" + "".join(
+            rng.choice("ACGT") for _ in range(8)).encode())
+    keys = sorted(keys)
+    table = EncodeTable("ACGTN")
+    matrix, _ = keys_to_matrix(keys, table)
+    ii, jj = hamming_neighbor_pairs_bucketed(
+        matrix, table.size, 1, large_bucket_threshold=128)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    expected = set()
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            if within_distance(keys[i].decode(), keys[j].decode(), 1):
+                expected.add((i, j))
+    assert got == expected
+
+
+@pytest.mark.parametrize("use_edit", [False, True])
+def test_build_clusters_matches_oracle(use_edit):
+    rng = random.Random(13 + use_edit)
+    seeds = []
+    keys = _random_keys(rng, 150, 8, mutate_from=seeds)
+    if use_edit:  # add some length-varying keys
+        keys += [k[:-1] for k in keys[:30]] + [k + b"A" for k in keys[30:50]]
+    keys = list(dict.fromkeys(keys))
+    counts = [rng.randrange(1, 5) for _ in keys]
+    clusters = build_clusters(keys, counts, 1, use_edit)
+    assert _engine_components(clusters) == _oracle_components(keys, 1,
+                                                              use_edit)
+    # Counts preserved per key.
+    count_map = dict(zip(keys, counts))
+    for cluster in clusters:
+        for key, count in zip(cluster.keys, cluster.counts):
+            assert count_map[key] == count
+    # Edges are exactly the within-distance pairs inside each cluster.
+    for cluster in clusters:
+        strings = [k.decode() for k in cluster.keys]
+        for i in range(len(strings)):
+            for j in range(i + 1, len(strings)):
+                expected = within_distance(strings[i], strings[j], 1,
+                                           use_edit)
+                assert ((i, j) in cluster.edges) == expected
+
+
+def test_build_clusters_distance_zero():
+    keys = [b"AAAA", b"AAAT", b"CCCC"]
+    clusters = build_clusters(keys, [2, 1, 1], 0)
+    assert sorted(frozenset(c.keys) for c in clusters) == \
+        sorted(frozenset({k}) for k in keys)
+
+
+def test_verify_pairs_rowwise():
+    from fastqdedup_tpu.ops.hamming import verify_pairs
+    table = EncodeTable("ACGTN")
+    keys = [b"AAAA", b"AAAT", b"AATT", b"CCCC"]
+    matrix, _ = keys_to_matrix(keys, table)
+    pi = np.array([0, 0, 0])
+    pj = np.array([1, 2, 3])
+    mask = verify_pairs(matrix, pi, pj, table.size, 1)
+    assert mask.tolist() == [True, False, False]
+
+
+def test_edit_kernel_batch_matches_scalar():
+    from fastqdedup_tpu.ops.edit import batched_edit_distance
+    rng = random.Random(3)
+    table = EncodeTable("ACGTN")
+    pairs = []
+    for _ in range(64):
+        a = "".join(rng.choice("ACGT") for _ in range(rng.randrange(1, 10)))
+        b = "".join(rng.choice("ACGT") for _ in range(rng.randrange(1, 10)))
+        pairs.append((a, b))
+    lmax = max(max(len(a), len(b)) for a, b in pairs)
+    pa = np.full((len(pairs), lmax), 0xFF, dtype=np.uint8)
+    pb = np.full((len(pairs), lmax), 0xFF, dtype=np.uint8)
+    la = np.zeros(len(pairs), dtype=np.int64)
+    lb = np.zeros(len(pairs), dtype=np.int64)
+    for i, (a, b) in enumerate(pairs):
+        pa[i, :len(a)] = table.encode(np.frombuffer(a.encode(), np.uint8))
+        pb[i, :len(b)] = table.encode(np.frombuffer(b.encode(), np.uint8))
+        la[i], lb[i] = len(a), len(b)
+    got = np.asarray(batched_edit_distance(pa, la, pb, lb))
+
+    def full_lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = min(prev + (ca != cb), dp[j] + 1, dp[j - 1] + 1)
+                prev = cur
+        return dp[-1]
+
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == full_lev(a, b), (a, b)

@@ -1,0 +1,158 @@
+"""End-to-end pipeline parity tests against the pure-Python oracle.
+
+The reference has no end-to-end tests (SURVEY.md section 4); these cover the
+BASELINE.json configs: single-end UMI data for all three dissection methods,
+paired-end with --check-lengths, three-file (R1+R2+UMI) input, quality
+filtering, and the --edit Levenshtein mode.
+"""
+
+import gzip
+import random
+
+import pytest
+
+from fastqdedup_tpu.dissect import CLUSTER_DISSECTION_METHODS
+from fastqdedup_tpu.pipeline import deduplicate_cluster
+
+from oracle import oracle_dedup
+
+
+def _make_fastq(path, records):
+    data = "".join(f"@{name}\n{seq}\n+\n{qual}\n"
+                   for name, seq, qual in records)
+    if str(path).endswith(".gz"):
+        with gzip.open(path, "wb") as f:
+            f.write(data.encode())
+    else:
+        with open(path, "wb") as f:
+            f.write(data.encode())
+
+
+def _random_reads(rng, n, length, dup_rate=0.6, error_rate=0.02,
+                  quality_range=(30, 40), mate_suffix=""):
+    reads = []
+    molecules = []
+    for i in range(n):
+        if molecules and rng.random() < dup_rate:
+            seq = list(rng.choice(molecules))
+            for p in range(len(seq)):
+                if rng.random() < error_rate:
+                    seq[p] = rng.choice("ACGT")
+            seq = "".join(seq)
+        else:
+            seq = "".join(rng.choice("ACGT") for _ in range(length))
+            molecules.append(seq)
+        qual = "".join(chr(33 + rng.randrange(*quality_range))
+                       for _ in range(length))
+        # Sprinkle a few low-quality records to exercise the filter.
+        if rng.random() < 0.05:
+            qual = chr(33 + 2) * length
+        reads.append((f"read{i}{mate_suffix}", seq, qual))
+    return reads
+
+
+def _read_out(path):
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rb") as f:
+        return f.read()
+
+
+def _run_both(tmp_path, input_lists, check_slices=None, max_distance=1,
+              max_average_error_rate=0.001, method="directional",
+              use_edit_distance=False):
+    inputs = []
+    for idx, records in enumerate(input_lists):
+        path = str(tmp_path / f"in{idx}.fastq.gz")
+        _make_fastq(path, records)
+        inputs.append(path)
+    got_out = [str(tmp_path / f"got{idx}.fastq.gz")
+               for idx in range(len(inputs))]
+    exp_out = [str(tmp_path / f"exp{idx}.fastq.gz")
+               for idx in range(len(inputs))]
+    deduplicate_cluster(
+        inputs, got_out, check_slices, max_distance,
+        max_average_error_rate, CLUSTER_DISSECTION_METHODS[method],
+        use_edit_distance, chunk_records=37)  # small chunks stress batching
+    oracle_dedup(inputs, exp_out, check_slices, max_distance,
+                 max_average_error_rate, method, use_edit_distance)
+    for got, exp in zip(got_out, exp_out):
+        assert _read_out(got) == _read_out(exp)
+    return got_out
+
+
+@pytest.mark.parametrize("method", ["highest_count", "adjacency",
+                                    "directional"])
+def test_single_end_parity(tmp_path, method):
+    rng = random.Random(42)
+    reads = _random_reads(rng, 300, 20)
+    _run_both(tmp_path, [reads], method=method)
+
+
+def test_single_end_no_quality_filter(tmp_path):
+    rng = random.Random(43)
+    reads = _random_reads(rng, 200, 16)
+    _run_both(tmp_path, [reads], max_average_error_rate=1.0)
+
+
+def test_paired_end_check_lengths(tmp_path):
+    rng = random.Random(44)
+    r1 = _random_reads(rng, 250, 24, mate_suffix="/1")
+    r2 = [(name.replace("/1", "/2"),
+           "".join(rng.choice("ACGT") for _ in range(24)),
+           qual) for name, seq, qual in r1]
+    from fastqdedup_tpu import length_string_to_slices
+    slices = length_string_to_slices("16,8")
+    _run_both(tmp_path, [r1, r2], check_slices=slices)
+
+
+def test_three_files_umi_adjacency_d2(tmp_path):
+    rng = random.Random(45)
+    r1 = _random_reads(rng, 150, 20, mate_suffix="")
+    r2 = [(name, "".join(rng.choice("ACGT") for _ in range(20)), qual)
+          for name, seq, qual in r1]
+    umi = [(name, "".join(rng.choice("ACGT") for _ in range(8)),
+            "I" * 8) for name, seq, qual in r1]
+    from fastqdedup_tpu import length_string_to_slices
+    slices = length_string_to_slices("8,8,8")
+    _run_both(tmp_path, [r1, r2, umi], check_slices=slices,
+              max_distance=2, method="adjacency")
+
+
+def test_edit_distance_mode(tmp_path):
+    rng = random.Random(46)
+    reads = _random_reads(rng, 120, 14)
+    # Inject indel variants so edit mode differs from Hamming.
+    extra = []
+    for name, seq, qual in reads[:20]:
+        extra.append((name + "i", seq[1:], qual[1:]))
+        extra.append((name + "j", seq + "A", qual + "I"))
+    _run_both(tmp_path, [reads + extra], method="directional",
+              use_edit_distance=True)
+
+
+def test_distance_zero_exact_dedup(tmp_path):
+    rng = random.Random(47)
+    reads = _random_reads(rng, 150, 10, error_rate=0.0)
+    _run_both(tmp_path, [reads], max_distance=0)
+
+
+def test_uncompressed_output(tmp_path):
+    rng = random.Random(48)
+    reads = _random_reads(rng, 80, 12)
+    inputs = [str(tmp_path / "in.fastq")]
+    _make_fastq(inputs[0], reads)
+    out = [str(tmp_path / "out.fastq")]
+    exp = [str(tmp_path / "exp.fastq")]
+    deduplicate_cluster(
+        inputs, out, None, 1, 0.001,
+        CLUSTER_DISSECTION_METHODS["directional"], False, chunk_records=16)
+    oracle_dedup(inputs, exp, None, 1, 0.001, "directional", False)
+    assert _read_out(out[0]) == _read_out(exp[0])
+
+
+def test_arity_validation(tmp_path):
+    with pytest.raises(ValueError, match="Amount of output files"):
+        deduplicate_cluster(["a.fastq"], [], None)
+    with pytest.raises(ValueError, match="Amount of check lengths"):
+        deduplicate_cluster(["a.fastq"], ["b.fastq"],
+                            [slice(8), slice(8)])
