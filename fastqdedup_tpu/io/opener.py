@@ -32,6 +32,13 @@ def xopen(filename: str, mode: str = "rb", *,
         return open(filename, "rb", buffering=1024 * 1024)
     if "w" in mode or "a" in mode:
         if is_gz:
+            if "a" not in mode:
+                try:  # native zlib writer (byte-identical output, no GIL)
+                    from ..native.loader import NativeGzWriter
+                    return NativeGzWriter(  # type: ignore[return-value]
+                        filename, compresslevel or 1)
+                except (ImportError, OSError):
+                    pass
             raw = open(filename, mode)
             return gzip.GzipFile(filename="", mode=mode, fileobj=raw,
                                  compresslevel=compresslevel or 1,

@@ -1,0 +1,429 @@
+/* Native FASTQ chunk parser (host I/O hot path).
+ *
+ * TPU-native counterpart of the reference's dnaio/xopen ingest stack
+ * (/root/reference/src/fastqdedup/__init__.py:54-57,170-206): instead of
+ * producing per-record Python objects, this parser streams a (possibly
+ * gzip-compressed) FASTQ file straight into columnar byte buffers
+ * (concatenated payload + offset arrays) that the Python layer wraps as
+ * FastqChunk batches feeding the vectorized JAX kernels.
+ *
+ * Exposed via ctypes (see fastqdedup_tpu/native/loader.py); built with
+ * `cc -O3 -shared -fPIC _fastq_io.c -o _fastq_io.so -lz`.
+ */
+
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <zlib.h>
+
+#define FQ_OK 0
+#define FQ_EOF 1
+#define FQ_ERR_IO 2
+#define FQ_ERR_FORMAT 3
+#define FQ_ERR_NOMEM 4
+
+#define READ_BUF_SIZE (1 << 20)
+
+typedef struct {
+    gzFile gz;
+    unsigned char *buf;      /* raw (decompressed) read buffer */
+    size_t buf_len;          /* valid bytes in buf */
+    size_t buf_pos;          /* cursor */
+    size_t buf_cap;
+    int eof;                 /* no more bytes from gz */
+    int64_t line_number;     /* 0-based line of next unread line */
+    char error[512];
+    int64_t error_line;      /* 0-based line number of the error, or -1 */
+    /* Record that did not fit in the caller's buffers last call. */
+    unsigned char *pend_head, *pend_seq, *pend_qual;
+    size_t pend_head_len, pend_seq_len;
+    int has_pending;
+} FqReader;
+
+static int fq_fill(FqReader *r) {
+    /* Compact unread bytes to the front and refill from gz. */
+    if (r->buf_pos > 0) {
+        memmove(r->buf, r->buf + r->buf_pos, r->buf_len - r->buf_pos);
+        r->buf_len -= r->buf_pos;
+        r->buf_pos = 0;
+    }
+    if (r->buf_len == r->buf_cap) {
+        size_t new_cap = r->buf_cap * 2;
+        unsigned char *nb = (unsigned char *)realloc(r->buf, new_cap);
+        if (!nb) return FQ_ERR_NOMEM;
+        r->buf = nb;
+        r->buf_cap = new_cap;
+    }
+    int n = gzread(r->gz, r->buf + r->buf_len,
+                   (unsigned)(r->buf_cap - r->buf_len));
+    if (n < 0) {
+        int errnum = 0;
+        const char *msg = gzerror(r->gz, &errnum);
+        snprintf(r->error, sizeof(r->error), "read error: %s",
+                 msg ? msg : "unknown");
+        return FQ_ERR_IO;
+    }
+    if (n == 0) r->eof = 1;
+    r->buf_len += (size_t)n;
+    return FQ_OK;
+}
+
+/* Next line (without trailing \n / \r\n). Returns FQ_OK with *out/*len set,
+ * FQ_EOF at end of input, or an error code. */
+static int fq_next_line(FqReader *r, unsigned char **out, size_t *len) {
+    for (;;) {
+        unsigned char *start = r->buf + r->buf_pos;
+        unsigned char *nl = (unsigned char *)memchr(
+            start, '\n', r->buf_len - r->buf_pos);
+        if (nl) {
+            size_t l = (size_t)(nl - start);
+            r->buf_pos += l + 1;
+            while (l > 0 && (start[l - 1] == '\r')) l--;
+            *out = start;
+            *len = l;
+            r->line_number++;
+            return FQ_OK;
+        }
+        if (r->eof) {
+            size_t l = r->buf_len - r->buf_pos;
+            if (l == 0) return FQ_EOF;
+            /* Final line without newline. */
+            *out = start;
+            *len = l;
+            r->buf_pos = r->buf_len;
+            while (*len > 0 && ((*out)[*len - 1] == '\r')) (*len)--;
+            r->line_number++;
+            return FQ_OK;
+        }
+        int rc = fq_fill(r);
+        if (rc != FQ_OK) return rc;
+    }
+}
+
+FqReader *fq_open(const char *path) {
+    FqReader *r = (FqReader *)calloc(1, sizeof(FqReader));
+    if (!r) return NULL;
+    r->gz = gzopen(path, "rb");
+    if (!r->gz) {
+        free(r);
+        return NULL;
+    }
+    gzbuffer(r->gz, READ_BUF_SIZE);
+    r->buf_cap = READ_BUF_SIZE;
+    r->buf = (unsigned char *)malloc(r->buf_cap);
+    if (!r->buf) {
+        gzclose(r->gz);
+        free(r);
+        return NULL;
+    }
+    r->error_line = -1;
+    return r;
+}
+
+void fq_close(FqReader *r) {
+    if (!r) return;
+    if (r->gz) gzclose(r->gz);
+    free(r->buf);
+    free(r->pend_head);
+    free(r->pend_seq);
+    free(r->pend_qual);
+    free(r);
+}
+
+const char *fq_error(FqReader *r) { return r->error; }
+int64_t fq_error_line(FqReader *r) { return r->error_line; }
+int fq_has_pending(FqReader *r) { return r->has_pending; }
+
+static int fq_stash_pending(FqReader *r, const unsigned char *head,
+                            size_t head_len, const unsigned char *seq,
+                            const unsigned char *qual, size_t seq_len) {
+    r->pend_head = (unsigned char *)malloc(head_len ? head_len : 1);
+    r->pend_seq = (unsigned char *)malloc(seq_len ? seq_len : 1);
+    r->pend_qual = (unsigned char *)malloc(seq_len ? seq_len : 1);
+    if (!r->pend_head || !r->pend_seq || !r->pend_qual) return FQ_ERR_NOMEM;
+    memcpy(r->pend_head, head, head_len);
+    memcpy(r->pend_seq, seq, seq_len);
+    memcpy(r->pend_qual, qual, seq_len);
+    r->pend_head_len = head_len;
+    r->pend_seq_len = seq_len;
+    r->has_pending = 1;
+    return FQ_OK;
+}
+
+/* Parse up to max_records records into the caller's columnar buffers.
+ *
+ * seq_buf/qual_buf: payload bytes (shared offsets array, len max_records+1,
+ * offsets[0] must not be pre-filled — it is written here).
+ * head_buf: header bytes without the leading '@' (own offsets array).
+ * Returns FQ_OK (possibly 0 records at EOF) or an error code.
+ * *n_records receives the record count. Parsing stops early when a record
+ * would overflow a buffer; the record is carried to the next call. */
+int fq_next_chunk(FqReader *r, int64_t max_records,
+                  unsigned char *seq_buf, unsigned char *qual_buf,
+                  int64_t payload_cap, int64_t *offsets,
+                  unsigned char *head_buf, int64_t head_cap,
+                  int64_t *head_offsets, int64_t *n_records) {
+    int64_t n = 0;
+    int64_t pos = 0, hpos = 0;
+    offsets[0] = 0;
+    head_offsets[0] = 0;
+    *n_records = 0;
+
+    if (r->has_pending) {
+        if ((int64_t)r->pend_seq_len > payload_cap ||
+            (int64_t)r->pend_head_len > head_cap) {
+            /* The caller's buffers cannot hold even one record; return 0
+             * records with the pending record intact — the caller detects
+             * this via fq_has_pending and retries with larger buffers. */
+            return FQ_OK;
+        }
+        memcpy(seq_buf, r->pend_seq, r->pend_seq_len);
+        memcpy(qual_buf, r->pend_qual, r->pend_seq_len);
+        memcpy(head_buf, r->pend_head, r->pend_head_len);
+        pos = (int64_t)r->pend_seq_len;
+        hpos = (int64_t)r->pend_head_len;
+        offsets[1] = pos;
+        head_offsets[1] = hpos;
+        n = 1;
+        free(r->pend_head);
+        free(r->pend_seq);
+        free(r->pend_qual);
+        r->pend_head = r->pend_seq = r->pend_qual = NULL;
+        r->has_pending = 0;
+    }
+
+    while (n < max_records) {
+        unsigned char *head, *seq, *plus, *qual;
+        size_t head_len, seq_len, plus_len, qual_len;
+        int64_t head_line;
+        int rc;
+
+        /* Header line; tolerate stray blank lines between records (matches
+         * the Python fallback in io/fastq.py). */
+        do {
+            rc = fq_next_line(r, &head, &head_len);
+            if (rc == FQ_EOF) goto done;
+            if (rc != FQ_OK) return rc;
+        } while (head_len == 0);
+        head_line = r->line_number - 1;
+        if (head[0] != '@') {
+            snprintf(r->error, sizeof(r->error),
+                     "expected '@' at record start");
+            r->error_line = head_line;
+            return FQ_ERR_FORMAT;
+        }
+        /* Lines returned by fq_next_line point into the refill buffer and
+         * can be invalidated (memmoved) by the next fq_next_line call, so
+         * each piece is copied out before the next line is read. */
+        {
+            unsigned char head_tmp_stack[4096];
+            unsigned char *head_tmp = head_tmp_stack;
+            int head_heap = 0;
+            if (head_len - 1 > sizeof(head_tmp_stack)) {
+                head_tmp = (unsigned char *)malloc(head_len - 1);
+                if (!head_tmp) return FQ_ERR_NOMEM;
+                head_heap = 1;
+            }
+            memcpy(head_tmp, head + 1, head_len - 1);
+
+            rc = fq_next_line(r, &seq, &seq_len);
+            if (rc == FQ_EOF) {
+                snprintf(r->error, sizeof(r->error),
+                         "truncated FASTQ record");
+                r->error_line = head_line;
+                if (head_heap) free(head_tmp);
+                return FQ_ERR_FORMAT;
+            }
+            if (rc != FQ_OK) { if (head_heap) free(head_tmp); return rc; }
+            /* Copy sequence immediately (same invalidation hazard). */
+            if (pos + (int64_t)seq_len > payload_cap ||
+                hpos + (int64_t)(head_len - 1) > head_cap) {
+                /* Caller's buffers are full: parse the record fully, stash
+                 * it, and return what we have. */
+                unsigned char *seq_tmp = (unsigned char *)malloc(
+                    seq_len ? seq_len : 1);
+                if (!seq_tmp) { if (head_heap) free(head_tmp);
+                                return FQ_ERR_NOMEM; }
+                memcpy(seq_tmp, seq, seq_len);
+                rc = fq_next_line(r, &plus, &plus_len);
+                if (rc != FQ_OK) {
+                    free(seq_tmp);
+                    if (head_heap) free(head_tmp);
+                    if (rc == FQ_EOF) {
+                        snprintf(r->error, sizeof(r->error),
+                                 "truncated FASTQ record");
+                        r->error_line = head_line;
+                        return FQ_ERR_FORMAT;
+                    }
+                    return rc;
+                }
+                if (plus_len == 0 || plus[0] != '+') {
+                    free(seq_tmp);
+                    if (head_heap) free(head_tmp);
+                    snprintf(r->error, sizeof(r->error),
+                             "expected '+' on third record line");
+                    r->error_line = head_line + 2;
+                    return FQ_ERR_FORMAT;
+                }
+                rc = fq_next_line(r, &qual, &qual_len);
+                if (rc != FQ_OK) {
+                    free(seq_tmp);
+                    if (head_heap) free(head_tmp);
+                    if (rc == FQ_EOF) {
+                        snprintf(r->error, sizeof(r->error),
+                                 "truncated FASTQ record");
+                        r->error_line = head_line;
+                        return FQ_ERR_FORMAT;
+                    }
+                    return rc;
+                }
+                if (qual_len != seq_len) {
+                    free(seq_tmp);
+                    if (head_heap) free(head_tmp);
+                    snprintf(r->error, sizeof(r->error),
+                             "sequence and qualities differ in length");
+                    r->error_line = head_line + 3;
+                    return FQ_ERR_FORMAT;
+                }
+                rc = fq_stash_pending(r, head_tmp, head_len - 1, seq_tmp,
+                                      qual, seq_len);
+                free(seq_tmp);
+                if (head_heap) free(head_tmp);
+                if (rc != FQ_OK) return rc;
+                goto done;
+            }
+            memcpy(seq_buf + pos, seq, seq_len);
+            memcpy(head_buf + hpos, head_tmp, head_len - 1);
+            if (head_heap) free(head_tmp);
+        }
+
+        rc = fq_next_line(r, &plus, &plus_len);
+        if (rc == FQ_EOF) {
+            snprintf(r->error, sizeof(r->error), "truncated FASTQ record");
+            r->error_line = head_line;
+            return FQ_ERR_FORMAT;
+        }
+        if (rc != FQ_OK) return rc;
+        if (plus_len == 0 || plus[0] != '+') {
+            snprintf(r->error, sizeof(r->error),
+                     "expected '+' on third record line");
+            r->error_line = head_line + 2;
+            return FQ_ERR_FORMAT;
+        }
+        rc = fq_next_line(r, &qual, &qual_len);
+        if (rc == FQ_EOF) {
+            snprintf(r->error, sizeof(r->error), "truncated FASTQ record");
+            r->error_line = head_line;
+            return FQ_ERR_FORMAT;
+        }
+        if (rc != FQ_OK) return rc;
+        if (qual_len != seq_len) {
+            snprintf(r->error, sizeof(r->error),
+                     "sequence and qualities differ in length");
+            r->error_line = head_line + 3;
+            return FQ_ERR_FORMAT;
+        }
+        memcpy(qual_buf + pos, qual, qual_len);
+        pos += (int64_t)seq_len;
+        hpos += (int64_t)(head_len - 1);
+        n++;
+        offsets[n] = pos;
+        head_offsets[n] = hpos;
+    }
+
+done:
+    *n_records = n;
+    return FQ_OK;
+}
+
+/* ------------------------------------------------------------------ */
+/* Gzip block writer: manual header with MTIME=0 + raw deflate, emitting
+ * output byte-identical to CPython's gzip.GzipFile(mtime=0) so runs are
+ * deterministic (see fastqdedup_tpu/io/opener.py). */
+
+typedef struct {
+    FILE *fp;
+    z_stream zs;
+    uint32_t crc;
+    uint64_t isize;
+    unsigned char out[READ_BUF_SIZE];
+    int active;
+} FqWriter;
+
+FqWriter *fqw_open(const char *path, int compresslevel) {
+    FqWriter *w = (FqWriter *)calloc(1, sizeof(FqWriter));
+    if (!w) return NULL;
+    w->fp = fopen(path, "wb");
+    if (!w->fp) {
+        free(w);
+        return NULL;
+    }
+    if (deflateInit2(&w->zs, compresslevel, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK) {
+        fclose(w->fp);
+        free(w);
+        return NULL;
+    }
+    unsigned char xfl = compresslevel == 9 ? 2
+                      : compresslevel == 1 ? 4 : 0;
+    unsigned char header[10] = {0x1f, 0x8b, 8, 0, 0, 0, 0, 0, xfl, 0xff};
+    if (fwrite(header, 1, 10, w->fp) != 10) {
+        deflateEnd(&w->zs);
+        fclose(w->fp);
+        free(w);
+        return NULL;
+    }
+    w->crc = crc32(0L, Z_NULL, 0);
+    w->active = 1;
+    return w;
+}
+
+static int fqw_deflate(FqWriter *w, int flush) {
+    do {
+        w->zs.next_out = w->out;
+        w->zs.avail_out = READ_BUF_SIZE;
+        int rc = deflate(&w->zs, flush);
+        if (rc == Z_STREAM_ERROR) return FQ_ERR_IO;
+        size_t have = READ_BUF_SIZE - w->zs.avail_out;
+        if (have && fwrite(w->out, 1, have, w->fp) != have)
+            return FQ_ERR_IO;
+    } while (w->zs.avail_out == 0);
+    return FQ_OK;
+}
+
+int fqw_write(FqWriter *w, const unsigned char *data, int64_t len) {
+    int64_t done = 0;
+    w->isize += (uint64_t)len;
+    while (done < len) {
+        unsigned step = (unsigned)((len - done) > (1 << 30)
+                                   ? (1 << 30) : (len - done));
+        w->crc = crc32(w->crc, data + done, step);
+        w->zs.next_in = (unsigned char *)data + done;
+        w->zs.avail_in = step;
+        if (fqw_deflate(w, Z_NO_FLUSH) != FQ_OK) return FQ_ERR_IO;
+        done += step - w->zs.avail_in;
+    }
+    return FQ_OK;
+}
+
+int fqw_close(FqWriter *w) {
+    if (!w) return FQ_OK;
+    int rc = FQ_OK;
+    if (w->active) {
+        w->zs.next_in = Z_NULL;
+        w->zs.avail_in = 0;
+        if (fqw_deflate(w, Z_FINISH) != FQ_OK) rc = FQ_ERR_IO;
+        unsigned char trailer[8];
+        uint32_t crc = w->crc, isize = (uint32_t)w->isize;
+        for (int i = 0; i < 4; i++) {
+            trailer[i] = (unsigned char)(crc >> (8 * i));
+            trailer[4 + i] = (unsigned char)(isize >> (8 * i));
+        }
+        if (fwrite(trailer, 1, 8, w->fp) != 8) rc = FQ_ERR_IO;
+        deflateEnd(&w->zs);
+        if (fclose(w->fp) != 0) rc = FQ_ERR_IO;
+    }
+    free(w);
+    return rc;
+}

@@ -13,3 +13,7 @@ The reference's native hot paths and their TPU-native replacements:
 All ops are jit-compatible with static shapes; ragged work is padded and
 masked by the callers.
 """
+
+from ..runtime import configure_jax as _configure_jax
+
+_configure_jax()

@@ -88,7 +88,13 @@ def _batched_bucket_pairs(matrix: np.ndarray, member_lists: List[np.ndarray],
     length = matrix.shape[1]
     for start in range(0, len(member_lists), max_buckets_per_call):
         chunk = member_lists[start:start + max_buckets_per_call]
-        k = len(chunk)
+        # Pad the bucket-batch dimension to a power of two so the jitted
+        # kernel sees a bounded family of shapes (padded buckets hold only
+        # _PAD_INDEX rows, which match nothing and carry members == -1).
+        k = 8
+        while k < len(chunk):
+            k *= 2
+        k = min(k, max_buckets_per_call)
         members = np.full((k, size_class), -1, dtype=np.int64)
         batch = np.full((k, size_class, length), _PAD_INDEX, dtype=np.uint8)
         for b, idx in enumerate(chunk):

@@ -77,12 +77,17 @@ def pad_to_matrix(data: np.ndarray, offsets: np.ndarray,
     lengths = ragged_lengths(offsets)
     b = len(lengths)
     lmax = int(lengths.max()) if b else 0
-    matrix = np.full((b, lmax), fill, dtype=np.uint8)
-    if lmax:
-        mask = np.arange(lmax, dtype=np.int64)[None, :] < lengths[:, None]
-        flat_src = offsets[:-1][:, None] + \
-            np.arange(lmax, dtype=np.int64)[None, :]
-        matrix[mask] = data[flat_src[mask]]
+    if not lmax:
+        return np.full((b, 0), fill, dtype=np.uint8), lengths
+    if offsets[-1] == b * lmax:
+        # Uniform record length: the CSR payload IS the matrix.
+        return data.reshape(b, lmax), lengths
+    # Clipped gather + masked fill — no boolean fancy-indexing temporaries.
+    flat_src = offsets[:-1][:, None] + np.arange(lmax, dtype=np.int64)[None, :]
+    np.minimum(flat_src, len(data) - 1, out=flat_src)
+    matrix = data[flat_src]
+    mask = np.arange(lmax, dtype=np.int64)[None, :] >= lengths[:, None]
+    matrix[mask] = fill
     return matrix, lengths
 
 

@@ -1,0 +1,159 @@
+"""Native C FASTQ parser / gzip writer vs the pure-Python path.
+
+The native layer (fastqdedup_tpu/native/_fastq_io.c) must be a drop-in for
+the Python chunk reader (io/fastq.py) — same chunks, same errors — and the
+native gzip writer must produce output byte-identical to
+``gzip.GzipFile(mtime=0)`` so reruns stay deterministic.
+"""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+pytest.importorskip("fastqdedup_tpu.native.loader",
+                    reason="native library could not be built")
+
+from fastqdedup_tpu.io.fastq import (  # noqa: E402
+    FastqChunk,
+    FastqFormatError,
+    _lines_to_chunk,
+)
+from fastqdedup_tpu.io.opener import xopen  # noqa: E402
+from fastqdedup_tpu.native.loader import (  # noqa: E402
+    NativeGzWriter,
+    read_fastq_chunks_native,
+)
+
+
+def python_chunks(filename, chunk_records):
+    """The pure-Python chunking logic, bypassing native acceleration."""
+    with xopen(filename, "rb") as file:
+        line_number = 0
+        lines = []
+        take = 4 * chunk_records
+        for raw in file:
+            line = raw.rstrip(b"\r\n")
+            if not line and not lines:
+                line_number += 1
+                continue
+            lines.append(line)
+            if len(lines) == take:
+                yield _lines_to_chunk(lines, filename, line_number)
+                line_number += take
+                lines = []
+        if lines:
+            while lines and not lines[-1]:
+                lines.pop()
+            if len(lines) % 4:
+                raise FastqFormatError(f"{filename}: truncated FASTQ record",
+                                       line=line_number)
+            if lines:
+                yield _lines_to_chunk(lines, filename, line_number)
+
+
+def write_fastq(path, records, gz=False, trailing_newline=True,
+                crlf=False):
+    eol = "\r\n" if crlf else "\n"
+    text = eol.join(
+        f"@{name}{eol}{seq}{eol}+{eol}{qual}" for name, seq, qual in records)
+    if trailing_newline:
+        text += eol
+    data = text.encode()
+    if gz:
+        with open(path, "wb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+                f.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+RECORDS = [
+    (f"read{i} extra info", "ACGTN" * 6 + "AC"[: i % 2],
+     "IIIII" * 6 + "#"[: i % 2])
+    for i in range(937)
+]
+
+
+def assert_chunks_equal(a: FastqChunk, b: FastqChunk):
+    assert a.count == b.count
+    np.testing.assert_array_equal(a.sequences, b.sequences)
+    np.testing.assert_array_equal(a.qualities, b.qualities)
+    np.testing.assert_array_equal(a.offsets, b.offsets)
+    np.testing.assert_array_equal(a.headers, b.headers)
+    np.testing.assert_array_equal(a.header_offsets, b.header_offsets)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("chunk_records", [64, 937, 10_000])
+def test_native_matches_python(tmp_path, gz, chunk_records):
+    path = str(tmp_path / ("t.fastq" + (".gz" if gz else "")))
+    write_fastq(path, RECORDS, gz=gz)
+    native = list(read_fastq_chunks_native(path, chunk_records))
+    python = list(python_chunks(path, chunk_records))
+    assert len(native) == len(python)
+    for a, b in zip(native, python):
+        assert_chunks_equal(a, b)
+
+
+def test_native_crlf_and_no_trailing_newline(tmp_path):
+    path = str(tmp_path / "t.fastq")
+    write_fastq(path, RECORDS[:5], crlf=True, trailing_newline=False)
+    native = list(read_fastq_chunks_native(path, 100))
+    python = list(python_chunks(path, 100))
+    for a, b in zip(native, python):
+        assert_chunks_equal(a, b)
+
+
+def test_native_buffer_overflow_carry(tmp_path):
+    # Records far larger than the initial per-record estimate force the
+    # stash/carry path in fq_next_chunk.
+    big = [(f"r{i}", "A" * 5000, "I" * 5000) for i in range(40)]
+    path = str(tmp_path / "big.fastq")
+    write_fastq(path, big)
+    native = list(read_fastq_chunks_native(path, 16))
+    total = sum(c.count for c in native)
+    assert total == 40
+    joined_py = list(python_chunks(path, 10 ** 9))[0]
+    joined_seq = np.concatenate([c.sequences for c in native])
+    np.testing.assert_array_equal(joined_seq, joined_py.sequences)
+
+
+@pytest.mark.parametrize("content,match", [
+    (b"ACGT\nACGT\n+\nIIII\n", "expected '@'"),
+    (b"@r\nACGT\nIIII\nIIII\n", r"expected '\+'"),
+    (b"@r\nACGT\n+\nIII\n", "differ in length"),
+    (b"@r\nACGT\n+\n", "truncated"),
+])
+def test_native_format_errors(tmp_path, content, match):
+    path = str(tmp_path / "bad.fastq")
+    path_obj = tmp_path / "bad.fastq"
+    path_obj.write_bytes(content)
+    with pytest.raises(FastqFormatError, match=match):
+        list(read_fastq_chunks_native(path, 100))
+
+
+def test_native_empty_file(tmp_path):
+    path = tmp_path / "empty.fastq"
+    path.write_bytes(b"")
+    assert list(read_fastq_chunks_native(str(path), 100)) == []
+
+
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_native_writer_byte_identical(tmp_path, level):
+    payload = b"@r\nACGTACGT\n+\nIIIIIIII\n" * 3000
+    ref = io.BytesIO()
+    g = gzip.GzipFile(filename="", mode="wb", fileobj=ref,
+                      compresslevel=level, mtime=0)
+    for i in range(0, len(payload), 999):
+        g.write(payload[i:i + 999])
+    g.close()
+    path = tmp_path / "out.gz"
+    w = NativeGzWriter(str(path), level)
+    for i in range(0, len(payload), 999):
+        w.write(payload[i:i + 999])
+    w.close()
+    assert path.read_bytes() == ref.getvalue()
+    assert gzip.decompress(path.read_bytes()) == payload
