@@ -133,13 +133,34 @@ def verify_pairs(matrix: np.ndarray, pairs_i: np.ndarray,
     """bool mask over candidate pairs: full Hamming <= max_distance.
 
     Used after pigeonhole bucketing to verify candidates; rowwise (paired)
-    comparison, so cost is O(pairs * L) on the VPU.
+    comparison, so cost is O(pairs * L) on the VPU.  When the alphabet fits
+    in 4 bits the Pallas XOR+popcount kernel runs over nibble-packed lanes
+    (8 bases per uint32); otherwise a jnp elementwise compare.
     """
+    packed_kernel = None
+    if alphabet_size <= 16:
+        try:
+            from .encode import pack_nibbles
+            from .pallas_hamming import ROW_BLOCK, rowwise_within_packed
+            packed_kernel = (pack_nibbles, ROW_BLOCK, rowwise_within_packed)
+        except Exception:
+            packed_kernel = None
     out = np.empty(len(pairs_i), dtype=bool)
     for start in range(0, len(pairs_i), batch):
         sl = slice(start, start + batch)
         a = matrix[pairs_i[sl]]
         b = matrix[pairs_j[sl]]
-        out[sl] = np.asarray(
-            rowwise_within(a, b, alphabet_size, max_distance))
+        if packed_kernel is not None:
+            pack, row_block, kernel = packed_kernel
+            lanes = max(-(-matrix.shape[1] // 8), 1)
+            p = len(a)
+            padded = -(-max(p, 1) // row_block) * row_block
+            pa = np.zeros((padded, lanes), dtype=np.uint32)
+            pb = np.zeros((padded, lanes), dtype=np.uint32)
+            pa[:p] = pack(a, lanes)
+            pb[:p] = pack(b, lanes)
+            out[sl] = np.asarray(kernel(pa, pb, max_distance))[:p, 0]
+        else:
+            out[sl] = np.asarray(
+                rowwise_within(a, b, alphabet_size, max_distance))
     return out

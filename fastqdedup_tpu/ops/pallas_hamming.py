@@ -1,0 +1,155 @@
+"""Pallas TPU kernels for Hamming distance.
+
+Two kernels replace the reference's scalar distance predicates
+(/root/reference/src/fastqdedup/distances.h:8-31) on the TPU compute units:
+
+* :func:`within_tile_kernel` — all-pairs ``Hamming(a_i, b_j) <= d`` boolean
+  tile.  Fuses the one-hot expansion (VPU), the match-count contraction
+  (MXU systolic array), and the distance threshold into one kernel, so
+  neither the int8 one-hot operands nor the int32 [N, M] match-count matrix
+  ever round-trips through HBM — the only HBM traffic is the uint8 index
+  tiles in and the packed bool tile out.
+* :func:`rowwise_within_packed` — paired-row verification over 4-bit-packed
+  uint32 lanes: XOR + nibble-collapse + population count on the VPU.  This
+  is the pigeonhole-candidate verification hot path (8 bases per uint32
+  lane, ~6 VPU ops per lane per pair).
+
+Both kernels run compiled on TPU and fall back to interpreter mode on CPU
+(tests / virtual-device meshes), keeping one code path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Output tile of the all-pairs kernel; 128 matches the MXU systolic array.
+TILE_M = 128
+TILE_N = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------------------- #
+# All-pairs tile kernel (one-hot -> MXU -> threshold, fused)
+
+
+def _within_tile_body(sym_ref, a_ref, b_ref, out_ref, *, alphabet_size: int,
+                      length: int, max_distance: int):
+    """out[i, j] = (length - matches(a_i, b_j)) <= max_distance.
+
+    ``a_ref``: uint8 [TILE_M, L] alphabet indices; ``b_ref``: uint8
+    [TILE_N, L].  Padding rows use an index >= alphabet_size, whose one-hot
+    row is all-zero, so they match nothing.
+
+    ``sym_ref``: int32 [1, L*alphabet_size] precomputed symbol pattern.
+    One-hot is built on the fly (VPU): pltpu.repeat tiles the index row
+    alphabet_size times along the lane dimension (copy-concatenation), so at
+    flat column t = c*length + k the value is index[k]; the pattern
+    sym[t] = (c + k) % alphabet_size visits every symbol exactly once per
+    position k as the copy c varies, hence
+    sum_t [a==sym][b==sym] == sum_k [a_k == b_k] for any length/alphabet.
+    """
+    sym = sym_ref[:]
+    a_rep = pltpu.repeat(a_ref[:].astype(jnp.int32), alphabet_size, axis=1)
+    a_oh = (a_rep == sym).astype(jnp.int8)
+    b_rep = pltpu.repeat(b_ref[:].astype(jnp.int32), alphabet_size, axis=1)
+    b_oh = (b_rep == sym).astype(jnp.int8)
+    # Match counts on the MXU: [TILE_M, E] x [TILE_N, E]^T -> int32.
+    matches = jax.lax.dot_general(
+        a_oh, b_oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[:] = (length - matches) <= max_distance
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("alphabet_size", "max_distance"))
+def within_tile_kernel(a: jax.Array, b: jax.Array, alphabet_size: int,
+                       max_distance: int) -> jax.Array:
+    """bool [N, M]: all-pairs Hamming <= max_distance via a fused Pallas
+    kernel.  N and M must be multiples of 128 (callers pad; see
+    fastqdedup_tpu.ops.hamming.neighbor_pairs)."""
+    n, length = a.shape
+    m = b.shape[0]
+    expanded = length * alphabet_size
+    kernel = functools.partial(
+        _within_tile_body, alphabet_size=alphabet_size, length=length,
+        max_distance=max_distance)
+    pos = jnp.arange(expanded, dtype=jnp.int32)
+    sym = ((pos // length + pos % length) % alphabet_size).reshape(1, -1)
+    grid = (n // TILE_M, m // TILE_N)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, expanded), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, length), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, length), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_M, TILE_N), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.bool_),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * length * alphabet_size,
+            bytes_accessed=(n + m) * length + n * m,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(sym, a, b)
+
+
+# --------------------------------------------------------------------- #
+# Rowwise packed XOR + popcount kernel
+
+# Rows per grid step of the rowwise kernel.
+ROW_BLOCK = 1024
+
+
+def _rowwise_body(a_ref, b_ref, out_ref, *, max_distance: int):
+    """out[i] = popcount_nibbles(a_i ^ b_i) <= max_distance.
+
+    ``a_ref``/``b_ref``: uint32 [ROW_BLOCK, lanes], 8 packed 4-bit alphabet
+    indices per lane.  A nibble-wise OR-collapse maps every non-zero XOR
+    nibble to exactly one set bit, so population count == mismatch count.
+    """
+    x = jax.lax.bitwise_xor(a_ref[:], b_ref[:])
+    y = x | jax.lax.shift_right_logical(x, jnp.uint32(2))
+    y = y | jax.lax.shift_right_logical(y, jnp.uint32(1))
+    y = y & jnp.uint32(0x11111111)
+    mism = jnp.sum(jax.lax.population_count(y).astype(jnp.int32),
+                   axis=1, keepdims=True)
+    out_ref[:] = mism <= max_distance
+
+
+@functools.partial(jax.jit, static_argnames=("max_distance",))
+def rowwise_within_packed(a: jax.Array, b: jax.Array,
+                          max_distance: int) -> jax.Array:
+    """bool [P, 1]: paired-row packed Hamming <= max_distance.
+
+    ``a``/``b``: uint32 [P, lanes] nibble-packed (see
+    fastqdedup_tpu.ops.encode.pack_nibbles); P must be a multiple of
+    ROW_BLOCK (callers pad with equal rows, which are trivially within).
+    """
+    p, lanes = a.shape
+    kernel = functools.partial(_rowwise_body, max_distance=max_distance)
+    return pl.pallas_call(
+        kernel,
+        grid=(p // ROW_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.bool_),
+        interpret=_interpret(),
+    )(a, b)

@@ -1,0 +1,71 @@
+"""Pallas TPU kernels vs numpy references.
+
+Runs in interpreter mode on the CPU test mesh (tests/conftest.py); the same
+kernels compile natively on TPU.  Semantics pinned: all-pairs and paired-row
+Hamming "within distance" per the reference's distances.h:8-31.
+"""
+
+import numpy as np
+import pytest
+
+from fastqdedup_tpu.ops.encode import pack_nibbles
+from fastqdedup_tpu.ops.pallas_hamming import (
+    ROW_BLOCK,
+    within_tile_kernel,
+    rowwise_within_packed,
+)
+
+
+def mutated_pair(rng, n, length, alphabet):
+    a = rng.integers(0, alphabet, size=(n, length), dtype=np.uint8)
+    b = a.copy()
+    for i in range(n):
+        for _ in range(rng.integers(0, 4)):
+            b[i, rng.integers(length)] = rng.integers(alphabet)
+    return a, b
+
+
+@pytest.mark.parametrize("length,alphabet,max_distance", [
+    (24, 5, 1), (16, 4, 2), (31, 6, 0),
+])
+def test_within_tile_kernel_matches_numpy(length, alphabet, max_distance):
+    rng = np.random.default_rng(7)
+    a, b = mutated_pair(rng, 128, length, alphabet)
+    got = np.asarray(within_tile_kernel(a, b, alphabet, max_distance))
+    want = (a[:, None, :] != b[None, :, :]).sum(2) <= max_distance
+    np.testing.assert_array_equal(got, want)
+
+
+def test_within_tile_kernel_multi_tile_grid():
+    rng = np.random.default_rng(8)
+    a, b = mutated_pair(rng, 256, 12, 5)
+    got = np.asarray(within_tile_kernel(a, b, 5, 1))
+    want = (a[:, None, :] != b[None, :, :]).sum(2) <= 1
+    assert got.shape == (256, 256)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("length,max_distance", [(24, 1), (7, 2), (40, 0)])
+def test_rowwise_within_packed_matches_numpy(length, max_distance):
+    rng = np.random.default_rng(9)
+    n = 100
+    a, b = mutated_pair(rng, n, length, 5)
+    lanes = max(-(-length // 8), 1)
+    pa = np.zeros((ROW_BLOCK, lanes), dtype=np.uint32)
+    pb = np.zeros((ROW_BLOCK, lanes), dtype=np.uint32)
+    pa[:n] = pack_nibbles(a, lanes)
+    pb[:n] = pack_nibbles(b, lanes)
+    got = np.asarray(rowwise_within_packed(pa, pb, max_distance))[:n, 0]
+    want = (a != b).sum(1) <= max_distance
+    np.testing.assert_array_equal(got, want)
+
+
+def test_verify_pairs_uses_packed_kernel():
+    from fastqdedup_tpu.ops.hamming import verify_pairs
+    rng = np.random.default_rng(10)
+    matrix = rng.integers(0, 5, size=(64, 20), dtype=np.uint8)
+    pi = rng.integers(0, 64, size=500).astype(np.int64)
+    pj = rng.integers(0, 64, size=500).astype(np.int64)
+    got = verify_pairs(matrix, pi, pj, 5, 1)
+    want = (matrix[pi] != matrix[pj]).sum(1) <= 1
+    np.testing.assert_array_equal(got, want)
