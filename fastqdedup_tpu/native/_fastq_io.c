@@ -338,6 +338,35 @@ done:
 }
 
 /* ------------------------------------------------------------------ */
+/* Phred quality reduction: mean per-base error rate per record.
+ *
+ * Same arithmetic as the reference's C extension
+ * (/root/reference/src/fastqdedup/_fastqmodule.c:38-76): sequential
+ * left-to-right float64 accumulation of a 128-entry LUT, uint8-wrapping
+ * offset subtraction, range check against [phred_offset, 126]. */
+
+#include "score_to_error_rate.h"
+
+/* Batched: qual holds n records delimited by offsets (len n+1); writes the
+ * mean error rate per record to out (NaN for empty records).  Returns -1 on
+ * success or the byte index of the first out-of-range character. */
+int64_t fq_avg_error_rates(const unsigned char *qual, const int64_t *offsets,
+                           int64_t n, int phred_offset, double *out) {
+    unsigned char max_score = (unsigned char)(126 - phred_offset);
+    for (int64_t i = 0; i < n; i++) {
+        int64_t start = offsets[i], end = offsets[i + 1];
+        double total = 0.0;
+        for (int64_t j = start; j < end; j++) {
+            unsigned char score = (unsigned char)(qual[j] - phred_offset);
+            if (score > max_score) return j;
+            total += SCORE_TO_ERROR_RATE[score];
+        }
+        out[i] = total / (double)(end - start);
+    }
+    return -1;
+}
+
+/* ------------------------------------------------------------------ */
 /* Gzip block writer: manual header with MTIME=0 + raw deflate, emitting
  * output byte-identical to CPython's gzip.GzipFile(mtime=0) so runs are
  * deterministic (see fastqdedup_tpu/io/opener.py). */

@@ -37,6 +37,11 @@ _lib.fq_next_chunk.argtypes = [
     _u8p, ctypes.c_int64, _i64p,
     ctypes.POINTER(ctypes.c_int64)]
 
+_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_lib.fq_avg_error_rates.restype = ctypes.c_int64
+_lib.fq_avg_error_rates.argtypes = [
+    _u8p, _i64p, ctypes.c_int64, ctypes.c_int, _f64p]
+
 _lib.fqw_open.restype = ctypes.c_void_p
 _lib.fqw_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
 _lib.fqw_write.restype = ctypes.c_int
@@ -102,6 +107,28 @@ def read_fastq_chunks_native(filename: str, chunk_records: int = 1 << 18
                 head_cap *= 2
     finally:
         _lib.fq_close(handle)
+
+
+def average_error_rates_native(qual_data: np.ndarray,
+                               offsets: np.ndarray,
+                               phred_offset: int = 33) -> np.ndarray:
+    """float64 [N] mean error rate per ragged record (C hot loop).
+
+    Bit-identical to the reference's sequential accumulation
+    (_fastqmodule.c:58-75).  Raises ValueError on out-of-range phred bytes.
+    """
+    n = len(offsets) - 1
+    out = np.empty(n, dtype=np.float64)
+    qual_data = np.ascontiguousarray(qual_data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    bad = _lib.fq_avg_error_rates(qual_data, offsets, n,
+                                  int(phred_offset), out)
+    if bad >= 0:
+        char = int(qual_data[bad])
+        raise ValueError(
+            f"Character {chr(char)} outside of valid phred range "
+            f"('{chr(phred_offset)}' to '{chr(126)}')")
+    return out
 
 
 class NativeGzWriter:

@@ -36,12 +36,11 @@ from .engine import build_clusters
 from .io.fastq import FastqChunk, FastqFormatError, read_fastq_chunks
 from .io.opener import xopen
 from .keys import make_keyfunc
-from .quality import batch_average_error_rate
+from .quality import ragged_average_error_rate
 from .utils.ragged import (
     apply_slice,
     concat_ragged,
     group_rows_by_length,
-    pad_to_matrix,
     rows_as_void,
 )
 from .utils.timing import Timer
@@ -197,9 +196,7 @@ def deduplicate_cluster(
         b = chunks[0].count
         total_records += b
         if filter_on_quality:
-            qmatrix, qlengths = pad_to_matrix(qual_data, qual_offsets,
-                                              fill=33)
-            rates = batch_average_error_rate(qmatrix, qlengths)
+            rates = ragged_average_error_rate(qual_data, qual_offsets)
             keep = ~(rates > max_average_error_rate)
             discarded_records += int(b - keep.sum())
             rows = np.flatnonzero(keep)

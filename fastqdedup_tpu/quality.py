@@ -70,6 +70,28 @@ def validate_phred_array(scores: np.ndarray,
             f"('{chr(phred_offset)}' to '{chr(MAXIMUM_PHRED_SCORE)}')")
 
 
+def ragged_average_error_rate(qual_data: np.ndarray,
+                              offsets: np.ndarray,
+                              phred_offset: int = DEFAULT_PHRED_OFFSET
+                              ) -> np.ndarray:
+    """float64 [N] mean error rate per record of a ragged quality batch.
+
+    Uses the native C reduction when available (sequential float64
+    accumulation, bit-identical to _fastqmodule.c:58-75); otherwise pads and
+    runs the vectorized fallback.
+    """
+    if 0 <= phred_offset <= MAXIMUM_PHRED_SCORE:
+        try:
+            from .native.loader import average_error_rates_native
+            return average_error_rates_native(qual_data, offsets,
+                                              phred_offset)
+        except ImportError:
+            pass
+    from .utils.ragged import pad_to_matrix
+    matrix, lengths = pad_to_matrix(qual_data, offsets, fill=phred_offset)
+    return batch_average_error_rate(matrix, lengths, phred_offset)
+
+
 def batch_average_error_rate(scores: np.ndarray,
                              lengths: np.ndarray,
                              phred_offset: int = DEFAULT_PHRED_OFFSET,

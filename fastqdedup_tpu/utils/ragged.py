@@ -79,8 +79,11 @@ def pad_to_matrix(data: np.ndarray, offsets: np.ndarray,
     lmax = int(lengths.max()) if b else 0
     if not lmax:
         return np.full((b, 0), fill, dtype=np.uint8), lengths
-    if offsets[-1] == b * lmax:
-        # Uniform record length: the CSR payload IS the matrix.
+    if offsets[0] == 0 and offsets[-1] == b * lmax and \
+            len(data) == b * lmax:
+        # Uniform record length (every length <= lmax and the total is
+        # b * lmax, so all records are exactly lmax): the payload IS the
+        # matrix.
         return data.reshape(b, lmax), lengths
     # Clipped gather + masked fill — no boolean fancy-indexing temporaries.
     flat_src = offsets[:-1][:, None] + np.arange(lmax, dtype=np.int64)[None, :]
@@ -127,7 +130,14 @@ def rows_as_void(data: np.ndarray, offsets: np.ndarray,
     """View equal-length records as a 1-D void array (hashable rows)."""
     if length == 0:
         return np.zeros(len(rows), dtype=np.dtype((np.void, 1)))
-    sel = np.arange(length, dtype=np.int64)
-    gathered = data[offsets[rows][:, None] + sel[None, :]]
+    b = len(offsets) - 1
+    if offsets[0] == 0 and offsets[-1] == b * length and \
+            len(data) == b * length and \
+            bool((np.diff(offsets) == length).all()):
+        # Uniform layout: row-select on the reshaped payload, no index math.
+        gathered = data.reshape(b, length)[rows]
+    else:
+        sel = np.arange(length, dtype=np.int64)
+        gathered = data[offsets[rows][:, None] + sel[None, :]]
     return np.ascontiguousarray(gathered).view(
         np.dtype((np.void, length))).ravel()

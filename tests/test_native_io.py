@@ -157,3 +157,51 @@ def test_native_writer_byte_identical(tmp_path, level):
     w.close()
     assert path.read_bytes() == ref.getvalue()
     assert gzip.decompress(path.read_bytes()) == payload
+
+
+def test_native_average_error_rates_matches_python():
+    from fastqdedup_tpu.native.loader import average_error_rates_native
+    from fastqdedup_tpu.quality import average_error_rate
+    rng = np.random.default_rng(3)
+    quals = [bytes((33 + rng.integers(0, 60, size=rng.integers(1, 50)))
+                   .astype(np.uint8)) for _ in range(300)]
+    data = np.frombuffer(b"".join(quals), dtype=np.uint8)
+    offsets = np.zeros(len(quals) + 1, dtype=np.int64)
+    np.cumsum([len(q) for q in quals], out=offsets[1:])
+    got = average_error_rates_native(data, offsets)
+    want = np.array([average_error_rate(q.decode("ascii")) for q in quals])
+    np.testing.assert_array_equal(got, want)  # bit-identical, not approx
+
+
+def test_native_average_error_rates_range_error():
+    from fastqdedup_tpu.native.loader import average_error_rates_native
+    data = np.frombuffer(b"II\x1fI", dtype=np.uint8)  # 0x1f < 33
+    offsets = np.array([0, 4], dtype=np.int64)
+    with pytest.raises(ValueError, match="phred range"):
+        average_error_rates_native(data, offsets)
+    data127 = np.frombuffer(b"I\x7f", dtype=np.uint8)  # 127 > 126
+    offsets2 = np.array([0, 2], dtype=np.int64)
+    with pytest.raises(ValueError, match="phred range"):
+        average_error_rates_native(data127, offsets2)
+
+
+def test_native_average_error_rates_empty_record_nan():
+    from fastqdedup_tpu.native.loader import average_error_rates_native
+    data = np.frombuffer(b"II", dtype=np.uint8)
+    offsets = np.array([0, 0, 2], dtype=np.int64)
+    got = average_error_rates_native(data, offsets)
+    assert np.isnan(got[0]) and not np.isnan(got[1])
+
+
+def test_ragged_average_error_rate_dispatch():
+    from fastqdedup_tpu.quality import (
+        batch_average_error_rate, ragged_average_error_rate)
+    rng = np.random.default_rng(4)
+    quals = [bytes((33 + rng.integers(0, 60, size=20)).astype(np.uint8))
+             for _ in range(50)]
+    data = np.frombuffer(b"".join(quals), dtype=np.uint8)
+    offsets = np.arange(51, dtype=np.int64) * 20
+    got = ragged_average_error_rate(data, offsets)
+    want = batch_average_error_rate(data.reshape(50, 20).copy(),
+                                    np.full(50, 20))
+    np.testing.assert_array_equal(got, want)
