@@ -59,8 +59,8 @@ def _method_name_for(func: ClusterDissectionFunc) -> Optional[str]:
     return None
 
 
-def _zip_chunks(input_files: List[str], chunk_records: int
-                ) -> Iterator[Tuple[FastqChunk, ...]]:
+def _zip_chunks_serial(input_files: List[str], chunk_records: int
+                       ) -> Iterator[Tuple[FastqChunk, ...]]:
     """Read all files in lockstep chunks; like zip(), stop at the shortest
     file (matching the reference's zip at __init__.py:180)."""
     iterators = [read_fastq_chunks(f, chunk_records) for f in input_files]
@@ -79,6 +79,62 @@ def _zip_chunks(input_files: List[str], chunk_records: int
                 yield tuple(chunks)
             return
         yield tuple(chunks)
+
+
+def _zip_chunks(input_files: List[str], chunk_records: int,
+                prefetch: int = 2) -> Iterator[Tuple[FastqChunk, ...]]:
+    """Prefetching wrapper around :func:`_zip_chunks_serial`.
+
+    Parsing runs on a reader thread (the native chunk parser releases the
+    GIL inside zlib/parse), overlapping ingest with device compute and
+    host-side batch work.  Greenfield vs the reference, which parses
+    records inline on the single thread (__init__.py:242-252).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+    _DONE = object()
+
+    def produce():
+        try:
+            for chunks in _zip_chunks_serial(input_files, chunk_records):
+                while not stop.is_set():
+                    try:
+                        q.put(chunks, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_DONE)
+        except BaseException as exc:  # surface parse errors on the consumer
+            while not stop.is_set():
+                try:
+                    q.put(exc, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while thread.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=0.05)
 
 
 def _truncate_chunk(chunk: FastqChunk, count: int) -> FastqChunk:
@@ -138,20 +194,47 @@ def _chunk_keys(chunks: Tuple[FastqChunk, ...],
     return key_data, key_offsets, qual_data, qual_offsets
 
 
-def _accumulate_counts(counts: Dict[int, Dict[bytes, int]],
+def _accumulate_counts(pending: Dict[int, List[Tuple[np.ndarray,
+                                                     np.ndarray]]],
                        key_data: np.ndarray, key_offsets: np.ndarray,
                        rows: np.ndarray) -> None:
     """Collapse exact duplicates within the chunk (sort/unique per length
-    group), then merge into the global per-length count maps."""
+    group) and stash per-chunk (unique_keys, counts) arrays; the global
+    merge happens once in :func:`_finalize_counts` — no Python dicts in the
+    per-record path (replaces the trie's per-record count aggregation,
+    _triemodule.c:233-239)."""
     lengths = np.diff(key_offsets)[rows]
     for length in np.unique(lengths):
         sel = rows[lengths == length]
         void = rows_as_void(key_data, key_offsets, sel, int(length))
         uniq, cnt = np.unique(void, return_counts=True)
-        bucket = counts.setdefault(int(length), {})
-        for v, c in zip(uniq, cnt):
-            key = v.tobytes()
-            bucket[key] = bucket.get(key, 0) + int(c)
+        pending.setdefault(int(length), []).append((uniq, cnt))
+
+
+def _finalize_counts(pending: Dict[int, List[Tuple[np.ndarray, np.ndarray]]]
+                     ) -> Tuple[List[bytes], List[int]]:
+    """Merge per-chunk unique arrays into global (keys, counts) lists,
+    ordered by length then lexicographic key."""
+    keys: List[bytes] = []
+    key_counts: List[int] = []
+    for length in sorted(pending):
+        parts = pending[length]
+        if len(parts) == 1:
+            uniq, counts = parts[0]
+        else:
+            allv = np.concatenate([p[0] for p in parts])
+            allc = np.concatenate([p[1] for p in parts])
+            uniq, inverse = np.unique(allv, return_inverse=True)
+            counts = np.bincount(inverse, weights=allc.astype(np.float64),
+                                 minlength=len(uniq)).astype(np.int64)
+        raw = uniq.tobytes()
+        if length:
+            keys.extend(raw[i * length:(i + 1) * length]
+                        for i in range(len(uniq)))
+        else:
+            keys.extend(b"" for _ in range(len(uniq)))
+        key_counts.extend(int(c) for c in counts)
+    return keys, key_counts
 
 
 def deduplicate_cluster(
@@ -187,7 +270,7 @@ def deduplicate_cluster(
     total_kept = 0
 
     # ---------------- Pass 1: ingest, filter, count unique keys ----------
-    counts: Dict[int, Dict[bytes, int]] = {}
+    counts: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
     for chunks in _zip_chunks(input_files, chunk_records):
         if len(chunks) > 1:
             _validate_mates(chunks)
@@ -214,12 +297,7 @@ def deduplicate_cluster(
                 f"({timer.get_difference()})")
 
     # ---------------- Pass 2: cluster and dissect ------------------------
-    keys: List[bytes] = []
-    key_counts: List[int] = []
-    for length in sorted(counts):
-        for key, count in counts[length].items():
-            keys.append(key)
-            key_counts.append(count)
+    keys, key_counts = _finalize_counts(counts)
     counts.clear()
 
     clusters = build_clusters(keys, key_counts, max_distance,
@@ -294,15 +372,19 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                 void = rows_as_void(key_data, key_offsets, rows, length)
                 mask = np.isin(void, table)
                 hits.extend(rows[mask].tolist())
+            out_parts: List[List[bytes]] = [[] for _ in writers]
             for i in sorted(hits):
                 key = key_data[key_offsets[i]:key_offsets[i + 1]].tobytes()
                 if key not in kept_keys:
                     continue  # an earlier record already claimed this key
                 kept_keys.remove(key)
-                for chunk, writer in zip(chunks, writers):
-                    writer.write(
+                for chunk, parts in zip(chunks, out_parts):
+                    parts.append(
                         b"@" + chunk.header(i) + b"\n" + chunk.sequence(i)
                         + b"\n+\n" + chunk.quality(i) + b"\n")
+            for writer, parts in zip(writers, out_parts):
+                if parts:  # one compressor call per chunk, not per record
+                    writer.write(b"".join(parts))
     finally:
         for writer in writers:
             writer.close()
