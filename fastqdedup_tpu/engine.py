@@ -105,7 +105,7 @@ def _host_edit_edges(keys: Sequence[bytes], max_distance: int
 def _edit_edges(keys: Sequence[bytes], groups: Dict[int, np.ndarray],
                 table: EncodeTable, max_distance: int
                 ) -> Tuple[np.ndarray, np.ndarray]:
-    from .ops.edit import batched_within_edit_distance
+    from .ops.edit import within_edit_distance_auto
 
     if len(keys) <= HOST_LIMIT:
         return _host_edit_edges(keys, max_distance)
@@ -132,10 +132,71 @@ def _edit_edges(keys: Sequence[bytes], groups: Dict[int, np.ndarray],
     batch = 1 << 16
     for start in range(0, len(cand_i), batch):
         sl = slice(start, start + batch)
-        keep[sl] = np.asarray(batched_within_edit_distance(
+        keep[sl] = np.asarray(within_edit_distance_auto(
             padded[cand_i[sl]], lengths[cand_i[sl]],
             padded[cand_j[sl]], lengths[cand_j[sl]], max_distance))
     return cand_i[keep], cand_j[keep]
+
+
+@dataclass
+class Partition:
+    """Raw connected-component partition over unique keys.
+
+    ``order`` lists key indices grouped by component; component c spans
+    ``order[starts[c]:ends[c]]``.  ``edges`` is the global within-distance
+    pair list (i < j not guaranteed).  Array-first so callers can process
+    singleton components without per-component Python objects.
+    """
+    order: np.ndarray    # int64 [N] key indices grouped by component
+    starts: np.ndarray   # int64 [C]
+    ends: np.ndarray     # int64 [C]
+    edges_i: np.ndarray  # int64 [E]
+    edges_j: np.ndarray  # int64 [E]
+    cluster_of: np.ndarray  # int64 [N]: component id per key index
+    local_index: np.ndarray  # int64 [N]: position within its component
+
+    @property
+    def num_clusters(self) -> int:
+        return len(self.starts)
+
+    def sizes(self) -> np.ndarray:
+        return self.ends - self.starts
+
+
+def build_partition(keys: Sequence[bytes], max_distance: int,
+                    use_edit_distance: bool = False,
+                    table: Optional[EncodeTable] = None) -> Partition:
+    """Connected components of the within-distance graph, as raw arrays."""
+    n = len(keys)
+    if table is None:
+        table = EncodeTable("ACGTN")
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return Partition(empty, empty, empty, empty, empty, empty, empty)
+    if max_distance <= 0:
+        idx = np.arange(n, dtype=np.int64)
+        return Partition(idx, idx, idx + 1, empty, empty, idx,
+                         np.zeros(n, dtype=np.int64))
+    groups = _group_by_length(keys)
+    if use_edit_distance:
+        ei, ej = _edit_edges(keys, groups, table, max_distance)
+    else:
+        ei, ej = _hamming_edges(keys, groups, table, max_distance)
+
+    labels = connected_components_host(n, ei, ej)
+    order = np.argsort(labels, kind="stable")
+    sorted_labels = labels[order]
+    boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [n]])
+    sizes = ends - starts
+    cluster_of = np.empty(n, dtype=np.int64)
+    cluster_of[order] = np.repeat(np.arange(len(starts), dtype=np.int64),
+                                  sizes)
+    local_index = np.empty(n, dtype=np.int64)
+    local_index[order] = np.arange(n, dtype=np.int64) - \
+        np.repeat(starts, sizes)
+    return Partition(order, starts, ends, ei, ej, cluster_of, local_index)
 
 
 def build_clusters(keys: Sequence[bytes], counts: Sequence[int],
@@ -152,37 +213,15 @@ def build_clusters(keys: Sequence[bytes], counts: Sequence[int],
     counts_arr = np.asarray(counts, dtype=np.int64)
     if n == 0:
         return []
-    if table is None:
-        table = EncodeTable("ACGTN")
-    if max_distance <= 0:
-        return [Cluster([k], counts_arr[i:i + 1], set())
-                for i, k in enumerate(keys)]
-    groups = _group_by_length(keys)
-    if use_edit_distance:
-        ei, ej = _edit_edges(keys, groups, table, max_distance)
-    else:
-        ei, ej = _hamming_edges(keys, groups, table, max_distance)
-
-    labels = connected_components_host(n, ei, ej)
-    order = np.argsort(labels, kind="stable")
-    sorted_labels = labels[order]
-    boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
-    starts = np.concatenate([[0], boundaries])
-    ends = np.concatenate([boundaries, [n]])
-
-    # Distribute edges to their cluster (both endpoints share a label).
-    local_index = np.empty(n, dtype=np.int64)
-    cluster_of = np.empty(n, dtype=np.int64)
+    part = build_partition(keys, max_distance, use_edit_distance, table)
     clusters: List[Cluster] = []
-    for c, (s, e) in enumerate(zip(starts, ends)):
-        members = order[s:e]
-        local_index[members] = np.arange(e - s)
-        cluster_of[members] = c
+    for s, e in zip(part.starts, part.ends):
+        members = part.order[s:e]
         clusters.append(Cluster([keys[i] for i in members],
                                 counts_arr[members], set()))
-    for a, b in zip(ei.tolist(), ej.tolist()):
-        c = cluster_of[a]
-        la, lb = int(local_index[a]), int(local_index[b])
+    for a, b in zip(part.edges_i.tolist(), part.edges_j.tolist()):
+        c = part.cluster_of[a]
+        la, lb = int(part.local_index[a]), int(part.local_index[b])
         if la > lb:
             la, lb = lb, la
         clusters[c].edges.add((la, lb))

@@ -6,23 +6,20 @@ must agree exactly on at least one of any d+1 disjoint segments, so bucketing
 keys by (segment index, segment content) and comparing only within buckets
 finds every within-distance pair while skipping almost all of the N^2 space.
 
-Within-bucket comparison is batched across buckets into size classes: all
-buckets of (padded) size S are stacked into a [K, S, L] tensor and a single
-batched one-hot int8 matmul (MXU) produces per-bucket all-pairs match counts.
-This keeps device dispatches O(log max_bucket) instead of O(#buckets).
+Within-bucket comparison: rows are sorted by bucket, rows in singleton
+buckets are dropped, and the remainder is swept with diagonal + adjacent
+off-diagonal tiles of the fixed-shape Pallas all-pairs kernel
+(ops/pallas_hamming.py) — one compiled executable for every input size,
+with per-tile results filtered to same-bucket pairs on the host.
 
 For the ``--edit`` (Levenshtein) mode, a shifted-segment variant generates
 candidates across length differences up to d, verified by the banded DP in
 :mod:`fastqdedup_tpu.ops.edit`.
 """
 
-import functools
-from typing import Iterator, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 _PAD_INDEX = 0xFF  # one-hot of an out-of-range index is all-zero
 
@@ -49,25 +46,6 @@ def segment_bounds(length: int, num_segments: int) -> List[Tuple[int, int]]:
     return bounds
 
 
-@functools.partial(jax.jit, static_argnames=("alphabet_size", "max_distance"))
-def _bucketed_within(batch: jax.Array, alphabet_size: int,
-                     max_distance: int) -> jax.Array:
-    """bool [K, S, S]: per-bucket all-pairs Hamming <= max_distance.
-
-    ``batch``: uint8 [K, S, L] alphabet indices; padded slots hold
-    ``_PAD_INDEX`` whose one-hot is all-zero, so padded rows match nothing
-    (distance L) and are filtered by the caller anyway.
-    """
-    k, s, length = batch.shape
-    onehot = jax.nn.one_hot(batch, alphabet_size, dtype=jnp.int8)
-    flat = onehot.reshape(k, s, length * alphabet_size)
-    matches = jax.lax.dot_general(
-        flat, flat,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)
-    return (length - matches) <= max_distance
-
-
 def _iter_bucket_slices(group_ids: np.ndarray
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sort rows by group; return (order, starts, ends) of each group."""
@@ -79,45 +57,40 @@ def _iter_bucket_slices(group_ids: np.ndarray
     return order, starts, ends
 
 
-def _batched_bucket_pairs(matrix: np.ndarray, member_lists: List[np.ndarray],
-                          size_class: int, alphabet_size: int,
-                          max_distance: int,
-                          max_buckets_per_call: int = 2048
-                          ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """All-pairs within each bucket, batched over buckets of one size class."""
+def _hamming_tile_kernel(a_rows: np.ndarray, b_rows: np.ndarray,
+                         matrix: np.ndarray, alphabet_size: int,
+                         max_distance: int, tile: int):
+    """Launch one [tile, tile] all-pairs Pallas comparison (async).
+
+    Rows are padded to ``tile`` with _PAD_INDEX rows, which match nothing.
+    """
+    from .pallas_hamming import within_tile_kernel
+
     length = matrix.shape[1]
-    for start in range(0, len(member_lists), max_buckets_per_call):
-        chunk = member_lists[start:start + max_buckets_per_call]
-        # Pad the bucket-batch dimension to a power of two so the jitted
-        # kernel sees a bounded family of shapes (padded buckets hold only
-        # _PAD_INDEX rows, which match nothing and carry members == -1).
-        k = 8
-        while k < len(chunk):
-            k *= 2
-        k = min(k, max_buckets_per_call)
-        members = np.full((k, size_class), -1, dtype=np.int64)
-        batch = np.full((k, size_class, length), _PAD_INDEX, dtype=np.uint8)
-        for b, idx in enumerate(chunk):
-            members[b, :len(idx)] = idx
-            batch[b, :len(idx)] = matrix[idx]
-        within = np.asarray(
-            _bucketed_within(batch, alphabet_size, max_distance))
-        bb, ii, jj = np.nonzero(np.triu(within, k=1))
-        gi = members[bb, ii]
-        gj = members[bb, jj]
-        valid = (gi >= 0) & (gj >= 0)
-        yield gi[valid], gj[valid]
+    a = np.full((tile, length), _PAD_INDEX, dtype=np.uint8)
+    b = np.full((tile, length), _PAD_INDEX, dtype=np.uint8)
+    a[:len(a_rows)] = matrix[a_rows]
+    b[:len(b_rows)] = matrix[b_rows]
+    return within_tile_kernel(a, b, alphabet_size, max_distance)
 
 
 def hamming_neighbor_pairs_bucketed(
         matrix: np.ndarray, alphabet_size: int, max_distance: int,
-        large_bucket_threshold: int = 4096
+        large_bucket_threshold: int = 2048, tile: int = 2048
         ) -> Tuple[np.ndarray, np.ndarray]:
     """All pairs (i < j) of equal-length rows within Hamming max_distance,
     via pigeonhole bucketing.  Exact (complete) by the pigeonhole principle.
-    """
-    from .hamming import neighbor_pairs
 
+    Rows are sorted by (segment-index, segment-content) bucket; rows whose
+    bucket is a singleton are dropped (no candidate mates), and the rest is
+    swept with diagonal + adjacent off-diagonal [tile, tile] blocks of the
+    SAME fixed-shape Pallas kernel (a bucket of size <= tile straddles at
+    most one tile boundary, so those two block families cover every
+    within-bucket pair).  One kernel executable serves every input size —
+    cold Mosaic compiles through a remote TPU cost minutes, so shape
+    diversity is the enemy.  Buckets larger than
+    min(large_bucket_threshold, tile) get a dedicated all-pairs sweep.
+    """
     n, length = matrix.shape
     if n < 2:
         return (np.empty(0, dtype=np.int64),) * 2
@@ -126,33 +99,51 @@ def hamming_neighbor_pairs_bucketed(
         ii, jj = np.triu_indices(n, k=1)
         return ii.astype(np.int64), jj.astype(np.int64)
 
+    max_small = min(large_bucket_threshold, tile)
     pair_codes: List[np.ndarray] = []
+    launched = []  # (a_rows, b_rows, ids_a, ids_b, future)
+    oversized: List[np.ndarray] = []
+    # Phase 1: enqueue every tile block (async device dispatch).
     for seg_start, seg_end in segment_bounds(length, max_distance + 1):
         group_ids = _row_group_ids(matrix[:, seg_start:seg_end])
-        order, starts, ends = _iter_bucket_slices(group_ids)
-        sizes = ends - starts
-        # Collect buckets by power-of-two size class for batched compare.
-        size_class = 2
-        while size_class <= large_bucket_threshold:
-            if size_class == 2:
-                in_class = sizes == 2
-            else:
-                in_class = (sizes > size_class // 2) & (sizes <= size_class)
-            selected = np.flatnonzero(in_class)
-            if len(selected):
-                member_lists = [order[starts[b]:ends[b]] for b in selected]
-                for gi, gj in _batched_bucket_pairs(
-                        matrix, member_lists, size_class, alphabet_size,
-                        max_distance):
-                    pair_codes.append(
-                        np.minimum(gi, gj) * n + np.maximum(gi, gj))
-            size_class *= 2
-        # Oversized buckets: tile the full pairwise kernel per bucket.
-        for b in np.flatnonzero(sizes > large_bucket_threshold):
-            idx = order[starts[b]:ends[b]]
-            li, lj = neighbor_pairs(matrix[idx], alphabet_size, max_distance)
-            gi, gj = idx[li], idx[lj]
-            pair_codes.append(np.minimum(gi, gj) * n + np.maximum(gi, gj))
+        order = np.argsort(group_ids, kind="stable")
+        sorted_ids = group_ids[order]
+        counts = np.bincount(sorted_ids)
+        sizes_per_row = counts[sorted_ids]
+        small = (sizes_per_row >= 2) & (sizes_per_row <= max_small)
+        rows = order[small]
+        ids = sorted_ids[small]
+        m = len(rows)
+        for i0 in range(0, m, tile):
+            spans = [(i0, i0)]
+            if i0 + tile < m:
+                spans.append((i0, i0 + tile))
+            for (a0, b0) in spans:
+                a_rows = rows[a0:a0 + tile]
+                b_rows = rows[b0:b0 + tile]
+                future = _hamming_tile_kernel(
+                    a_rows, b_rows, matrix, alphabet_size, max_distance,
+                    tile)
+                launched.append((a_rows, b_rows, ids[a0:a0 + tile],
+                                 ids[b0:b0 + tile], future))
+        # Oversized buckets: dedicated all-pairs sweep per bucket.
+        for b in np.flatnonzero(counts > max_small):
+            span = np.flatnonzero(sorted_ids == b)
+            oversized.append(order[span])
+    # Phase 2: drain — device compute and D2H transfers overlap the host
+    # pair extraction of earlier blocks.
+    for a_rows, b_rows, ids_a, ids_b, future in launched:
+        within = np.asarray(future)[:len(a_rows), :len(b_rows)]
+        ii, jj = np.nonzero(within)
+        ga, gb = a_rows[ii], b_rows[jj]
+        keep = (ga != gb) & (ids_a[ii] == ids_b[jj])
+        ga, gb = ga[keep], gb[keep]
+        pair_codes.append(np.minimum(ga, gb) * n + np.maximum(ga, gb))
+    from .hamming import neighbor_pairs
+    for idx in oversized:
+        li, lj = neighbor_pairs(matrix[idx], alphabet_size, max_distance)
+        gi, gj = idx[li], idx[lj]
+        pair_codes.append(np.minimum(gi, gj) * n + np.maximum(gi, gj))
 
     if not pair_codes:
         return (np.empty(0, dtype=np.int64),) * 2

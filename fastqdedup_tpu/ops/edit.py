@@ -69,3 +69,36 @@ def batched_within_edit_distance(a: jax.Array, len_a: jax.Array,
                                  max_distance: int) -> jax.Array:
     """bool [P]: lev(a_i, b_i) <= max_distance."""
     return batched_edit_distance(a, len_a, b, len_b) <= max_distance
+
+
+def within_edit_distance_auto(a, len_a, b, len_b,
+                              max_distance: int):
+    """bool [P]: banded Pallas kernel on TPU, full-row scan DP elsewhere.
+
+    Requires a and b padded to the same width (the engine pads both sides
+    to the global max length).
+    """
+    import numpy as np
+
+    if jax.default_backend() == "tpu" and a.shape == b.shape \
+            and a.shape[1] > 0:
+        from .pallas_edit import PAIR_BLOCK, banded_within_edit_distance
+        p, length = a.shape
+        padded = -(-max(p, 1) // PAIR_BLOCK) * PAIR_BLOCK
+        # Pad L to a multiple of 16 so kernel compiles are shared across
+        # nearby read lengths (padding chars are never read: the banded
+        # scan stops caring past len_a/len_b).
+        l_pad = max(-(-length // 16) * 16, 16)
+        if padded != p or l_pad != length:
+            pad = ((0, padded - p), (0, l_pad - length))
+            a = np.pad(np.asarray(a), pad)
+            b = np.pad(np.asarray(b), pad)
+            len_a = np.pad(np.asarray(len_a, dtype=np.int32),
+                           (0, padded - p))
+            len_b = np.pad(np.asarray(len_b, dtype=np.int32),
+                           (0, padded - p))
+        out = banded_within_edit_distance(a, jnp.asarray(len_a),
+                                          b, jnp.asarray(len_b),
+                                          max_distance)
+        return out[:p, 0]
+    return batched_within_edit_distance(a, len_a, b, len_b, max_distance)

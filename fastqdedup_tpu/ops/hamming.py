@@ -69,18 +69,20 @@ def rowwise_within(a: jax.Array, b: jax.Array, alphabet_size: int,
 def _pad_rows(matrix: np.ndarray, target: int) -> np.ndarray:
     if matrix.shape[0] == target:
         return matrix
-    pad = np.zeros((target - matrix.shape[0], matrix.shape[1]),
-                   dtype=matrix.dtype)
+    # 0xFF one-hots to all-zero, so padding rows match nothing — keeps the
+    # host-side nonzero() from wading through pad-vs-pad hits.
+    pad = np.full((target - matrix.shape[0], matrix.shape[1]), 0xFF,
+                  dtype=matrix.dtype)
     return np.concatenate([matrix, pad], axis=0)
 
 
 def _tile_size_for(n: int, tile: int) -> int:
-    """Smallest power-of-two tile >= n, capped at ``tile`` (limits the number
-    of distinct compiled shapes)."""
-    size = 128
-    while size < min(n, tile):
-        size *= 2
-    return size
+    """Fixed tile size (a single compiled kernel shape).  Padding small
+    inputs up to the tile wastes negligible device time; a ladder of
+    power-of-two shapes would each pay a minutes-long cold Mosaic compile
+    through a remote TPU."""
+    del n
+    return tile
 
 
 def neighbor_pairs(matrix: np.ndarray, alphabet_size: int, max_distance: int,

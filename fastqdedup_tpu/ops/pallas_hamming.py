@@ -19,6 +19,7 @@ Both kernels run compiled on TPU and fall back to interpreter mode on CPU
 """
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,26 +39,46 @@ def _interpret() -> bool:
 # All-pairs tile kernel (one-hot -> MXU -> threshold, fused)
 
 
-def _within_tile_body(sym_ref, a_ref, b_ref, out_ref, *, alphabet_size: int,
-                      length: int, max_distance: int):
+_PAD_SYMBOL = 0xFF  # outside every padded alphabet: one-hot row all-zero
+
+
+def _pad_dims(length: int, alphabet_size: int) -> Tuple[int, int]:
+    """Canonical padded (length, alphabet) so ONE compiled kernel covers
+    every real (L, A, d) configuration (cold Mosaic compiles through a
+    remote TPU take minutes; real length/distance arrive as scalars)."""
+    a_pad = 8
+    while a_pad < alphabet_size:
+        a_pad *= 2
+    l_pad = max(-(-length // 16) * 16, 16)
+    return l_pad, a_pad
+
+
+def _within_tile_body(scal_ref, sym_ref, a_ref, b_ref, out_ref, *,
+                      alphabet_pad: int):
     """out[i, j] = (length - matches(a_i, b_j)) <= max_distance.
 
-    ``a_ref``: uint8 [TILE_M, L] alphabet indices; ``b_ref``: uint8
-    [TILE_N, L].  Padding rows use an index >= alphabet_size, whose one-hot
-    row is all-zero, so they match nothing.
+    ``a_ref``: uint8 [TILE_M, Lp] alphabet indices padded with _PAD_SYMBOL;
+    ``b_ref``: uint8 [TILE_N, Lp].  Any index >= the padded alphabet size
+    one-hots to an all-zero row and matches nothing (padding rows AND
+    padding columns), so match counts cover exactly the real positions.
 
-    ``sym_ref``: int32 [1, L*alphabet_size] precomputed symbol pattern.
-    One-hot is built on the fly (VPU): pltpu.repeat tiles the index row
-    alphabet_size times along the lane dimension (copy-concatenation), so at
-    flat column t = c*length + k the value is index[k]; the pattern
-    sym[t] = (c + k) % alphabet_size visits every symbol exactly once per
-    position k as the copy c varies, hence
-    sum_t [a==sym][b==sym] == sum_k [a_k == b_k] for any length/alphabet.
+    ``scal_ref``: int32 [1, 2] = (real length, max_distance) in SMEM —
+    runtime scalars, not compile-time constants, so one compiled kernel
+    serves every length/distance at this padded geometry.
+
+    ``sym_ref``: int32 [1, Lp*Ap] precomputed symbol pattern.  One-hot is
+    built on the fly (VPU): pltpu.repeat tiles the index row Ap times along
+    the lane dimension (copy-concatenation), so at flat column
+    t = c*Lp + k the value is index[k]; the pattern
+    sym[t] = (c + k) % Ap visits every symbol exactly once per position k
+    as the copy c varies, hence sum_t [a==sym][b==sym] == sum_k [a_k==b_k].
     """
+    length = scal_ref[0, 0]
+    max_distance = scal_ref[0, 1]
     sym = sym_ref[:]
-    a_rep = pltpu.repeat(a_ref[:].astype(jnp.int32), alphabet_size, axis=1)
+    a_rep = pltpu.repeat(a_ref[:].astype(jnp.int32), alphabet_pad, axis=1)
     a_oh = (a_rep == sym).astype(jnp.int8)
-    b_rep = pltpu.repeat(b_ref[:].astype(jnp.int32), alphabet_size, axis=1)
+    b_rep = pltpu.repeat(b_ref[:].astype(jnp.int32), alphabet_pad, axis=1)
     b_oh = (b_rep == sym).astype(jnp.int8)
     # Match counts on the MXU: [TILE_M, E] x [TILE_N, E]^T -> int32.
     matches = jax.lax.dot_general(
@@ -67,42 +88,60 @@ def _within_tile_body(sym_ref, a_ref, b_ref, out_ref, *, alphabet_size: int,
     out_ref[:] = (length - matches) <= max_distance
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("alphabet_size", "max_distance"))
-def within_tile_kernel(a: jax.Array, b: jax.Array, alphabet_size: int,
+def within_tile_kernel(a, b, alphabet_size: int,
                        max_distance: int) -> jax.Array:
     """bool [N, M]: all-pairs Hamming <= max_distance via a fused Pallas
     kernel.  N and M must be multiples of 128 (callers pad; see
-    fastqdedup_tpu.ops.hamming.neighbor_pairs)."""
-    n, length = a.shape
+    fastqdedup_tpu.ops.hamming.neighbor_pairs).
+
+    Real length and max_distance travel as runtime scalars; the compiled
+    executable is keyed only on the canonical padded geometry, so all
+    (L, A, d) configurations share one cold compile."""
+    import numpy as np
+
+    length = a.shape[1]
+    l_pad, a_pad = _pad_dims(length, alphabet_size)
+    a = np.pad(np.asarray(a), ((0, 0), (0, l_pad - length)),
+               constant_values=_PAD_SYMBOL)
+    b = np.pad(np.asarray(b), ((0, 0), (0, l_pad - length)),
+               constant_values=_PAD_SYMBOL)
+    scalars = np.array([[length, max_distance]], dtype=np.int32)
+    return _within_tile_padded(scalars, a, b, a_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("alphabet_pad",))
+def _within_tile_padded(scalars: jax.Array, a: jax.Array, b: jax.Array,
+                        alphabet_pad: int) -> jax.Array:
+    n, l_pad = a.shape
     m = b.shape[0]
-    expanded = length * alphabet_size
-    kernel = functools.partial(
-        _within_tile_body, alphabet_size=alphabet_size, length=length,
-        max_distance=max_distance)
+    a_pad = alphabet_pad
+    expanded = l_pad * a_pad
+    kernel = functools.partial(_within_tile_body, alphabet_pad=a_pad)
     pos = jnp.arange(expanded, dtype=jnp.int32)
-    sym = ((pos // length + pos % length) % alphabet_size).reshape(1, -1)
+    sym = ((pos // l_pad + pos % l_pad) % a_pad).reshape(1, -1)
     grid = (n // TILE_M, m // TILE_N)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, expanded), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, length), lambda i, j: (i, 0),
+            pl.BlockSpec((TILE_M, l_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, length), lambda i, j: (j, 0),
+            pl.BlockSpec((TILE_N, l_pad), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_M, TILE_N), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.bool_),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * m * length * alphabet_size,
-            bytes_accessed=(n + m) * length + n * m,
+            flops=2 * n * m * l_pad * a_pad,
+            bytes_accessed=(n + m) * l_pad + n * m,
             transcendentals=0),
         interpret=_interpret(),
-    )(sym, a, b)
+    )(scalars, sym, a, b)
 
 
 # --------------------------------------------------------------------- #

@@ -32,7 +32,7 @@ from .dissect import (
     cluster_dissection_directional,
     dissect_with_adjacency,
 )
-from .engine import build_clusters
+from .engine import build_partition
 from .io.fastq import FastqChunk, FastqFormatError, read_fastq_chunks
 from .io.opener import xopen
 from .keys import make_keyfunc
@@ -300,24 +300,58 @@ def deduplicate_cluster(
     keys, key_counts = _finalize_counts(counts)
     counts.clear()
 
-    clusters = build_clusters(keys, key_counts, max_distance,
-                              use_edit_distance)
+    part = build_partition(keys, max_distance, use_edit_distance)
+    counts_arr = np.asarray(key_counts, dtype=np.int64)
+    sizes = part.sizes()
     method_name = _method_name_for(cluster_dissection_func)
     kept_keys: Set[bytes] = set()
-    number_of_clusters = len(clusters)
-    for cluster in clusters:
-        if len(cluster.keys) == 1:
-            kept_keys.add(cluster.keys[0])
-            continue
-        if method_name is not None:
-            chosen = dissect_with_adjacency(
-                method_name, cluster.as_count_string_list(), cluster.edges)
-        else:  # user-supplied strategy: fall back to the scalar oracle API
-            chosen = list(cluster_dissection_func(
-                cluster.as_count_string_list(), max_distance,
-                use_edit_distance))
-        for string in chosen:
-            kept_keys.add(string.encode("latin-1"))
+    number_of_clusters = part.num_clusters
+
+    # Singleton components (the bulk): kept wholesale, no dissection.
+    for i in part.order[part.starts[sizes == 1]]:
+        kept_keys.add(keys[i])
+
+    if method_name is not None:
+        # Two-member components, closed form: connectivity implies the
+        # single within-distance edge exists, so adjacency/highest_count
+        # keep only the max (count, key); directional also keeps the minor
+        # read unless the count gate 2*c - 1 <= count(origin) absorbs it
+        # (reference __init__.py:84,99-101).  bytes compare == latin-1 str
+        # compare, so (count, key-bytes) tuple order matches the reference's
+        # tuple sort.
+        for s in part.starts[sizes == 2]:
+            a, b = part.order[s], part.order[s + 1]
+            pa, pb = (counts_arr[a], keys[a]), (counts_arr[b], keys[b])
+            hi, lo = (pa, pb) if pa > pb else (pb, pa)
+            kept_keys.add(hi[1])
+            if method_name == "directional" and 2 * lo[0] - 1 > hi[0]:
+                kept_keys.add(lo[1])
+        big = np.flatnonzero(sizes >= 3)
+    else:
+        big = np.flatnonzero(sizes >= 2)
+
+    if len(big):
+        # Group the edge list by cluster once (sort + searchsorted spans).
+        edge_cluster = part.cluster_of[part.edges_i]
+        edge_order = np.argsort(edge_cluster, kind="stable")
+        sorted_ec = edge_cluster[edge_order]
+        el_i = part.local_index[part.edges_i[edge_order]]
+        el_j = part.local_index[part.edges_j[edge_order]]
+        for c in big:
+            members = part.order[part.starts[c]:part.ends[c]]
+            cluster_list = [(int(counts_arr[i]),
+                             keys[i].decode("latin-1")) for i in members]
+            es, ee = np.searchsorted(sorted_ec, [c, c + 1])
+            edges = {(int(a), int(b)) if a < b else (int(b), int(a))
+                     for a, b in zip(el_i[es:ee], el_j[es:ee])}
+            if method_name is not None:
+                chosen = dissect_with_adjacency(method_name, cluster_list,
+                                                edges)
+            else:  # user-supplied strategy: scalar oracle API
+                chosen = list(cluster_dissection_func(
+                    cluster_list, max_distance, use_edit_distance))
+            for string in chosen:
+                kept_keys.add(string.encode("latin-1"))
 
     logger.info(f"Found {len(kept_keys)} distinct reads "
                 f"in {number_of_clusters} clusters."

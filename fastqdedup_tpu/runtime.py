@@ -30,5 +30,11 @@ def configure_jax() -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # Pallas kernels serialize their Mosaic IR (with MLIR locations)
+        # into the custom-call payload; full-traceback locations embed the
+        # CALLER's source lines, which vary per process/script and change
+        # the cache key — every process would recompile (minutes on a
+        # remote TPU).  Innermost-frame locations are stable.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # pragma: no cover - cache is a best-effort speedup
         pass

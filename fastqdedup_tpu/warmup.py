@@ -1,0 +1,52 @@
+"""Pre-compile the canonical device kernels (`python -m
+fastqdedup_tpu.warmup`).
+
+Every hot kernel is shape-canonicalized (fixed tiles, padded geometry,
+runtime length/distance scalars), so the full set below covers production
+runs of any read length <= the listed caps, any alphabet <= 8 symbols, and
+any distance.  Cold Mosaic compiles through a remote TPU can take minutes;
+running this once per machine moves that cost out of the first real run
+(results land in the persistent XLA cache, see fastqdedup_tpu.runtime).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def warmup(lengths=(32, 64, 128, 160), edit_distances=(1, 2),
+           verbose: bool = True) -> None:
+    from .ops.edit import within_edit_distance_auto
+    from .ops.encode import pack_nibbles
+    from .ops.pallas_hamming import ROW_BLOCK, rowwise_within_packed
+    from .ops.pallas_hamming import within_tile_kernel
+
+    def log(msg):
+        if verbose:
+            print(msg, file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(0)
+    for length in lengths:
+        t0 = time.perf_counter()
+        a = rng.integers(0, 5, size=(2048, length), dtype=np.uint8)
+        b = rng.integers(0, 5, size=(2048, length), dtype=np.uint8)
+        np.asarray(within_tile_kernel(a, b, 5, 1))
+        log(f"all-pairs tile kernel Lp<={length}: "
+            f"{time.perf_counter() - t0:.1f}s")
+        lanes = max(-(-length // 8), 1)
+        t0 = time.perf_counter()
+        pa = pack_nibbles(a[:ROW_BLOCK], lanes)
+        np.asarray(rowwise_within_packed(pa, pa, 1))
+        log(f"rowwise packed kernel lanes={lanes}: "
+            f"{time.perf_counter() - t0:.1f}s")
+        for d in edit_distances:
+            t0 = time.perf_counter()
+            la = np.full(64, length, dtype=np.int64)
+            np.asarray(within_edit_distance_auto(a[:64], la, b[:64], la, d))
+            log(f"banded edit kernel Lp<={length} d={d}: "
+                f"{time.perf_counter() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    warmup()

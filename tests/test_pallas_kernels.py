@@ -69,3 +69,69 @@ def test_verify_pairs_uses_packed_kernel():
     got = verify_pairs(matrix, pi, pj, 5, 1)
     want = (matrix[pi] != matrix[pj]).sum(1) <= 1
     np.testing.assert_array_equal(got, want)
+
+
+class TestBandedEdit:
+    """Banded Levenshtein Pallas kernel vs the full-row scan DP and the
+    scalar host oracle (truth table from the reference's
+    tests/test__distance.py:37-60)."""
+
+    CASES = [
+        ("", "", 0, True), ("A", "", 1, True), ("", "AB", 1, False),
+        ("ABC", "ABC", 0, True), ("ABC", "ABD", 1, True),
+        ("ABC", "ABD", 0, False), ("GC", "AAAGC", 2, False),
+        ("GC", "AAAGC", 3, True), ("ABCDE", "ABDEF", 2, True),
+        ("ABCDE", "ABDEF", 1, False), ("AAAA", "AAA", 1, True),
+        ("AAAA", "AA", 1, False), ("ACGT", "AGCT", 2, True),
+    ]
+
+    def _run(self, pairs, max_distance):
+        from fastqdedup_tpu.ops.pallas_edit import (
+            PAIR_BLOCK, banded_within_edit_distance)
+        lmax = max(max((len(a) for a, b in pairs), default=1),
+                   max((len(b) for a, b in pairs), default=1), 1)
+        p = PAIR_BLOCK
+        A = np.full((p, lmax), 0xFF, dtype=np.uint8)
+        B = np.full((p, lmax), 0xEE, dtype=np.uint8)
+        la = np.zeros(p, dtype=np.int32)
+        lb = np.zeros(p, dtype=np.int32)
+        for i, (a, b) in enumerate(pairs):
+            A[i, :len(a)] = np.frombuffer(a.encode(), dtype=np.uint8)
+            B[i, :len(b)] = np.frombuffer(b.encode(), dtype=np.uint8)
+            la[i], lb[i] = len(a), len(b)
+        out = np.asarray(banded_within_edit_distance(
+            A, la, B, lb, max_distance))[:len(pairs), 0]
+        return out
+
+    @pytest.mark.parametrize("d", [0, 1, 2, 3])
+    def test_truth_table(self, d):
+        cases = [(a, b) for a, b, cd, _ in self.CASES if cd == d]
+        wants = [w for a, b, cd, w in self.CASES if cd == d]
+        if not cases:
+            return
+        got = self._run(cases, d)
+        assert list(got) == wants
+
+    @pytest.mark.parametrize("d", [1, 2])
+    def test_fuzz_against_scalar_oracle(self, d):
+        from fastqdedup_tpu.distance import within_distance
+        rng = np.random.default_rng(11)
+        pairs = []
+        for _ in range(64):
+            la = rng.integers(0, 12)
+            a = "".join(rng.choice(list("ACGT")) for _ in range(la))
+            b = list(a)
+            for _ in range(rng.integers(0, 4)):
+                op = rng.integers(3)
+                if op == 0 and b:
+                    b[rng.integers(len(b))] = rng.choice(list("ACGT"))
+                elif op == 1 and b:
+                    del b[rng.integers(len(b))]
+                else:
+                    b.insert(rng.integers(len(b) + 1),
+                             rng.choice(list("ACGT")))
+            pairs.append((a, "".join(b)))
+        got = self._run(pairs, d)
+        want = [within_distance(a, b, d, use_edit_distance=True)
+                for a, b in pairs]
+        assert list(got) == want
