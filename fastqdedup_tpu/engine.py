@@ -29,10 +29,12 @@ from .ops.components import connected_components_host
 from .ops.encode import EncodeTable, keys_to_matrix
 from .ops.hamming import neighbor_pairs
 
-# Below this group size brute-force tiling beats bucketing overhead.
-BRUTE_FORCE_LIMIT = 3072
-# Below this size, plain numpy on host beats device dispatch + compile.
-HOST_LIMIT = 64
+# Below this group size brute-force tiling beats bucketing overhead
+# (one fixed 2048-row tile pair).
+BRUTE_FORCE_LIMIT = 2048
+# Below this size, plain numpy on host beats a device round-trip (the
+# tunnel to a remote TPU adds ~50-150 ms latency per dispatch).
+HOST_LIMIT = 256
 
 
 def _host_hamming_pairs(matrix: np.ndarray, max_distance: int

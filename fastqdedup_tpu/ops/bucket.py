@@ -6,20 +6,25 @@ must agree exactly on at least one of any d+1 disjoint segments, so bucketing
 keys by (segment index, segment content) and comparing only within buckets
 finds every within-distance pair while skipping almost all of the N^2 space.
 
-Within-bucket comparison: rows are sorted by bucket, rows in singleton
-buckets are dropped, and the remainder is swept with diagonal + adjacent
-off-diagonal tiles of the fixed-shape Pallas all-pairs kernel
-(ops/pallas_hamming.py) — one compiled executable for every input size,
-with per-tile results filtered to same-bucket pairs on the host.
+Within-bucket comparison is batched across buckets into size classes: all
+buckets of (padded) size S are stacked into a [K, S, Lp] tensor and a
+single batched one-hot int8 matmul (MXU) produces per-bucket all-pairs
+match counts, with real length/distance as runtime scalars so the compiled
+shape family stays small.  Dispatches are enqueued async and drained after
+everything is queued (D2H through a tunneled TPU is latency-bound).
 
 For the ``--edit`` (Levenshtein) mode, a shifted-segment variant generates
 candidates across length differences up to d, verified by the banded DP in
 :mod:`fastqdedup_tpu.ops.edit`.
 """
 
+import functools
 from typing import List, Tuple
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 _PAD_INDEX = 0xFF  # one-hot of an out-of-range index is all-zero
 
@@ -57,40 +62,99 @@ def _iter_bucket_slices(group_ids: np.ndarray
     return order, starts, ends
 
 
-def _hamming_tile_kernel(a_rows: np.ndarray, b_rows: np.ndarray,
-                         matrix: np.ndarray, alphabet_size: int,
-                         max_distance: int, tile: int):
-    """Launch one [tile, tile] all-pairs Pallas comparison (async).
+@functools.partial(jax.jit, static_argnames=("alphabet_pad",))
+def _bucketed_within_padded(batch: jax.Array, scalars: jax.Array,
+                            alphabet_pad: int) -> jax.Array:
+    k, s, l_pad = batch.shape
+    onehot = jax.nn.one_hot(batch, alphabet_pad, dtype=jnp.int8)
+    flat = onehot.reshape(k, s, l_pad * alphabet_pad)
+    matches = jax.lax.dot_general(
+        flat, flat,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+    return (scalars[0] - matches) <= scalars[1]
 
-    Rows are padded to ``tile`` with _PAD_INDEX rows, which match nothing.
+
+def _bucketed_within(batch: np.ndarray, alphabet_size: int,
+                     max_distance: int) -> jax.Array:
+    """bool [K, S, S]: per-bucket all-pairs Hamming <= max_distance.
+
+    ``batch``: uint8 [K, S, L] alphabet indices; padded slots hold
+    ``_PAD_INDEX`` whose one-hot is all-zero, so padded rows match nothing
+    (distance L) and are filtered by the caller anyway.
+
+    L is padded to a multiple of 16 with ``_PAD_INDEX`` (one-hot all-zero,
+    contributes no matches) and the real length / distance travel as
+    runtime scalars, so one compiled executable per (K, S, Lp, Ap) covers
+    every real length, alphabet size, and distance (the persistent cache
+    plus stable Mosaic cache keys make each a one-time cost per machine).
     """
-    from .pallas_hamming import within_tile_kernel
+    k, s, length = batch.shape
+    a_pad = 8
+    while a_pad < alphabet_size:
+        a_pad *= 2
+    l_pad = max(-(-length // 16) * 16, 16)
+    if l_pad != length:
+        batch = np.pad(batch, ((0, 0), (0, 0), (0, l_pad - length)),
+                       constant_values=_PAD_INDEX)
+    scalars = np.array([length, max_distance], dtype=np.int32)
+    return _bucketed_within_padded(batch, scalars, a_pad)
 
+
+def _launch_bucket_batches(matrix: np.ndarray,
+                           member_lists: List[np.ndarray],
+                           size_class: int, alphabet_size: int,
+                           max_distance: int,
+                           max_buckets_per_call: int = 2048):
+    """Enqueue within-bucket all-pairs kernels; returns (members, future)
+    pairs.  Dispatch is async — callers drain every future after all device
+    work is queued, overlapping compute/transfer with host processing."""
     length = matrix.shape[1]
-    a = np.full((tile, length), _PAD_INDEX, dtype=np.uint8)
-    b = np.full((tile, length), _PAD_INDEX, dtype=np.uint8)
-    a[:len(a_rows)] = matrix[a_rows]
-    b[:len(b_rows)] = matrix[b_rows]
-    return within_tile_kernel(a, b, alphabet_size, max_distance)
+    launched = []
+    for start in range(0, len(member_lists), max_buckets_per_call):
+        chunk = member_lists[start:start + max_buckets_per_call]
+        # Pad the bucket-batch dimension to a power of two so the jitted
+        # kernel sees a bounded family of shapes (padded buckets hold only
+        # _PAD_INDEX rows, which match nothing and carry members == -1).
+        k = 8
+        while k < len(chunk):
+            k *= 2
+        k = min(k, max_buckets_per_call)
+        members = np.full((k, size_class), -1, dtype=np.int64)
+        batch = np.full((k, size_class, length), _PAD_INDEX, dtype=np.uint8)
+        for b, idx in enumerate(chunk):
+            members[b, :len(idx)] = idx
+            batch[b, :len(idx)] = matrix[idx]
+        launched.append(
+            (members, _bucketed_within(batch, alphabet_size, max_distance)))
+    return launched
+
+
+def _drain_bucket_batches(launched):
+    """Resolve launched bucket batches into global index pairs."""
+    for members, future in launched:
+        within = np.asarray(future)
+        bb, ii, jj = np.nonzero(np.triu(within, k=1))
+        gi = members[bb, ii]
+        gj = members[bb, jj]
+        valid = (gi >= 0) & (gj >= 0)
+        yield gi[valid], gj[valid]
 
 
 def hamming_neighbor_pairs_bucketed(
         matrix: np.ndarray, alphabet_size: int, max_distance: int,
-        large_bucket_threshold: int = 2048, tile: int = 2048
+        large_bucket_threshold: int = 2048
         ) -> Tuple[np.ndarray, np.ndarray]:
     """All pairs (i < j) of equal-length rows within Hamming max_distance,
     via pigeonhole bucketing.  Exact (complete) by the pigeonhole principle.
 
-    Rows are sorted by (segment-index, segment-content) bucket; rows whose
-    bucket is a singleton are dropped (no candidate mates), and the rest is
-    swept with diagonal + adjacent off-diagonal [tile, tile] blocks of the
-    SAME fixed-shape Pallas kernel (a bucket of size <= tile straddles at
-    most one tile boundary, so those two block families cover every
-    within-bucket pair).  One kernel executable serves every input size —
-    cold Mosaic compiles through a remote TPU cost minutes, so shape
-    diversity is the enemy.  Buckets larger than
-    min(large_bucket_threshold, tile) get a dedicated all-pairs sweep.
+    Buckets are grouped by power-of-two size class; each class is compared
+    with one batched [K, S, Lp] one-hot MXU matmul, launched async and
+    drained after everything is enqueued.  Buckets larger than
+    ``large_bucket_threshold`` get a dedicated all-pairs tile sweep.
     """
+    from .hamming import neighbor_pairs
+
     n, length = matrix.shape
     if n < 2:
         return (np.empty(0, dtype=np.int64),) * 2
@@ -99,47 +163,34 @@ def hamming_neighbor_pairs_bucketed(
         ii, jj = np.triu_indices(n, k=1)
         return ii.astype(np.int64), jj.astype(np.int64)
 
-    max_small = min(large_bucket_threshold, tile)
     pair_codes: List[np.ndarray] = []
-    launched = []  # (a_rows, b_rows, ids_a, ids_b, future)
+    launched = []
     oversized: List[np.ndarray] = []
-    # Phase 1: enqueue every tile block (async device dispatch).
+    # Phase 1: enqueue every bucket batch (async device dispatch).
     for seg_start, seg_end in segment_bounds(length, max_distance + 1):
         group_ids = _row_group_ids(matrix[:, seg_start:seg_end])
-        order = np.argsort(group_ids, kind="stable")
-        sorted_ids = group_ids[order]
-        counts = np.bincount(sorted_ids)
-        sizes_per_row = counts[sorted_ids]
-        small = (sizes_per_row >= 2) & (sizes_per_row <= max_small)
-        rows = order[small]
-        ids = sorted_ids[small]
-        m = len(rows)
-        for i0 in range(0, m, tile):
-            spans = [(i0, i0)]
-            if i0 + tile < m:
-                spans.append((i0, i0 + tile))
-            for (a0, b0) in spans:
-                a_rows = rows[a0:a0 + tile]
-                b_rows = rows[b0:b0 + tile]
-                future = _hamming_tile_kernel(
-                    a_rows, b_rows, matrix, alphabet_size, max_distance,
-                    tile)
-                launched.append((a_rows, b_rows, ids[a0:a0 + tile],
-                                 ids[b0:b0 + tile], future))
-        # Oversized buckets: dedicated all-pairs sweep per bucket.
-        for b in np.flatnonzero(counts > max_small):
-            span = np.flatnonzero(sorted_ids == b)
-            oversized.append(order[span])
+        order, starts, ends = _iter_bucket_slices(group_ids)
+        sizes = ends - starts
+        size_class = 2
+        while size_class <= large_bucket_threshold:
+            if size_class == 2:
+                in_class = sizes == 2
+            else:
+                in_class = (sizes > size_class // 2) & (sizes <= size_class)
+            selected = np.flatnonzero(in_class)
+            if len(selected):
+                member_lists = [order[starts[b]:ends[b]] for b in selected]
+                launched.extend(_launch_bucket_batches(
+                    matrix, member_lists, size_class, alphabet_size,
+                    max_distance))
+            size_class *= 2
+        for b in np.flatnonzero(sizes > large_bucket_threshold):
+            oversized.append(order[starts[b]:ends[b]])
     # Phase 2: drain — device compute and D2H transfers overlap the host
-    # pair extraction of earlier blocks.
-    for a_rows, b_rows, ids_a, ids_b, future in launched:
-        within = np.asarray(future)[:len(a_rows), :len(b_rows)]
-        ii, jj = np.nonzero(within)
-        ga, gb = a_rows[ii], b_rows[jj]
-        keep = (ga != gb) & (ids_a[ii] == ids_b[jj])
-        ga, gb = ga[keep], gb[keep]
-        pair_codes.append(np.minimum(ga, gb) * n + np.maximum(ga, gb))
-    from .hamming import neighbor_pairs
+    # pair extraction of earlier batches.
+    for gi, gj in _drain_bucket_batches(launched):
+        pair_codes.append(np.minimum(gi, gj) * n + np.maximum(gi, gj))
+    # Oversized buckets: dedicated all-pairs sweep per bucket.
     for idx in oversized:
         li, lj = neighbor_pairs(matrix[idx], alphabet_size, max_distance)
         gi, gj = idx[li], idx[lj]

@@ -98,10 +98,12 @@ def neighbor_pairs(matrix: np.ndarray, alphabet_size: int, max_distance: int,
     if n < 2:
         return (np.empty(0, dtype=np.int64),) * 2
     kernel = None
+    unpack = None
     if use_pallas:
         try:
-            from .pallas_hamming import within_tile_kernel
-            kernel = within_tile_kernel
+            from .pallas_hamming import unpack_within, within_tile_packed
+            kernel = within_tile_packed
+            unpack = unpack_within
         except Exception:
             kernel = None
     t = _tile_size_for(n, tile)
@@ -112,8 +114,7 @@ def neighbor_pairs(matrix: np.ndarray, alphabet_size: int, max_distance: int,
         for j0 in range(i0, n, t):
             b = _pad_rows(matrix[j0:j0 + t], t)
             if kernel is not None:
-                within = np.asarray(
-                    kernel(a, b, alphabet_size, max_distance))
+                within = unpack(kernel(a, b, alphabet_size, max_distance))
             else:
                 within = np.asarray(
                     pairwise_within(a, b, alphabet_size, max_distance))

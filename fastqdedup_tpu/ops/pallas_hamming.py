@@ -53,9 +53,10 @@ def _pad_dims(length: int, alphabet_size: int) -> Tuple[int, int]:
     return l_pad, a_pad
 
 
-def _within_tile_body(scal_ref, sym_ref, a_ref, b_ref, out_ref, *,
+def _within_tile_body(scal_ref, sym_ref, pack_ref, a_ref, b_ref, out_ref, *,
                       alphabet_pad: int):
-    """out[i, j] = (length - matches(a_i, b_j)) <= max_distance.
+    """out[i, c] = bitpacked (length - matches(a_i, b_j)) <= max_distance
+    for j in [8c, 8c+8), little bit order.
 
     ``a_ref``: uint8 [TILE_M, Lp] alphabet indices padded with _PAD_SYMBOL;
     ``b_ref``: uint8 [TILE_N, Lp].  Any index >= the padded alphabet size
@@ -85,13 +86,25 @@ def _within_tile_body(scal_ref, sym_ref, a_ref, b_ref, out_ref, *,
         a_oh, b_oh,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
-    out_ref[:] = (length - matches) <= max_distance
+    within = ((length - matches) <= max_distance).astype(jnp.int8)
+    # Bitpack 8 adjacent columns into one byte with a second MXU pass:
+    # pack[j, c] = (1 << (j % 8)) when j // 8 == c.  Bit 7's weight is -128
+    # in int8, but the int32 row sums are exact and truncate back to the
+    # intended byte pattern (each bit contributes a distinct +/- power of
+    # two).  The packed tile is 8x smaller on the wire — D2H bandwidth
+    # through a tunneled TPU is the bottleneck, not compute.
+    packed = jax.lax.dot_general(
+        within, pack_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[:] = packed.astype(jnp.uint8)
 
 
-def within_tile_kernel(a, b, alphabet_size: int,
+def within_tile_packed(a, b, alphabet_size: int,
                        max_distance: int) -> jax.Array:
-    """bool [N, M]: all-pairs Hamming <= max_distance via a fused Pallas
-    kernel.  N and M must be multiples of 128 (callers pad; see
+    """uint8 [N, M//8]: bitpacked all-pairs Hamming <= max_distance
+    (little bit order along columns) via the fused Pallas kernel.  N and M
+    must be multiples of 128 (callers pad; see
     fastqdedup_tpu.ops.hamming.neighbor_pairs).
 
     Real length and max_distance travel as runtime scalars; the compiled
@@ -109,6 +122,21 @@ def within_tile_kernel(a, b, alphabet_size: int,
     return _within_tile_padded(scalars, a, b, a_pad)
 
 
+def unpack_within(packed: "jax.Array") -> "jax.Array":
+    """Host-side expansion of the bitpacked tile to bool [N, M]."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    return np.unpackbits(arr, axis=1, bitorder="little").astype(bool)
+
+
+def within_tile_kernel(a, b, alphabet_size: int,
+                       max_distance: int):
+    """bool [N, M] all-pairs within-distance (unpacked convenience API)."""
+    return unpack_within(within_tile_packed(a, b, alphabet_size,
+                                            max_distance))
+
+
 @functools.partial(jax.jit, static_argnames=("alphabet_pad",))
 def _within_tile_padded(scalars: jax.Array, a: jax.Array, b: jax.Array,
                         alphabet_pad: int) -> jax.Array:
@@ -119,29 +147,43 @@ def _within_tile_padded(scalars: jax.Array, a: jax.Array, b: jax.Array,
     kernel = functools.partial(_within_tile_body, alphabet_pad=a_pad)
     pos = jnp.arange(expanded, dtype=jnp.int32)
     sym = ((pos // l_pad + pos % l_pad) % a_pad).reshape(1, -1)
-    grid = (n // TILE_M, m // TILE_N)
+    # Bit-packing matrix: column j contributes 1 << (j % 8) (int8-signed,
+    # so bit 7 is -128 — exact after int32 accumulate + uint8 truncation).
+    col = jnp.arange(m, dtype=jnp.int32)
+    weight = jnp.left_shift(jnp.int32(1), col % 8)
+    weight = jnp.where(col % 8 == 7, -128, weight).astype(jnp.int8)
+    pack = jnp.where((col[:, None] // 8) ==
+                     jnp.arange(m // 8, dtype=jnp.int32)[None, :],
+                     weight[:, None], 0).astype(jnp.int8)
+    # 1-D grid: each program computes its TILE_M-row slab against the FULL
+    # b operand and writes a full-width packed row block (the packed minor
+    # dim m//8 must be a whole block — Mosaic requires block minor dims to
+    # be 128-divisible or full).
+    grid = (n // TILE_M,)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, expanded), lambda i, j: (0, 0),
+            pl.BlockSpec((1, expanded), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, l_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((m, m // 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, l_pad), lambda i, j: (j, 0),
+            pl.BlockSpec((TILE_M, l_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, l_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_M, TILE_N), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((TILE_M, m // 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, m), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((n, m // 8), jnp.uint8),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * m * l_pad * a_pad,
-            bytes_accessed=(n + m) * l_pad + n * m,
+            flops=2 * n * m * (l_pad * a_pad + m // 8),
+            bytes_accessed=(n + m) * l_pad + n * m // 8,
             transcendentals=0),
         interpret=_interpret(),
-    )(scalars, sym, a, b)
+    )(scalars, sym, pack, a, b)
 
 
 # --------------------------------------------------------------------- #
