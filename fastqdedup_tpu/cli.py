@@ -8,7 +8,9 @@ Exact flag surface of the reference
 """
 
 import argparse
+import contextlib
 import logging
+import os
 import resource
 
 from .dissect import CLUSTER_DISSECTION_METHODS
@@ -97,6 +99,27 @@ def argument_parser() -> argparse.ArgumentParser:
     return parser
 
 
+@contextlib.contextmanager
+def _maybe_profile():
+    """Capture a jax.profiler trace when FASTQDEDUP_PROFILE=<dir> is set
+    (device timelines + host annotations; open with TensorBoard or
+    xprof).  The reference's only observability was coarse phase timers
+    (__init__.py:42-51); those still log at INFO."""
+    trace_dir = os.environ.get("FASTQDEDUP_PROFILE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logging.getLogger("fastqdedup").info(
+            f"Wrote jax profiler trace to {trace_dir}")
+
+
 def main() -> None:
     args = argument_parser().parse_args()
     initiate_logger(args.verbose, args.quiet)
@@ -119,9 +142,10 @@ def main() -> None:
     logger.info(f"Maximum average error rate: {args.max_average_error_rate}")
     logger.info(f"Cluster dissection method: "
                 f"{args.cluster_dissection_method}")
-    deduplicate_cluster(input_files, output_files, check_slices,
-                        args.max_distance, args.max_average_error_rate,
-                        cluster_dissection_func, args.edit)
+    with _maybe_profile():
+        deduplicate_cluster(input_files, output_files, check_slices,
+                            args.max_distance, args.max_average_error_rate,
+                            cluster_dissection_func, args.edit)
     resources = resource.getrusage(resource.RUSAGE_SELF)
     logger.info(f"Finished. Total time: {timer.get_difference()}. "
                 f"Memory usage: {resources.ru_maxrss / (1024 ** 2):.2} GiB")

@@ -32,17 +32,43 @@ from .ops.hamming import neighbor_pairs
 # Below this group size brute-force tiling beats bucketing overhead
 # (one fixed 2048-row tile pair).
 BRUTE_FORCE_LIMIT = 2048
-# Below this size, plain numpy on host beats a device round-trip (the
-# tunnel to a remote TPU adds ~50-150 ms latency per dispatch).
+# Baseline host threshold (see _host_limit); also the cutoff for the
+# scalar edit-distance host path.
 HOST_LIMIT = 256
 
+# Host byte-op budget for the brute-force path (~a couple of seconds of
+# numpy).  Loading device programs onto a remote TPU can cost far more
+# than that for small one-shot CLI runs, so the crossover is sized by
+# work, not a fixed N.
+_HOST_BYTE_OP_BUDGET = 2_000_000_000
 
-def _host_hamming_pairs(matrix: np.ndarray, max_distance: int
-                        ) -> Tuple[np.ndarray, np.ndarray]:
-    distances = (matrix[:, None, :] != matrix[None, :, :]).sum(axis=2)
-    ii, jj = np.nonzero(distances <= max_distance)
-    keep = ii < jj
-    return ii[keep].astype(np.int64), jj[keep].astype(np.int64)
+
+def _host_limit(length: int) -> int:
+    import math
+    return max(HOST_LIMIT,
+               int(math.sqrt(_HOST_BYTE_OP_BUDGET / max(length, 1))))
+
+
+def _host_hamming_pairs(matrix: np.ndarray, max_distance: int,
+                        block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """Blocked all-pairs on host (numpy): O(N^2 L) byte ops, O(block*N*L)
+    memory."""
+    n = matrix.shape[0]
+    out_i: List[np.ndarray] = []
+    out_j: List[np.ndarray] = []
+    for start in range(0, n, block):
+        rows = matrix[start:start + block]
+        distances = (rows[:, None, :] != matrix[None, :, :]).sum(
+            axis=2, dtype=np.int32)
+        ii, jj = np.nonzero(distances <= max_distance)
+        ii = ii + start
+        keep = ii < jj
+        out_i.append(ii[keep])
+        out_j.append(jj[keep])
+    if not out_i:
+        return (np.empty(0, dtype=np.int64),) * 2
+    return (np.concatenate(out_i).astype(np.int64),
+            np.concatenate(out_j).astype(np.int64))
 
 
 @dataclass
@@ -75,7 +101,7 @@ def _hamming_edges(keys: Sequence[bytes], groups: Dict[int, np.ndarray],
         if len(idx) < 2 or length == 0:
             continue
         matrix, _ = keys_to_matrix([keys[i] for i in idx], table)
-        if len(idx) <= HOST_LIMIT:
+        if len(idx) <= _host_limit(length):
             li, lj = _host_hamming_pairs(matrix, max_distance)
         elif len(idx) <= BRUTE_FORCE_LIMIT:
             li, lj = neighbor_pairs(matrix, table.size, max_distance)

@@ -76,7 +76,7 @@ def _bucketed_within_padded(batch: jax.Array, scalars: jax.Array,
 
 
 def _bucketed_within(batch: np.ndarray, alphabet_size: int,
-                     max_distance: int) -> jax.Array:
+                     max_distance: int, device=None) -> jax.Array:
     """bool [K, S, S]: per-bucket all-pairs Hamming <= max_distance.
 
     ``batch``: uint8 [K, S, L] alphabet indices; padded slots hold
@@ -98,40 +98,64 @@ def _bucketed_within(batch: np.ndarray, alphabet_size: int,
         batch = np.pad(batch, ((0, 0), (0, 0), (0, l_pad - length)),
                        constant_values=_PAD_INDEX)
     scalars = np.array([length, max_distance], dtype=np.int32)
+    if device is not None:
+        batch = jax.device_put(batch, device)
+        scalars = jax.device_put(scalars, device)
     return _bucketed_within_padded(batch, scalars, a_pad)
+
+
+# Bucket size classes: exactly these S values exist on device, and the
+# batch dimension K is fixed per class, so the whole bucketed path runs
+# through SIX device programs per (Lp, Ap) geometry.  Loading a program
+# onto a (remote) TPU costs far more than the <=4x padded compute of a
+# coarse class — MXU cycles are free next to tunnel round trips.
+SIZE_CLASSES = (2, 8, 32, 128, 512, 2048)
+
+
+def _buckets_per_call(size_class: int) -> int:
+    # Cap batch memory at ~K * S * L <= tens of MB.
+    return max(8, min(2048, (1 << 20) // size_class))
 
 
 def _launch_bucket_batches(matrix: np.ndarray,
                            member_lists: List[np.ndarray],
                            size_class: int, alphabet_size: int,
-                           max_distance: int,
-                           max_buckets_per_call: int = 2048):
+                           max_distance: int):
     """Enqueue within-bucket all-pairs kernels; returns (members, future)
     pairs.  Dispatch is async — callers drain every future after all device
     work is queued, overlapping compute/transfer with host processing."""
     length = matrix.shape[1]
+    devices = jax.local_devices()
     launched = []
-    for start in range(0, len(member_lists), max_buckets_per_call):
-        chunk = member_lists[start:start + max_buckets_per_call]
-        # Pad the bucket-batch dimension to a power of two so the jitted
-        # kernel sees a bounded family of shapes (padded buckets hold only
-        # _PAD_INDEX rows, which match nothing and carry members == -1).
-        k = 8
-        while k < len(chunk):
-            k *= 2
-        k = min(k, max_buckets_per_call)
+    k = _buckets_per_call(size_class)
+    for call_index, start in enumerate(
+            range(0, len(member_lists), k)):
+        chunk = member_lists[start:start + k]
         members = np.full((k, size_class), -1, dtype=np.int64)
         batch = np.full((k, size_class, length), _PAD_INDEX, dtype=np.uint8)
         for b, idx in enumerate(chunk):
             members[b, :len(idx)] = idx
             batch[b, :len(idx)] = matrix[idx]
+        # Bucket batches are independent: round-robin them across the
+        # local chips (data parallelism without collectives — the
+        # host-side drain merges results).  device=None on a single chip.
+        device = devices[call_index % len(devices)] \
+            if len(devices) > 1 else None
         launched.append(
-            (members, _bucketed_within(batch, alphabet_size, max_distance)))
+            (members, _bucketed_within(batch, alphabet_size, max_distance,
+                                       device=device)))
     return launched
 
 
 def _drain_bucket_batches(launched):
     """Resolve launched bucket batches into global index pairs."""
+    for _, future in launched:
+        # D2H is pull-based: start every host copy before blocking on the
+        # first, so transfers pipeline instead of paying one RTT each.
+        try:
+            future.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - older jax
+            pass
     for members, future in launched:
         within = np.asarray(future)
         bb, ii, jj = np.nonzero(np.triu(within, k=1))
@@ -171,20 +195,19 @@ def hamming_neighbor_pairs_bucketed(
         group_ids = _row_group_ids(matrix[:, seg_start:seg_end])
         order, starts, ends = _iter_bucket_slices(group_ids)
         sizes = ends - starts
-        size_class = 2
-        while size_class <= large_bucket_threshold:
-            if size_class == 2:
-                in_class = sizes == 2
-            else:
-                in_class = (sizes > size_class // 2) & (sizes <= size_class)
+        classes = [c for c in SIZE_CLASSES
+                   if c <= large_bucket_threshold] or [SIZE_CLASSES[0]]
+        lower = 1
+        for size_class in classes:
+            in_class = (sizes > lower) & (sizes <= size_class)
+            lower = size_class
             selected = np.flatnonzero(in_class)
             if len(selected):
                 member_lists = [order[starts[b]:ends[b]] for b in selected]
                 launched.extend(_launch_bucket_batches(
                     matrix, member_lists, size_class, alphabet_size,
                     max_distance))
-            size_class *= 2
-        for b in np.flatnonzero(sizes > large_bucket_threshold):
+        for b in np.flatnonzero(sizes > classes[-1]):
             oversized.append(order[starts[b]:ends[b]])
     # Phase 2: drain — device compute and D2H transfers overlap the host
     # pair extraction of earlier batches.

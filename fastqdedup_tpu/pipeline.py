@@ -268,14 +268,29 @@ def deduplicate_cluster(
     total_records = 0
     discarded_records = 0
     total_kept = 0
+    prewarm_thread = None
 
     # ---------------- Pass 1: ingest, filter, count unique keys ----------
     counts: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+    prewarm_started = False
     for chunks in _zip_chunks(input_files, chunk_records):
         if len(chunks) > 1:
             _validate_mates(chunks)
         key_data, key_offsets, qual_data, qual_offsets = _chunk_keys(
             chunks, check_slices, use_qualities=filter_on_quality)
+        if not prewarm_started and max_distance > 0 \
+                and total_records + chunks[0].count >= 100_000:
+            # Load the device programs pass 2 will need while pass 1 is
+            # still parsing (program loads onto a remote TPU block for
+            # seconds each; the thread hides them).  TPU-only; no-op and
+            # None elsewhere.  Small inputs never reach the device (the
+            # engine's host path covers them), so they skip this.
+            prewarm_started = True
+            from .warmup import prewarm_async
+            prewarm_thread = prewarm_async(
+                int(key_offsets[1] - key_offsets[0]),
+                max_distance=max_distance,
+                use_edit_distance=use_edit_distance)
         b = chunks[0].count
         total_records += b
         if filter_on_quality:
@@ -299,6 +314,8 @@ def deduplicate_cluster(
     # ---------------- Pass 2: cluster and dissect ------------------------
     keys, key_counts = _finalize_counts(counts)
     counts.clear()
+    if prewarm_thread is not None:
+        prewarm_thread.join()
 
     part = build_partition(keys, max_distance, use_edit_distance)
     counts_arr = np.asarray(key_counts, dtype=np.int64)
@@ -404,7 +421,11 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                 if table is None or not len(table):
                     continue
                 void = rows_as_void(key_data, key_offsets, rows, length)
-                mask = np.isin(void, table)
+                # table is pre-sorted (see _kept_lookup): membership via
+                # searchsorted beats np.isin, which re-sorts per call.
+                pos = np.searchsorted(table, void)
+                pos[pos == len(table)] = 0
+                mask = table[pos] == void
                 hits.extend(rows[mask].tolist())
             out_parts: List[List[bytes]] = [[] for _ in writers]
             for i in sorted(hits):

@@ -48,5 +48,65 @@ def warmup(lengths=(32, 64, 128, 160), edit_distances=(1, 2),
                 f"{time.perf_counter() - t0:.1f}s")
 
 
+def prewarm_async(length: int, alphabet_size: int = 5,
+                  max_distance: int = 1,
+                  use_edit_distance: bool = False):
+    """Load every device program a dedup run of this geometry will need,
+    on a daemon thread (returns it started).
+
+    Program LOADING (cache deserialization + upload to a possibly-remote
+    TPU) blocks the calling thread per program; running it concurrently
+    with pass-1 ingest hides it entirely for non-trivial inputs.
+
+    No-op (returns None) off-TPU: CPU runs compile cheaply inline, and a
+    compile-in-flight daemon thread at interpreter exit aborts the
+    process.
+    """
+    import threading
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+
+    def work():
+        try:
+            rng = np.random.default_rng(0)
+            if use_edit_distance:
+                from .ops.edit import within_edit_distance_auto
+                a = rng.integers(0, 4, size=(8, max(length, 1)),
+                                 dtype=np.uint8)
+                la = np.full(8, length, dtype=np.int64)
+                np.asarray(within_edit_distance_auto(
+                    a, la, a, la, max_distance))
+            else:
+                from .ops.bucket import (
+                    SIZE_CLASSES,
+                    _bucketed_within,
+                    _buckets_per_call,
+                )
+                from .ops.pallas_hamming import within_tile_packed
+                a = rng.integers(0, max(alphabet_size, 2),
+                                 size=(2048, max(length, 1)),
+                                 dtype=np.uint8)
+                futures = [within_tile_packed(a, a, alphabet_size,
+                                              max_distance)]
+                for size_class in SIZE_CLASSES:
+                    k = _buckets_per_call(size_class)
+                    batch = np.full((k, size_class, max(length, 1)), 0xFF,
+                                    dtype=np.uint8)
+                    futures.append(_bucketed_within(
+                        batch, alphabet_size, max_distance))
+                for f in futures:
+                    f.block_until_ready()
+        except Exception:  # pragma: no cover — prewarm is best-effort
+            pass
+
+    thread = threading.Thread(target=work, daemon=True,
+                              name="fastqdedup-prewarm")
+    thread.start()
+    return thread
+
+
 if __name__ == "__main__":
     warmup()
