@@ -270,12 +270,30 @@ def deduplicate_cluster(
     total_kept = 0
     prewarm_thread = None
 
+    # Pass-1 chunks are kept in RAM for the rewrite pass while they fit
+    # the budget — the reference's own peak RSS is 45-110% of the input
+    # (README.rst:35-38), so holding the parsed input is par; beyond the
+    # budget pass 3 re-streams from disk instead.
+    import os
+    memory_budget = int(os.environ.get("FASTQDEDUP_MEMORY_LIMIT",
+                                       16 * 1024 ** 3))
+    cached_chunks: Optional[List[Tuple[FastqChunk, ...]]] = []
+    cached_bytes = 0
+
     # ---------------- Pass 1: ingest, filter, count unique keys ----------
     counts: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
     prewarm_started = False
     for chunks in _zip_chunks(input_files, chunk_records):
         if len(chunks) > 1:
             _validate_mates(chunks)
+        if cached_chunks is not None:
+            cached_bytes += sum(
+                len(c.sequences) + len(c.qualities) + len(c.headers)
+                for c in chunks)
+            if cached_bytes <= memory_budget:
+                cached_chunks.append(chunks)
+            else:
+                cached_chunks = None
         key_data, key_offsets, qual_data, qual_offsets = _chunk_keys(
             chunks, check_slices, use_qualities=filter_on_quality)
         if not prewarm_started and max_distance > 0 \
@@ -376,7 +394,7 @@ def deduplicate_cluster(
 
     # ---------------- Pass 3: filtered rewrite ---------------------------
     _filter_and_write(input_files, output_files, check_slices, kept_keys,
-                      chunk_records)
+                      chunk_records, cached_chunks)
     logger.info(f"Filtered FASTQ files based on distinct reads from each "
                 f"cluster. ({timer.get_difference()}) ")
 
@@ -400,14 +418,44 @@ def _kept_lookup(kept_keys: Set[bytes]
 
 def _filter_and_write(input_files: List[str], output_files: List[str],
                       check_slices: Optional[List[slice]],
-                      kept_keys: Set[bytes], chunk_records: int) -> None:
-    """Second streaming pass: write the first record matching each kept key
+                      kept_keys: Set[bytes], chunk_records: int,
+                      cached_chunks: Optional[
+                          List[Tuple[FastqChunk, ...]]] = None) -> None:
+    """Second pass: write the first record matching each kept key
     (reference filter_fastq_files_on_set, __init__.py:189-206; no quality
-    filter is applied here, matching the reference's behavior)."""
+    filter is applied here, matching the reference's behavior).
+
+    Reads from the in-RAM pass-1 chunks when available, else re-streams
+    the inputs.  Compression runs on a writer thread (the native zlib
+    writer releases the GIL), overlapping with membership computation of
+    the next chunk.
+    """
+    import queue
+    import threading
+
     lookup = _kept_lookup(kept_keys)
     writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
+    write_queue: "queue.Queue" = queue.Queue(maxsize=8)
+    write_error: List[BaseException] = []
+
+    def write_worker():
+        while True:
+            item = write_queue.get()
+            if item is None:
+                return
+            index, payload = item
+            try:
+                if not write_error:
+                    writers[index].write(payload)
+            except BaseException as exc:  # surfaced after join
+                write_error.append(exc)
+
+    worker = threading.Thread(target=write_worker, daemon=True)
+    worker.start()
+    source = iter(cached_chunks) if cached_chunks is not None \
+        else _zip_chunks(input_files, chunk_records)
     try:
-        for chunks in _zip_chunks(input_files, chunk_records):
+        for chunks in source:
             key_data, key_offsets, _, _ = _chunk_keys(
                 chunks, check_slices, use_qualities=False)
             lengths = np.diff(key_offsets)
@@ -437,9 +485,13 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                     parts.append(
                         b"@" + chunk.header(i) + b"\n" + chunk.sequence(i)
                         + b"\n+\n" + chunk.quality(i) + b"\n")
-            for writer, parts in zip(writers, out_parts):
+            for index, parts in enumerate(out_parts):
                 if parts:  # one compressor call per chunk, not per record
-                    writer.write(b"".join(parts))
+                    write_queue.put((index, b"".join(parts)))
     finally:
+        write_queue.put(None)
+        worker.join()
         for writer in writers:
             writer.close()
+        if write_error:
+            raise write_error[0]
