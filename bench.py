@@ -11,14 +11,13 @@ The reference publishes no throughput numbers (BASELINE.md), so
 ``vs_baseline`` is reported against the north-star target of 1e6 reads/s
 end-to-end derived from BASELINE.json's 100M-read goal.
 
-Env knobs: BENCH_READS (default 200000), BENCH_READ_LEN (default 100),
+Env knobs: BENCH_READS (default 1000000), BENCH_READ_LEN (default 100),
 BENCH_UMI_LEN (default 12), BENCH_METHOD (default directional).
 """
 
 import gzip
 import json
 import os
-import random
 import sys
 import tempfile
 import time
@@ -28,32 +27,49 @@ BASELINE_READS_PER_SEC = 1_000_000.0
 
 def generate_fastq(path: str, n_reads: int, read_len: int,
                    umi_len: int, seed: int = 7) -> None:
-    rng = random.Random(seed)
+    """Vectorized synthetic duplicate-heavy FASTQ (numpy; ~seconds for
+    millions of reads)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
     n_molecules = max(n_reads // 5, 1)
-    bases = "ACGT"
-    molecules = ["".join(rng.choice(bases) for _ in range(umi_len))
-                 + "".join(rng.choice(bases)
-                           for _ in range(read_len - umi_len))
-                 for _ in range(n_molecules)]
-    chunk = []
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    molecules = bases[rng.integers(0, 4, size=(n_molecules, read_len))]
+    picks = rng.integers(0, n_molecules, size=n_reads)
+    seqs = molecules[picks]
+    # ~15% of reads get one substitution error.
+    errored = np.flatnonzero(rng.random(n_reads) < 0.15)
+    pos = rng.integers(0, read_len, size=len(errored))
+    seqs[errored, pos] = bases[rng.integers(0, 4, size=len(errored))]
+    quals = (33 + rng.integers(30, 41,
+                               size=(n_reads, read_len))).astype(np.uint8)
+    # Fixed-width records allow fully vectorized assembly: one uint8
+    # matrix per block, filled by column slices.
+    digits = 9
+    head_len = 5 + digits + 1               # "@read" + id + "\n"
+    rec_len = head_len + read_len + 3 + read_len + 1
     with gzip.open(path, "wb", compresslevel=1) as f:
-        for i in range(n_reads):
-            seq = molecules[rng.randrange(n_molecules)]
-            if rng.random() < 0.15:  # ~1/1000-per-base error at 150bp scale
-                pos = rng.randrange(read_len)
-                seq = seq[:pos] + rng.choice(bases) + seq[pos + 1:]
-            qual = "".join(chr(33 + rng.randrange(30, 41))
-                           for _ in range(read_len))
-            chunk.append(f"@read{i}\n{seq}\n+\n{qual}\n")
-            if len(chunk) == 10000:
-                f.write("".join(chunk).encode())
-                chunk.clear()
-        if chunk:
-            f.write("".join(chunk).encode())
+        step = 100_000
+        for start in range(0, n_reads, step):
+            stop = min(start + step, n_reads)
+            count = stop - start
+            block = np.empty((count, rec_len), dtype=np.uint8)
+            block[:, 0:5] = np.frombuffer(b"@read", dtype=np.uint8)
+            ids = np.arange(start, stop, dtype=np.int64)
+            for d in range(digits):
+                block[:, 5 + d] = 48 + (ids // 10 ** (digits - 1 - d)) % 10
+            block[:, head_len - 1] = 10
+            block[:, head_len:head_len + read_len] = seqs[start:stop]
+            block[:, head_len + read_len:head_len + read_len + 3] = \
+                np.frombuffer(b"\n+\n", dtype=np.uint8)
+            qstart = head_len + read_len + 3
+            block[:, qstart:qstart + read_len] = quals[start:stop]
+            block[:, -1] = 10
+            f.write(block.tobytes())
 
 
 def main() -> None:
-    n_reads = int(os.environ.get("BENCH_READS", 200_000))
+    n_reads = int(os.environ.get("BENCH_READS", 1_000_000))
     read_len = int(os.environ.get("BENCH_READ_LEN", 100))
     umi_len = int(os.environ.get("BENCH_UMI_LEN", 12))
     method = os.environ.get("BENCH_METHOD", "directional")

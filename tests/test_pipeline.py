@@ -156,3 +156,27 @@ def test_arity_validation(tmp_path):
     with pytest.raises(ValueError, match="Amount of check lengths"):
         deduplicate_cluster(["a.fastq"], ["b.fastq"],
                             [slice(8), slice(8)])
+
+
+def test_memory_budget_fallback_restreams(tmp_path, monkeypatch):
+    """With a zero in-RAM budget, pass 3 re-streams inputs from disk and
+    produces identical output."""
+    import gzip
+
+    from fastqdedup_tpu.pipeline import deduplicate_cluster
+
+    src = tmp_path / "in.fastq.gz"
+    records = []
+    for i in range(50):
+        seq = "ACGTACGTACGT" if i % 2 else "ACGTACGTACGA"
+        records.append(f"@r{i} x\n{seq}\n+\n{'I' * 12}\n")
+    with gzip.open(src, "wt") as f:
+        f.write("".join(records))
+
+    out_cached = tmp_path / "cached.fastq.gz"
+    out_stream = tmp_path / "streamed.fastq.gz"
+    deduplicate_cluster([str(src)], [str(out_cached)], None, 1, 1.0)
+    monkeypatch.setenv("FASTQDEDUP_MEMORY_LIMIT", "0")
+    deduplicate_cluster([str(src)], [str(out_stream)], None, 1, 1.0)
+    assert gzip.open(out_cached, "rb").read() == \
+        gzip.open(out_stream, "rb").read()
