@@ -62,23 +62,38 @@ def _method_name_for(func: ClusterDissectionFunc) -> Optional[str]:
 def _zip_chunks_serial(input_files: List[str], chunk_records: int
                        ) -> Iterator[Tuple[FastqChunk, ...]]:
     """Read all files in lockstep chunks; like zip(), stop at the shortest
-    file (matching the reference's zip at __init__.py:180)."""
+    file (matching the reference's zip at __init__.py:180).
+
+    With multiple files each file parses on its own thread (the native
+    parser releases the GIL inside zlib/parse), so paired-end ingest costs
+    one file's wall time, not the sum.
+    """
     iterators = [read_fastq_chunks(f, chunk_records) for f in input_files]
-    while True:
-        chunks = []
-        for it in iterators:
-            chunk = next(it, None)
-            if chunk is None:
+    pool = None
+    if len(input_files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=len(input_files))
+    try:
+        while True:
+            if pool is not None:
+                futures = [pool.submit(next, it, None) for it in iterators]
+                maybe_chunks = [f.result() for f in futures]
+            else:
+                maybe_chunks = [next(iterators[0], None)]
+            if any(c is None for c in maybe_chunks):
                 return
-            chunks.append(chunk)
-        counts = [c.count for c in chunks]
-        if len(set(counts)) > 1:
-            low = min(counts)
-            chunks = [_truncate_chunk(c, low) for c in chunks]
-            if low:
-                yield tuple(chunks)
-            return
-        yield tuple(chunks)
+            chunks: List[FastqChunk] = maybe_chunks  # all non-None
+            counts = [c.count for c in chunks]
+            if len(set(counts)) > 1:
+                low = min(counts)
+                chunks = [_truncate_chunk(c, low) for c in chunks]
+                if low:
+                    yield tuple(chunks)
+                return
+            yield tuple(chunks)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def _zip_chunks(input_files: List[str], chunk_records: int,
