@@ -267,3 +267,48 @@ def read_fastq_chunks(filename: str,
                     f"{filename}: truncated FASTQ record", line=line_number)
             if lines:
                 yield _lines_to_chunk(lines, filename, line_number)
+
+
+def _ragged_copy(out: np.ndarray, dst_starts: np.ndarray, src: np.ndarray,
+                 src_starts: np.ndarray, lengths: np.ndarray) -> None:
+    """out[dst_starts[i]:+lengths[i]] = src[src_starts[i]:+lengths[i]],
+    vectorized per distinct length."""
+    for length in np.unique(lengths):
+        if length == 0:
+            continue
+        sel = np.flatnonzero(lengths == length)
+        idx = np.arange(length, dtype=np.int64)
+        out[dst_starts[sel][:, None] + idx] = \
+            src[src_starts[sel][:, None] + idx]
+
+
+def render_fastq_records(chunk: FastqChunk, rows: np.ndarray) -> np.ndarray:
+    """Serialize the selected records of a chunk to FASTQ bytes (uint8).
+
+    Vectorized assembly: three ragged copies (header, sequence, quality)
+    plus constant separators — no per-record Python objects.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    if not len(rows):
+        return np.empty(0, dtype=np.uint8)
+    h0 = chunk.header_offsets[rows]
+    hl = chunk.header_offsets[rows + 1] - h0
+    s0 = chunk.offsets[rows]
+    sl = chunk.offsets[rows + 1] - s0
+    rec_len = 1 + hl + 1 + sl + 3 + sl + 1
+    out_offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(rec_len, out=out_offsets[1:])
+    out = np.empty(out_offsets[-1], dtype=np.uint8)
+    base = out_offsets[:-1]
+    out[base] = ord("@")
+    _ragged_copy(out, base + 1, chunk.headers, h0, hl)
+    p = base + 1 + hl
+    out[p] = 10
+    _ragged_copy(out, p + 1, chunk.sequences, s0, sl)
+    q = p + 1 + sl
+    out[q] = 10
+    out[q + 1] = ord("+")
+    out[q + 2] = 10
+    _ragged_copy(out, q + 3, chunk.qualities, s0, sl)
+    out[q + 3 + sl] = 10
+    return out

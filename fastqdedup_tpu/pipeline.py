@@ -237,11 +237,21 @@ def _finalize_counts(pending: Dict[int, List[Tuple[np.ndarray, np.ndarray]]]
         if len(parts) == 1:
             uniq, counts = parts[0]
         else:
+            # Each per-chunk array is already sorted (np.unique output);
+            # a stable sort (timsort) merges the presorted runs in
+            # ~O(n log k) instead of a full O(n log n) quicksort.
             allv = np.concatenate([p[0] for p in parts])
             allc = np.concatenate([p[1] for p in parts])
-            uniq, inverse = np.unique(allv, return_inverse=True)
-            counts = np.bincount(inverse, weights=allc.astype(np.float64),
-                                 minlength=len(uniq)).astype(np.int64)
+            order = np.argsort(allv, kind="stable")
+            sv = allv[order]
+            sc = allc[order]
+            if len(sv):
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(sv[1:] != sv[:-1]) + 1])
+                uniq = sv[starts]
+                counts = np.add.reduceat(sc, starts)
+            else:
+                uniq, counts = sv, sc
         raw = uniq.tobytes()
         if length:
             keys.extend(raw[i * length:(i + 1) * length]
@@ -296,7 +306,13 @@ def deduplicate_cluster(
     cached_bytes = 0
 
     # ---------------- Pass 1: ingest, filter, count unique keys ----------
+    # Per-chunk sort/unique runs on a worker thread (numpy sorts release
+    # the GIL), overlapping with the parse thread and the quality filter.
+    from concurrent.futures import ThreadPoolExecutor
+
     counts: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+    accumulate_pool = ThreadPoolExecutor(max_workers=1)
+    accumulate_futures = []
     prewarm_started = False
     for chunks in _zip_chunks(input_files, chunk_records):
         if len(chunks) > 1:
@@ -334,7 +350,12 @@ def deduplicate_cluster(
         else:
             rows = np.arange(b, dtype=np.int64)
         total_kept += len(rows)
-        _accumulate_counts(counts, key_data, key_offsets, rows)
+        accumulate_futures.append(accumulate_pool.submit(
+            _accumulate_counts, counts, key_data, key_offsets, rows))
+
+    for future in accumulate_futures:
+        future.result()  # propagate any accumulation error
+    accumulate_pool.shutdown()
 
     if filter_on_quality:
         logger.info(
@@ -387,11 +408,12 @@ def deduplicate_cluster(
         sorted_ec = edge_cluster[edge_order]
         el_i = part.local_index[part.edges_i[edge_order]]
         el_j = part.local_index[part.edges_j[edge_order]]
-        for c in big:
+        span_starts = np.searchsorted(sorted_ec, big)
+        span_ends = np.searchsorted(sorted_ec, big + 1)
+        for c, es, ee in zip(big, span_starts, span_ends):
             members = part.order[part.starts[c]:part.ends[c]]
             cluster_list = [(int(counts_arr[i]),
                              keys[i].decode("latin-1")) for i in members]
-            es, ee = np.searchsorted(sorted_ec, [c, c + 1])
             edges = {(int(a), int(b)) if a < b else (int(b), int(a))
                      for a, b in zip(el_i[es:ee], el_j[es:ee])}
             if method_name is not None:
@@ -470,15 +492,16 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     source = iter(cached_chunks) if cached_chunks is not None \
         else _zip_chunks(input_files, chunk_records)
     try:
+        from .io.fastq import render_fastq_records
         for chunks in source:
             key_data, key_offsets, _, _ = _chunk_keys(
                 chunks, check_slices, use_qualities=False)
-            lengths = np.diff(key_offsets)
-            hits: List[int] = []
+            emit: List[int] = []
             for length, rows in group_rows_by_length(key_offsets):
                 if length == 0:
                     if b"" in kept_keys:
-                        hits.extend(rows.tolist())
+                        kept_keys.remove(b"")
+                        emit.append(int(rows[0]))
                     continue
                 table = lookup.get(length)
                 if table is None or not len(table):
@@ -489,20 +512,26 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                 pos = np.searchsorted(table, void)
                 pos[pos == len(table)] = 0
                 mask = table[pos] == void
-                hits.extend(rows[mask].tolist())
-            out_parts: List[List[bytes]] = [[] for _ in writers]
-            for i in sorted(hits):
-                key = key_data[key_offsets[i]:key_offsets[i + 1]].tobytes()
-                if key not in kept_keys:
-                    continue  # an earlier record already claimed this key
-                kept_keys.remove(key)
-                for chunk, parts in zip(chunks, out_parts):
-                    parts.append(
-                        b"@" + chunk.header(i) + b"\n" + chunk.sequence(i)
-                        + b"\n+\n" + chunk.quality(i) + b"\n")
-            for index, parts in enumerate(out_parts):
-                if parts:  # one compressor call per chunk, not per record
-                    write_queue.put((index, b"".join(parts)))
+                hit_rows = rows[mask]
+                if not len(hit_rows):
+                    continue
+                # Within-chunk first-wins: np.unique's return_index is the
+                # FIRST occurrence of each distinct key.
+                _, first_idx = np.unique(void[mask], return_index=True)
+                for local in np.sort(first_idx):
+                    i = int(hit_rows[local])
+                    key = key_data[
+                        key_offsets[i]:key_offsets[i + 1]].tobytes()
+                    if key in kept_keys:  # cross-chunk first-wins
+                        kept_keys.remove(key)
+                        emit.append(i)
+            emit.sort()
+            emit_rows = np.asarray(emit, dtype=np.int64)
+            # Vectorized serialization, one compressor call per chunk.
+            for index, chunk in enumerate(chunks):
+                payload = render_fastq_records(chunk, emit_rows)
+                if len(payload):
+                    write_queue.put((index, payload))
     finally:
         write_queue.put(None)
         worker.join()
