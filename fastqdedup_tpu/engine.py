@@ -294,11 +294,13 @@ def contains_within(keys: Sequence[bytes], query: bytes, max_distance: int,
             q, np.full(len(cand), len(query), dtype=np.int64),
             padded, lengths[near], max_distance))
         return bool(res.any())
-    # Hamming: only keys of identical length can match.
-    same = [k for k in keys if len(k) == len(query)]
-    if not same or len(query) == 0:
-        # Zero-length query matches a zero-length key at distance 0.
+    # Hamming: only keys of identical length can match
+    # (distances.h:16-20 — unequal lengths are never within distance).
+    if len(query) == 0:
         return any(len(k) == 0 for k in keys)
+    same = [k for k in keys if len(k) == len(query)]
+    if not same:
+        return False
     from .ops.hamming import rowwise_within
     matrix, _ = keys_to_matrix(same, table)
     q = np.broadcast_to(

@@ -93,6 +93,9 @@ def _bucketed_within(batch: np.ndarray, alphabet_size: int,
     a_pad = 8
     while a_pad < alphabet_size:
         a_pad *= 2
+    # Cap below 256: _PAD_INDEX (0xFF) must stay outside the one-hot range
+    # (EncodeTable alphabets hold at most 254 symbols).
+    a_pad = min(a_pad, 255)
     l_pad = max(-(-length // 16) * 16, 16)
     if l_pad != length:
         batch = np.pad(batch, ((0, 0), (0, 0), (0, l_pad - length)),
@@ -113,8 +116,12 @@ SIZE_CLASSES = (2, 8, 32, 128, 512, 2048)
 
 
 def _buckets_per_call(size_class: int) -> int:
-    # Cap batch memory at ~K * S * L <= tens of MB.
-    return max(8, min(2048, (1 << 20) // size_class))
+    # Cap both the input (K * S * L bytes) and the int32 match tensor
+    # (K * S * S * 4 bytes <= ~256 MB) — the matmul intermediate dominates
+    # device memory for the large size classes.
+    return max(1, min(2048,
+                      (1 << 20) // size_class,
+                      (1 << 26) // (size_class * size_class)))
 
 
 def _launch_bucket_batches(matrix: np.ndarray,
@@ -241,6 +248,21 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
     """
     num_segments = max_distance + 1
     probe_codes: List[np.ndarray] = []
+
+    # Keys shorter than d+1 have zero-width pigeonhole segments, so the
+    # segment-match argument gives no coverage for them.  Any partner
+    # within edit distance d of such a key has length <= 2d (else the
+    # length gap alone exceeds d), so the short-key set is closed: emit
+    # all pairs among keys of length <= 2*max_distance directly.
+    short: List[int] = []
+    for matrix, gidx in zip(matrices, group_indices):
+        if matrix.shape[1] <= 2 * max_distance:
+            short.extend(int(i) for i in gidx)
+    if len(short) > 1:
+        arr = np.asarray(short, dtype=np.int64)
+        ii, jj = np.triu_indices(len(arr), k=1)
+        probe_codes.append(np.minimum(arr[ii], arr[jj]) * _PAIR_BASE +
+                           np.maximum(arr[ii], arr[jj]))
 
     # Build, for every group, windows of each (position, width) we may need,
     # then join via np.unique on the concatenated (width, start, bytes) keys.

@@ -22,28 +22,27 @@ import jax.numpy as jnp
 
 def connected_components_host(n: int, pairs_i: np.ndarray,
                               pairs_j: np.ndarray) -> np.ndarray:
-    """Component label (root index) per node, as an int64 array of size n."""
-    parent = np.arange(n, dtype=np.int64)
+    """Component label (smallest member index) per node, int64 [n].
 
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pairs_i.tolist(), pairs_j.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:  # root = smallest index, deterministic labels
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    # Flatten: every node points at its root.
-    for x in range(n):
-        find(x)
-    return parent
+    Vectorized min-label propagation with pointer doubling: each sweep is
+    a handful of O(E)/O(N) numpy ops and the label graph's depth halves
+    every round, so convergence takes O(log N) sweeps — no per-edge or
+    per-node Python.
+    """
+    labels = np.arange(n, dtype=np.int64)
+    if not len(pairs_i):
+        return labels
+    while True:
+        prev = labels
+        m = labels.copy()
+        np.minimum.at(m, pairs_i, labels[pairs_j])
+        np.minimum.at(m, pairs_j, labels[pairs_i])
+        # Pointer doubling: chase labels toward the component minimum.
+        m = m[m]
+        m = m[m]
+        if np.array_equal(m, prev):
+            return m
+        labels = m
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes",))

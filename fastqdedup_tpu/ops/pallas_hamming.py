@@ -49,6 +49,9 @@ def _pad_dims(length: int, alphabet_size: int) -> Tuple[int, int]:
     a_pad = 8
     while a_pad < alphabet_size:
         a_pad *= 2
+    # Never reach 256: _PAD_SYMBOL (0xFF) must stay out of range so padding
+    # one-hots to all-zero.  EncodeTable caps alphabets at 254 symbols.
+    a_pad = min(a_pad, 255)
     l_pad = max(-(-length // 16) * 16, 16)
     return l_pad, a_pad
 

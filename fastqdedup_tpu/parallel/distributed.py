@@ -74,18 +74,23 @@ def merge_kept_keys(local_kept: set) -> set:
     count = len(local)
     max_count = int(multihost_utils.process_allgather(
         jnp.asarray(count)).max())
-    buf = np.zeros((max_count, max_len + 1), dtype=np.uint8)
+    buf = np.zeros((max_count, max(max_len, 1)), dtype=np.uint8)
+    # Lengths travel as a separate int32 vector (keys can exceed 255
+    # bytes, e.g. paired 150 bp concatenations); -1 marks empty slots so
+    # genuine zero-length keys survive the merge.
+    lens = np.full(max_count, -1, dtype=np.int32)
     for i, key in enumerate(local):
-        buf[i, 0] = len(key) + 1  # +1 so zero rows mean "empty slot"
-        buf[i, 1:1 + len(key)] = np.frombuffer(key, dtype=np.uint8)
+        lens[i] = len(key)
+        buf[i, :len(key)] = np.frombuffer(key, dtype=np.uint8)
     gathered = np.asarray(multihost_utils.process_allgather(
         jnp.asarray(buf)))
+    gathered_lens = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(lens)))
     merged = set()
-    for host_buf in gathered:
-        for row in host_buf:
-            marker = int(row[0])
-            if marker:
-                merged.add(row[1:marker].tobytes())
+    for host_buf, host_lens in zip(gathered, gathered_lens):
+        for row, key_len in zip(host_buf, host_lens):
+            if key_len >= 0:
+                merged.add(row[:key_len].tobytes())
     return merged
 
 

@@ -35,7 +35,6 @@ from .dissect import (
 from .engine import build_partition
 from .io.fastq import FastqChunk, FastqFormatError, read_fastq_chunks
 from .io.opener import xopen
-from .keys import make_keyfunc
 from .quality import ragged_average_error_rate
 from .utils.ragged import (
     apply_slice,
@@ -59,6 +58,66 @@ def _method_name_for(func: ClusterDissectionFunc) -> Optional[str]:
     return None
 
 
+def _slice_chunk(chunk: FastqChunk, start: int, stop: int) -> FastqChunk:
+    """Record range [start, stop) of a chunk as views (no copies)."""
+    o0 = chunk.offsets[start]
+    h0 = chunk.header_offsets[start]
+    return FastqChunk(
+        sequences=chunk.sequences[o0:chunk.offsets[stop]],
+        qualities=chunk.qualities[o0:chunk.offsets[stop]],
+        offsets=chunk.offsets[start:stop + 1] - o0,
+        headers=chunk.headers[h0:chunk.header_offsets[stop]],
+        header_offsets=chunk.header_offsets[start:stop + 1] - h0,
+    )
+
+
+def _concat_chunks(parts: List[FastqChunk]) -> FastqChunk:
+    if len(parts) == 1:
+        return parts[0]
+    seq = np.concatenate([p.sequences for p in parts])
+    qual = np.concatenate([p.qualities for p in parts])
+    head = np.concatenate([p.headers for p in parts])
+    offsets = [parts[0].offsets]
+    h_offsets = [parts[0].header_offsets]
+    for p in parts[1:]:
+        offsets.append(p.offsets[1:] + offsets[-1][-1])
+        h_offsets.append(p.header_offsets[1:] + h_offsets[-1][-1])
+    return FastqChunk(seq, qual, np.concatenate(offsets), head,
+                      np.concatenate(h_offsets))
+
+
+def _rechunk(source: Iterator[FastqChunk], chunk_records: int
+             ) -> Iterator[FastqChunk]:
+    """Re-buffer a chunk stream to EXACTLY chunk_records per chunk (final
+    chunk excepted).
+
+    The native parser legitimately yields short chunks mid-file when its
+    byte-capacity buffers fill before the record quota; the lockstep zip
+    across paired files relies on uniform chunk sizes, so uneven chunks
+    must be realigned here (a mismatch must only ever mean end-of-file).
+    """
+    pending: List[FastqChunk] = []
+    pending_count = 0
+    for chunk in source:
+        pending.append(chunk)
+        pending_count += chunk.count
+        while pending_count >= chunk_records:
+            take_last = pending[-1].count - (pending_count - chunk_records)
+            head = pending[:-1]
+            if take_last > 0:
+                head = head + [_slice_chunk(pending[-1], 0, take_last)]
+            yield _concat_chunks(head)
+            if take_last < pending[-1].count:
+                pending = [_slice_chunk(pending[-1], take_last,
+                                        pending[-1].count)]
+                pending_count = pending[0].count
+            else:
+                pending = []
+                pending_count = 0
+    if pending_count:
+        yield _concat_chunks(pending)
+
+
 def _zip_chunks_serial(input_files: List[str], chunk_records: int
                        ) -> Iterator[Tuple[FastqChunk, ...]]:
     """Read all files in lockstep chunks; like zip(), stop at the shortest
@@ -68,7 +127,8 @@ def _zip_chunks_serial(input_files: List[str], chunk_records: int
     parser releases the GIL inside zlib/parse), so paired-end ingest costs
     one file's wall time, not the sum.
     """
-    iterators = [read_fastq_chunks(f, chunk_records) for f in input_files]
+    iterators = [_rechunk(read_fastq_chunks(f, chunk_records),
+                          chunk_records) for f in input_files]
     pool = None
     if len(input_files) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -152,6 +212,20 @@ def _zip_chunks(input_files: List[str], chunk_records: int,
             thread.join(timeout=0.05)
 
 
+def _compact_chunk(chunk: FastqChunk) -> FastqChunk:
+    """Copy a chunk out of its (possibly much larger) parse buffers."""
+    def own(a: np.ndarray) -> np.ndarray:
+        base = a.base if a.base is not None else a
+        # Copy when the view pins >12.5% slack in its base allocation.
+        if base.nbytes > a.nbytes + (a.nbytes >> 3):
+            return a.copy()
+        return a
+
+    return FastqChunk(own(chunk.sequences), own(chunk.qualities),
+                      own(chunk.offsets), own(chunk.headers),
+                      own(chunk.header_offsets))
+
+
 def _truncate_chunk(chunk: FastqChunk, count: int) -> FastqChunk:
     return FastqChunk(
         sequences=chunk.sequences[:chunk.offsets[count]],
@@ -162,25 +236,61 @@ def _truncate_chunk(chunk: FastqChunk, count: int) -> FastqChunk:
     )
 
 
+def _id_spans(chunk: FastqChunk) -> Tuple[np.ndarray, np.ndarray]:
+    """(start, length) of each record's ID (header up to first space/tab),
+    vectorized."""
+    h = chunk.headers
+    starts = chunk.header_offsets[:-1]
+    ends = chunk.header_offsets[1:]
+    ws = np.flatnonzero((h == 32) | (h == 9))
+    pos = np.searchsorted(ws, starts)
+    ws_clipped = ws[np.minimum(pos, max(len(ws) - 1, 0))] \
+        if len(ws) else np.zeros(len(starts), dtype=np.int64)
+    first_ws = np.where((pos < len(ws)) & (ws_clipped < ends),
+                        ws_clipped, ends)
+    return starts, first_ws - starts
+
+
+def _mates_ok_mask(c0: FastqChunk, ck: FastqChunk) -> np.ndarray:
+    """bool [count]: record IDs are mates per dnaio's rule — identical, or
+    identical except the final character with both finals in '123'."""
+    s0, l0 = _id_spans(c0)
+    sk, lk = _id_spans(ck)
+    ok = l0 == lk
+    for length in np.unique(l0[ok]):
+        rows = np.flatnonzero(ok & (l0 == length))
+        if length == 0:
+            continue
+        idx = np.arange(length, dtype=np.int64)
+        a = c0.headers[s0[rows][:, None] + idx]
+        b = ck.headers[sk[rows][:, None] + idx]
+        full_eq = (a == b).all(axis=1)
+        stem_eq = (a[:, :-1] == b[:, :-1]).all(axis=1)
+        digits = ((a[:, -1] >= ord("1")) & (a[:, -1] <= ord("3")) &
+                  (b[:, -1] >= ord("1")) & (b[:, -1] <= ord("3")))
+        ok[rows] = full_eq | (stem_eq & digits)
+    return ok
+
+
 def _validate_mates(chunks: Tuple[FastqChunk, ...]) -> None:
-    """Vectorized mate-sync check (reference __init__.py:180-186)."""
+    """Vectorized mate-sync check (reference __init__.py:180-186).
+
+    Real paired files differ in the header comment (" 1:N:..." vs
+    " 2:N:..."), so the comparison is on the whitespace-delimited ID with
+    the dnaio last-character rule — all numpy, no per-record objects."""
     first = chunks[0]
-    # Fast path: raw headers byte-identical across files.
-    if all(len(c.headers) == len(first.headers)
-           and np.array_equal(c.header_offsets, first.header_offsets)
-           and np.array_equal(c.headers, first.headers)
-           for c in chunks[1:]):
+    bad: Optional[int] = None
+    for other in chunks[1:]:
+        ok = _mates_ok_mask(first, other)
+        if not ok.all():
+            bad = int(np.flatnonzero(~ok)[0])
+            break
+    if bad is None:
         return
-    from .io.fastq import FastqRecord, records_are_mates
-    for i in range(first.count):
-        ids = [c.record_id(i) for c in chunks]
-        records = [FastqRecord(rid.decode("ascii", "replace"), "", "")
-                   for rid in ids]
-        if not records_are_mates(*records):
-            names = ", ".join(c.header(i).decode("ascii", "replace")
-                              for c in chunks)
-            raise FastqFormatError(
-                f"FASTQ files not in sync: {names} are not mates.")
+    names = ", ".join(c.header(bad).decode("ascii", "replace")
+                      for c in chunks)
+    raise FastqFormatError(
+        f"FASTQ files not in sync: {names} are not mates.")
 
 
 def _chunk_keys(chunks: Tuple[FastqChunk, ...],
@@ -322,7 +432,12 @@ def deduplicate_cluster(
                 len(c.sequences) + len(c.qualities) + len(c.headers)
                 for c in chunks)
             if cached_bytes <= memory_budget:
-                cached_chunks.append(chunks)
+                # Compact before caching: the parser's chunks are views
+                # into fixed-capacity buffers sized by a per-record byte
+                # estimate; holding the views would pin several times the
+                # actual payload.
+                cached_chunks.append(tuple(
+                    _compact_chunk(c) for c in chunks))
             else:
                 cached_chunks = None
         key_data, key_offsets, qual_data, qual_offsets = _chunk_keys(
