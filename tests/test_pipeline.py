@@ -180,3 +180,17 @@ def test_memory_budget_fallback_restreams(tmp_path, monkeypatch):
     deduplicate_cluster([str(src)], [str(out_stream)], None, 1, 1.0)
     assert gzip.open(out_cached, "rb").read() == \
         gzip.open(out_stream, "rb").read()
+
+
+def test_parity_through_device_kernel_path(tmp_path, monkeypatch):
+    """Force the engine past the host brute-force budget so end-to-end
+    output parity covers the bucket + Pallas tile kernel path (interpret
+    mode on CPU)."""
+    import fastqdedup_tpu.engine as engine
+
+    monkeypatch.setattr(engine, "_HOST_BYTE_OP_BUDGET", 1)
+    monkeypatch.setattr(engine, "HOST_LIMIT", 8)
+    rng = random.Random(46)
+    reads = _random_reads(rng, 400, 20)
+    _run_both(tmp_path, [reads], method="directional")
+    _run_both(tmp_path, [reads], method="adjacency", max_distance=2)
