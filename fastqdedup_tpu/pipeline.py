@@ -22,7 +22,7 @@ batch execution:
 """
 
 import logging
-from typing import Callable, Dict, Iterator, List, Optional, Set, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -490,12 +490,14 @@ def deduplicate_cluster(
     counts_arr = np.asarray(key_counts, dtype=np.int64)
     sizes = part.sizes()
     method_name = _method_name_for(cluster_dissection_func)
-    kept_keys: Set[bytes] = set()
+    # Kept keys as a list: clusters are disjoint and each contributes its
+    # representatives once, so no set semantics are needed; pass 3 builds
+    # sorted per-length tables with "taken" flags for first-wins claiming.
+    kept: List[bytes] = []
     number_of_clusters = part.num_clusters
 
     # Singleton components (the bulk): kept wholesale, no dissection.
-    for i in part.order[part.starts[sizes == 1]]:
-        kept_keys.add(keys[i])
+    kept.extend(keys[i] for i in part.order[part.starts[sizes == 1]])
 
     if method_name is not None:
         # Two-member components, closed form: connectivity implies the
@@ -509,9 +511,9 @@ def deduplicate_cluster(
             a, b = part.order[s], part.order[s + 1]
             pa, pb = (counts_arr[a], keys[a]), (counts_arr[b], keys[b])
             hi, lo = (pa, pb) if pa > pb else (pb, pa)
-            kept_keys.add(hi[1])
+            kept.append(hi[1])
             if method_name == "directional" and 2 * lo[0] - 1 > hi[0]:
-                kept_keys.add(lo[1])
+                kept.append(lo[1])
         big = np.flatnonzero(sizes >= 3)
     else:
         big = np.flatnonzero(sizes >= 2)
@@ -537,25 +539,25 @@ def deduplicate_cluster(
             else:  # user-supplied strategy: scalar oracle API
                 chosen = list(cluster_dissection_func(
                     cluster_list, max_distance, use_edit_distance))
-            for string in chosen:
-                kept_keys.add(string.encode("latin-1"))
+            # dict.fromkeys: tolerate a custom strategy yielding repeats.
+            for string in dict.fromkeys(chosen):
+                kept.append(string.encode("latin-1"))
 
-    logger.info(f"Found {len(kept_keys)} distinct reads "
+    logger.info(f"Found {len(kept)} distinct reads "
                 f"in {number_of_clusters} clusters."
                 f"({timer.get_difference()})")
 
     # ---------------- Pass 3: filtered rewrite ---------------------------
-    _filter_and_write(input_files, output_files, check_slices, kept_keys,
+    _filter_and_write(input_files, output_files, check_slices, kept,
                       chunk_records, cached_chunks)
     logger.info(f"Filtered FASTQ files based on distinct reads from each "
                 f"cluster. ({timer.get_difference()}) ")
 
 
-def _kept_lookup(kept_keys: Set[bytes]
-                 ) -> Dict[int, np.ndarray]:
+def _kept_lookup(kept: List[bytes]) -> Dict[int, np.ndarray]:
     """Per-length sorted void arrays for vectorized membership tests."""
     by_length: Dict[int, List[bytes]] = {}
-    for key in kept_keys:
+    for key in kept:
         by_length.setdefault(len(key), []).append(key)
     lookup = {}
     for length, key_list in by_length.items():
@@ -570,7 +572,7 @@ def _kept_lookup(kept_keys: Set[bytes]
 
 def _filter_and_write(input_files: List[str], output_files: List[str],
                       check_slices: Optional[List[slice]],
-                      kept_keys: Set[bytes], chunk_records: int,
+                      kept: List[bytes], chunk_records: int,
                       cached_chunks: Optional[
                           List[Tuple[FastqChunk, ...]]] = None) -> None:
     """Second pass: write the first record matching each kept key
@@ -585,7 +587,10 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     import queue
     import threading
 
-    lookup = _kept_lookup(kept_keys)
+    lookup = _kept_lookup(kept)
+    taken = {length: np.zeros(len(table), dtype=bool)
+             for length, table in lookup.items()}
+    empty_pending = b"" in kept
     writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
     write_queue: "queue.Queue" = queue.Queue(maxsize=8)
     write_error: List[BaseException] = []
@@ -611,12 +616,12 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
         for chunks in source:
             key_data, key_offsets, _, _ = _chunk_keys(
                 chunks, check_slices, use_qualities=False)
-            emit: List[int] = []
+            emit_parts: List[np.ndarray] = []
             for length, rows in group_rows_by_length(key_offsets):
                 if length == 0:
-                    if b"" in kept_keys:
-                        kept_keys.remove(b"")
-                        emit.append(int(rows[0]))
+                    if empty_pending:
+                        empty_pending = False
+                        emit_parts.append(rows[:1].astype(np.int64))
                     continue
                 table = lookup.get(length)
                 if table is None or not len(table):
@@ -627,21 +632,21 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                 pos = np.searchsorted(table, void)
                 pos[pos == len(table)] = 0
                 mask = table[pos] == void
-                hit_rows = rows[mask]
-                if not len(hit_rows):
+                if not mask.any():
                     continue
-                # Within-chunk first-wins: np.unique's return_index is the
-                # FIRST occurrence of each distinct key.
-                _, first_idx = np.unique(void[mask], return_index=True)
-                for local in np.sort(first_idx):
-                    i = int(hit_rows[local])
-                    key = key_data[
-                        key_offsets[i]:key_offsets[i + 1]].tobytes()
-                    if key in kept_keys:  # cross-chunk first-wins
-                        kept_keys.remove(key)
-                        emit.append(i)
-            emit.sort()
-            emit_rows = np.asarray(emit, dtype=np.int64)
+                hit_rows = rows[mask]
+                tidx = pos[mask]
+                # First-wins, fully vectorized: np.unique's return_index
+                # is the FIRST in-chunk occurrence per table entry; the
+                # "taken" flags carry first-wins across chunks.
+                uniq_t, first_local = np.unique(tidx, return_index=True)
+                claim = ~taken[length][uniq_t]
+                taken[length][uniq_t[claim]] = True
+                emit_parts.append(hit_rows[first_local[claim]])
+            if emit_parts:
+                emit_rows = np.sort(np.concatenate(emit_parts))
+            else:
+                emit_rows = np.empty(0, dtype=np.int64)
             # Vectorized serialization, one compressor call per chunk.
             for index, chunk in enumerate(chunks):
                 payload = render_fastq_records(chunk, emit_rows)
