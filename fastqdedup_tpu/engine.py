@@ -92,15 +92,27 @@ def _group_by_length(keys: Sequence[bytes]) -> Dict[int, np.ndarray]:
     return groups
 
 
-def _hamming_edges(keys: Sequence[bytes], groups: Dict[int, np.ndarray],
-                   table: EncodeTable, max_distance: int
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+# Edge computation operates on "entries": (length, encoded uint8 matrix,
+# global key indices) per length group — shared by the bytes-key API
+# (build_partition) and the zero-copy grouped API (build_partition_groups).
+Entries = List[Tuple[int, np.ndarray, np.ndarray]]
+
+
+def _entries_from_keys(keys: Sequence[bytes],
+                       groups: Dict[int, np.ndarray],
+                       table: EncodeTable) -> Entries:
+    return [(length, keys_to_matrix([keys[i] for i in idx], table)[0], idx)
+            for length, idx in sorted(groups.items())]
+
+
+def _hamming_edges_entries(entries: Entries, table: EncodeTable,
+                           max_distance: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
     edges_i: List[np.ndarray] = []
     edges_j: List[np.ndarray] = []
-    for length, idx in groups.items():
+    for length, matrix, idx in entries:
         if len(idx) < 2 or length == 0:
             continue
-        matrix, _ = keys_to_matrix([keys[i] for i in idx], table)
         if len(idx) <= _host_limit(length):
             li, lj = _host_hamming_pairs(matrix, max_distance)
         elif len(idx) <= BRUTE_FORCE_LIMIT:
@@ -130,31 +142,24 @@ def _host_edit_edges(keys: Sequence[bytes], max_distance: int
     return np.asarray(ii, dtype=np.int64), np.asarray(jj, dtype=np.int64)
 
 
-def _edit_edges(keys: Sequence[bytes], groups: Dict[int, np.ndarray],
-                table: EncodeTable, max_distance: int
-                ) -> Tuple[np.ndarray, np.ndarray]:
+def _edit_edges_entries(entries: Entries, n: int, max_distance: int
+                        ) -> Tuple[np.ndarray, np.ndarray]:
     from .ops.edit import within_edit_distance_auto
 
-    if len(keys) <= HOST_LIMIT:
-        return _host_edit_edges(keys, max_distance)
-
-    matrices: List[np.ndarray] = []
-    gidx: List[np.ndarray] = []
-    for length, idx in sorted(groups.items()):
-        matrix, _ = keys_to_matrix([keys[i] for i in idx], table)
-        matrices.append(matrix)
-        gidx.append(idx)
+    matrices = [matrix for _, matrix, _ in entries]
+    gidx = [idx for _, _, idx in entries]
     cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance)
     if not len(cand_i):
         return cand_i, cand_j
-    lengths = np.fromiter((len(k) for k in keys), dtype=np.int64,
-                          count=len(keys))
-    lmax = int(lengths.max())
+    lengths = np.empty(n, dtype=np.int64)
+    lmax = 1
+    for length, _, idx in entries:
+        lengths[idx] = length
+        lmax = max(lmax, length)
     # Pad every key to a common width once for gather-based verification.
-    padded = np.full((len(keys), max(lmax, 1)), 0xFF, dtype=np.uint8)
-    for length, idx in groups.items():
+    padded = np.full((n, lmax), 0xFF, dtype=np.uint8)
+    for length, matrix, idx in entries:
         if length:
-            matrix, _ = keys_to_matrix([keys[i] for i in idx], table)
             padded[idx, :length] = matrix
     keep = np.empty(len(cand_i), dtype=bool)
     batch = 1 << 16
@@ -206,10 +211,14 @@ def build_partition(keys: Sequence[bytes], max_distance: int,
         return Partition(idx, idx, idx + 1, empty, empty, idx,
                          np.zeros(n, dtype=np.int64))
     groups = _group_by_length(keys)
-    if use_edit_distance:
-        ei, ej = _edit_edges(keys, groups, table, max_distance)
+    if use_edit_distance and n <= HOST_LIMIT:
+        ei, ej = _host_edit_edges(keys, max_distance)
     else:
-        ei, ej = _hamming_edges(keys, groups, table, max_distance)
+        entries = _entries_from_keys(keys, groups, table)
+        if use_edit_distance:
+            ei, ej = _edit_edges_entries(entries, n, max_distance)
+        else:
+            ei, ej = _hamming_edges_entries(entries, table, max_distance)
 
     labels = connected_components_host(n, ei, ej)
     order = np.argsort(labels, kind="stable")
@@ -308,3 +317,91 @@ def contains_within(keys: Sequence[bytes], query: bytes, max_distance: int,
         matrix.shape)
     res = np.asarray(rowwise_within(q, matrix, table.size, max_distance))
     return bool(res.any())
+
+
+@dataclass
+class KeyGroups:
+    """Unique keys as per-length sorted void arrays with aggregate counts.
+
+    The zero-copy interface between pass 1's unique merge and the engine:
+    global key index i lives in group g = searchsorted(starts, i, "right")-1
+    at row i - starts[g]; group voids are lexicographically sorted, so
+    per-length membership tables for the rewrite pass come for free.
+    """
+    lengths: List[int]          # ascending, no duplicates
+    voids: List[np.ndarray]     # sorted void arrays, one per length
+    counts: List[np.ndarray]    # int64 arrays aligned with voids
+    starts: np.ndarray          # int64 [G]: global index of group start
+    n: int
+
+    def locate(self, index: int) -> Tuple[int, int]:
+        g = int(np.searchsorted(self.starts, index, side="right")) - 1
+        return g, int(index - self.starts[g])
+
+    def key_bytes(self, index: int) -> bytes:
+        g, row = self.locate(index)
+        if self.lengths[g] == 0:
+            return b""
+        return self.voids[g][row].tobytes()
+
+    def counts_concat(self) -> np.ndarray:
+        if not self.counts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(self.counts)
+
+    def group_index_of_length(self, length: int) -> Optional[int]:
+        import bisect
+        g = bisect.bisect_left(self.lengths, length)
+        if g < len(self.lengths) and self.lengths[g] == length:
+            return g
+        return None
+
+
+def build_partition_groups(groups: KeyGroups, max_distance: int,
+                           use_edit_distance: bool = False,
+                           table: Optional[EncodeTable] = None) -> Partition:
+    """Like :func:`build_partition`, but over :class:`KeyGroups` — no
+    per-key Python bytes objects are materialized on this path."""
+    if table is None:
+        table = EncodeTable("ACGTN")
+    n = groups.n
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return Partition(empty, empty, empty, empty, empty, empty, empty)
+    if max_distance <= 0:
+        idx = np.arange(n, dtype=np.int64)
+        return Partition(idx, idx, idx + 1, empty, empty, idx,
+                         np.zeros(n, dtype=np.int64))
+    entries: Entries = []
+    for g, length in enumerate(groups.lengths):
+        size = len(groups.counts[g])
+        idx = np.arange(groups.starts[g], groups.starts[g] + size,
+                        dtype=np.int64)
+        if length == 0:
+            matrix = np.zeros((size, 0), dtype=np.uint8)
+        else:
+            raw = groups.voids[g].view(np.uint8).reshape(size, length)
+            matrix = table.encode(raw)
+        entries.append((length, matrix, idx))
+    if use_edit_distance:
+        if n <= HOST_LIMIT:
+            keys = [groups.key_bytes(i) for i in range(n)]
+            ei, ej = _host_edit_edges(keys, max_distance)
+        else:
+            ei, ej = _edit_edges_entries(entries, n, max_distance)
+    else:
+        ei, ej = _hamming_edges_entries(entries, table, max_distance)
+    labels = connected_components_host(n, ei, ej)
+    order = np.argsort(labels, kind="stable")
+    sorted_labels = labels[order]
+    boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [n]])
+    sizes = ends - starts
+    cluster_of = np.empty(n, dtype=np.int64)
+    cluster_of[order] = np.repeat(np.arange(len(starts), dtype=np.int64),
+                                  sizes)
+    local_index = np.empty(n, dtype=np.int64)
+    local_index[order] = np.arange(n, dtype=np.int64) - \
+        np.repeat(starts, sizes)
+    return Partition(order, starts, ends, ei, ej, cluster_of, local_index)

@@ -32,7 +32,7 @@ from .dissect import (
     cluster_dissection_directional,
     dissect_with_adjacency,
 )
-from .engine import build_partition
+from .engine import KeyGroups, build_partition_groups
 from .io.fastq import FastqChunk, FastqFormatError, read_fastq_chunks
 from .io.opener import xopen
 from .quality import ragged_average_error_rate
@@ -336,12 +336,16 @@ def _accumulate_counts(pending: Dict[int, List[Tuple[np.ndarray,
         pending.setdefault(int(length), []).append((uniq, cnt))
 
 
-def _finalize_counts(pending: Dict[int, List[Tuple[np.ndarray, np.ndarray]]]
-                     ) -> Tuple[List[bytes], List[int]]:
-    """Merge per-chunk unique arrays into global (keys, counts) lists,
-    ordered by length then lexicographic key."""
-    keys: List[bytes] = []
-    key_counts: List[int] = []
+def _finalize_groups(pending: Dict[int, List[Tuple[np.ndarray, np.ndarray]]]
+                     ) -> KeyGroups:
+    """Merge per-chunk unique arrays into global per-length groups,
+    ordered by length then lexicographic key — no per-key Python objects
+    (see engine.KeyGroups)."""
+    lengths: List[int] = []
+    voids: List[np.ndarray] = []
+    group_counts: List[np.ndarray] = []
+    starts: List[int] = []
+    n = 0
     for length in sorted(pending):
         parts = pending[length]
         if len(parts) == 1:
@@ -356,20 +360,19 @@ def _finalize_counts(pending: Dict[int, List[Tuple[np.ndarray, np.ndarray]]]
             sv = allv[order]
             sc = allc[order]
             if len(sv):
-                starts = np.concatenate(
+                run_starts = np.concatenate(
                     [[0], np.flatnonzero(sv[1:] != sv[:-1]) + 1])
-                uniq = sv[starts]
-                counts = np.add.reduceat(sc, starts)
+                uniq = sv[run_starts]
+                counts = np.add.reduceat(sc, run_starts)
             else:
                 uniq, counts = sv, sc
-        raw = uniq.tobytes()
-        if length:
-            keys.extend(raw[i * length:(i + 1) * length]
-                        for i in range(len(uniq)))
-        else:
-            keys.extend(b"" for _ in range(len(uniq)))
-        key_counts.extend(int(c) for c in counts)
-    return keys, key_counts
+        lengths.append(int(length))
+        voids.append(uniq)
+        group_counts.append(counts.astype(np.int64))
+        starts.append(n)
+        n += len(uniq)
+    return KeyGroups(lengths, voids, group_counts,
+                     np.asarray(starts, dtype=np.int64), n)
 
 
 def deduplicate_cluster(
@@ -481,39 +484,68 @@ def deduplicate_cluster(
                 f"({timer.get_difference()})")
 
     # ---------------- Pass 2: cluster and dissect ------------------------
-    keys, key_counts = _finalize_counts(counts)
+    groups = _finalize_groups(counts)
     counts.clear()
     if prewarm_thread is not None:
         prewarm_thread.join()
 
-    part = build_partition(keys, max_distance, use_edit_distance)
-    counts_arr = np.asarray(key_counts, dtype=np.int64)
+    part = build_partition_groups(groups, max_distance, use_edit_distance)
+    counts_arr = groups.counts_concat()
     sizes = part.sizes()
     method_name = _method_name_for(cluster_dissection_func)
-    # Kept keys as a list: clusters are disjoint and each contributes its
-    # representatives once, so no set semantics are needed; pass 3 builds
-    # sorted per-length tables with "taken" flags for first-wins claiming.
-    kept: List[bytes] = []
     number_of_clusters = part.num_clusters
 
+    # Kept keys as per-group boolean masks over the sorted unique arrays
+    # (clusters are disjoint, so each key is decided exactly once); pass 3
+    # claims first occurrences against these masks — no Python bytes.
+    kept_mask = [np.zeros(len(c), dtype=bool) for c in groups.counts]
+    group_of_key = np.searchsorted(groups.starts,
+                                   np.arange(groups.n, dtype=np.int64),
+                                   side="right") - 1
+
+    def mark_indices(idx: np.ndarray) -> None:
+        g = group_of_key[idx]
+        rows = idx - groups.starts[g]
+        for gi in np.unique(g):
+            kept_mask[gi][rows[g == gi]] = True
+
+    def mark_key_bytes(key: bytes) -> None:
+        g = groups.group_index_of_length(len(key))
+        if len(key) == 0:
+            kept_mask[g][0] = True
+            return
+        void = np.frombuffer(key, dtype=np.uint8).view(
+            np.dtype((np.void, len(key))))
+        row = int(np.searchsorted(groups.voids[g], void[0]))
+        kept_mask[g][row] = True
+
     # Singleton components (the bulk): kept wholesale, no dissection.
-    kept.extend(keys[i] for i in part.order[part.starts[sizes == 1]])
+    mark_indices(part.order[part.starts[sizes == 1]])
 
     if method_name is not None:
         # Two-member components, closed form: connectivity implies the
         # single within-distance edge exists, so adjacency/highest_count
         # keep only the max (count, key); directional also keeps the minor
         # read unless the count gate 2*c - 1 <= count(origin) absorbs it
-        # (reference __init__.py:84,99-101).  bytes compare == latin-1 str
-        # compare, so (count, key-bytes) tuple order matches the reference's
-        # tuple sort.
-        for s in part.starts[sizes == 2]:
-            a, b = part.order[s], part.order[s + 1]
-            pa, pb = (counts_arr[a], keys[a]), (counts_arr[b], keys[b])
-            hi, lo = (pa, pb) if pa > pb else (pb, pa)
-            kept.append(hi[1])
-            if method_name == "directional" and 2 * lo[0] - 1 > hi[0]:
-                kept.append(lo[1])
+        # (reference __init__.py:84,99-101).  Count ties break on key
+        # bytes (== latin-1 string order), fetched only when needed.
+        pair_starts = part.starts[sizes == 2]
+        a_idx = part.order[pair_starts]
+        b_idx = part.order[pair_starts + 1]
+        ca = counts_arr[a_idx]
+        cb = counts_arr[b_idx]
+        hi_idx = np.where(ca > cb, a_idx, b_idx)
+        lo_idx = np.where(ca > cb, b_idx, a_idx)
+        ties = np.flatnonzero(ca == cb)
+        for t in ties:
+            if groups.key_bytes(int(a_idx[t])) > \
+                    groups.key_bytes(int(b_idx[t])):
+                hi_idx[t], lo_idx[t] = a_idx[t], b_idx[t]
+        mark_indices(hi_idx)
+        if method_name == "directional":
+            hi_c = counts_arr[hi_idx]
+            lo_c = counts_arr[lo_idx]
+            mark_indices(lo_idx[2 * lo_c - 1 > hi_c])
         big = np.flatnonzero(sizes >= 3)
     else:
         big = np.flatnonzero(sizes >= 2)
@@ -530,7 +562,8 @@ def deduplicate_cluster(
         for c, es, ee in zip(big, span_starts, span_ends):
             members = part.order[part.starts[c]:part.ends[c]]
             cluster_list = [(int(counts_arr[i]),
-                             keys[i].decode("latin-1")) for i in members]
+                             groups.key_bytes(int(i)).decode("latin-1"))
+                            for i in members]
             edges = {(int(a), int(b)) if a < b else (int(b), int(a))
                      for a, b in zip(el_i[es:ee], el_j[es:ee])}
             if method_name is not None:
@@ -541,38 +574,24 @@ def deduplicate_cluster(
                     cluster_list, max_distance, use_edit_distance))
             # dict.fromkeys: tolerate a custom strategy yielding repeats.
             for string in dict.fromkeys(chosen):
-                kept.append(string.encode("latin-1"))
+                mark_key_bytes(string.encode("latin-1"))
 
-    logger.info(f"Found {len(kept)} distinct reads "
+    kept_total = int(sum(int(m.sum()) for m in kept_mask))
+    logger.info(f"Found {kept_total} distinct reads "
                 f"in {number_of_clusters} clusters."
                 f"({timer.get_difference()})")
 
     # ---------------- Pass 3: filtered rewrite ---------------------------
-    _filter_and_write(input_files, output_files, check_slices, kept,
-                      chunk_records, cached_chunks)
+    _filter_and_write(input_files, output_files, check_slices, groups,
+                      kept_mask, chunk_records, cached_chunks)
     logger.info(f"Filtered FASTQ files based on distinct reads from each "
                 f"cluster. ({timer.get_difference()}) ")
 
 
-def _kept_lookup(kept: List[bytes]) -> Dict[int, np.ndarray]:
-    """Per-length sorted void arrays for vectorized membership tests."""
-    by_length: Dict[int, List[bytes]] = {}
-    for key in kept:
-        by_length.setdefault(len(key), []).append(key)
-    lookup = {}
-    for length, key_list in by_length.items():
-        if length == 0:
-            continue
-        arr = np.frombuffer(b"".join(sorted(key_list)), dtype=np.uint8)
-        lookup[length] = np.ascontiguousarray(
-            arr.reshape(len(key_list), length)).view(
-            np.dtype((np.void, length))).ravel()
-    return lookup
-
-
 def _filter_and_write(input_files: List[str], output_files: List[str],
                       check_slices: Optional[List[slice]],
-                      kept: List[bytes], chunk_records: int,
+                      groups: KeyGroups, kept_mask: List[np.ndarray],
+                      chunk_records: int,
                       cached_chunks: Optional[
                           List[Tuple[FastqChunk, ...]]] = None) -> None:
     """Second pass: write the first record matching each kept key
@@ -587,10 +606,19 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     import queue
     import threading
 
-    lookup = _kept_lookup(kept)
-    taken = {length: np.zeros(len(table), dtype=bool)
-             for length, table in lookup.items()}
-    empty_pending = b"" in kept
+    # Membership tables ARE the per-length sorted unique arrays from
+    # pass 1; kept_mask marks representatives and taken carries first-wins
+    # claims across chunks.
+    lookup: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    empty_pending = False
+    for g, length in enumerate(groups.lengths):
+        if length == 0:
+            empty_pending = bool(kept_mask[g][0]) if len(kept_mask[g]) \
+                else False
+            continue
+        if kept_mask[g].any():
+            lookup[length] = (groups.voids[g], kept_mask[g],
+                              np.zeros(len(kept_mask[g]), dtype=bool))
     writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
     write_queue: "queue.Queue" = queue.Queue(maxsize=8)
     write_error: List[BaseException] = []
@@ -623,12 +651,13 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                         empty_pending = False
                         emit_parts.append(rows[:1].astype(np.int64))
                     continue
-                table = lookup.get(length)
-                if table is None or not len(table):
+                entry = lookup.get(length)
+                if entry is None:
                     continue
+                table, kept_g, taken_g = entry
                 void = rows_as_void(key_data, key_offsets, rows, length)
-                # table is pre-sorted (see _kept_lookup): membership via
-                # searchsorted beats np.isin, which re-sorts per call.
+                # table is the pass-1 sorted unique array: membership via
+                # searchsorted, representative-ness via kept_mask.
                 pos = np.searchsorted(table, void)
                 pos[pos == len(table)] = 0
                 mask = table[pos] == void
@@ -640,8 +669,8 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                 # is the FIRST in-chunk occurrence per table entry; the
                 # "taken" flags carry first-wins across chunks.
                 uniq_t, first_local = np.unique(tidx, return_index=True)
-                claim = ~taken[length][uniq_t]
-                taken[length][uniq_t[claim]] = True
+                claim = kept_g[uniq_t] & ~taken_g[uniq_t]
+                taken_g[uniq_t[claim]] = True
                 emit_parts.append(hit_rows[first_local[claim]])
             if emit_parts:
                 emit_rows = np.sort(np.concatenate(emit_parts))
