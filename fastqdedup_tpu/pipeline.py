@@ -22,7 +22,7 @@ batch execution:
 """
 
 import logging
-from typing import Callable, Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
