@@ -41,61 +41,65 @@ def initiate_logger(verbose: int = 0, quiet: int = 0) -> None:
 
 
 def argument_parser() -> argparse.ArgumentParser:
+    # Flags, defaults, metavars and dest names mirror the reference parser
+    # (__init__.py:305-361) so existing invocations keep working; the help
+    # prose is this project's own.
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "fastq", metavar="FASTQ", nargs="+",
-        help="Forward FASTQ and optional reverse and UMI FASTQ files.")
+        help="Input FASTQ file(s): R1, optionally followed by an R2 mate "
+             "file and/or a separate UMI file.")
     parser.add_argument(
         "-l", "--check-lengths",
-        help="Comma-separated string with the maximum string check length of "
-             "each file. For example "
-             "'fastqdedup --check-lengths 16,8 R1.fastq R2.fastq' only "
-             "checks the first 16 bases of R1 and the first 8 bases of R2 "
-             "for duplication. Supports slice notation such as '4:8' or "
-             "'::8'.")
+        help="How much of each file's sequence takes part in the duplicate "
+             "check, as one comma-separated entry per input file. With "
+             "'--check-lengths 16,8' on paired files, only R1's first 16 "
+             "and R2's first 8 bases are compared. Python slice syntax is "
+             "also accepted ('4:8', '::8').")
     parser.add_argument(
         "-o", "--output", action="append", required=False,
-        help="Output file (optional), must be specified multiple times for "
-             "multiple input files. For example ``fastqdedup -o dedupR1.fastq"
-             " -o dedupR2.fastq R1.fastq R2.fastq``.")
+        help="Deduplicated output path; repeat the flag once per input "
+             "file ('-o out_R1.fastq.gz -o out_R2.fastq.gz'). When omitted, "
+             "names are derived from --prefix.")
     parser.add_argument(
         "-p", "--prefix", default=DEFAULT_PREFIX,
-        help=f"Prefix for the output files. Default: '{DEFAULT_PREFIX}'")
+        help=f"Output filename prefix used when no -o options are given "
+             f"(files become <prefix><n>.fastq.gz). "
+             f"Default: '{DEFAULT_PREFIX}'")
     parser.add_argument(
         "-d", "--max-distance", type=int, default=DEFAULT_MAX_DISTANCE,
-        help="The Hamming distance at which inputs are considered "
-             f"different. Default: {DEFAULT_MAX_DISTANCE}.")
+        help="Keys that differ by more than this many substitutions "
+             "(Hamming distance) count as distinct molecules. "
+             f"Default: {DEFAULT_MAX_DISTANCE}.")
     parser.add_argument(
         "-e", "--max-average-error-rate", type=float,
         default=DEFAULT_MAX_AVERAGE_ERROR_RATE,
-        help="The maximum average per base error rate for each FASTQ "
-             "record. Average is evaluated over bases taken into account by "
-             "--check-lengths."
+        help="Drop records whose mean per-base error rate (over the bases "
+             "selected by --check-lengths) exceeds this threshold."
              f"Default: {DEFAULT_MAX_AVERAGE_ERROR_RATE}")
     parser.add_argument(
         "-E", "--no-average-error-rate-filter", action="store_const",
         dest="max_average_error_rate", const=1.0,
-        help="Do not filter on average per base error rate.")
+        help="Disable the per-record error-rate filter entirely.")
     parser.add_argument(
         "--edit", action="store_true",
-        help="Use edit (Levenshtein) distance instead of Hamming distance.")
+        help="Compare keys by Levenshtein (edit) distance, which also "
+             "tolerates insertions/deletions, instead of Hamming distance.")
     parser.add_argument(
         "-c", "--cluster-dissection-method",
         choices=CLUSTER_DISSECTION_METHODS.keys(),
         default=DEFAULT_CLUSTER_DISSECTION,
-        help="How to approach clusters with multiple reads. "
-             "'highest_count' selects only one read, the one with the "
-             "highest count. "
-             "'adjacency' starts from the read with the highest count and "
-             "selects all reads that are within the specified distance. "
-             "The process is repeated for the remaining reads. "
-             "'directional' is similar to adjacency but uses counts to "
-             "determine if an error is a PCR/sequencing artifact or derived "
-             "from a difference in the molecule (default).")
+        help="Strategy for picking representative reads from a cluster of "
+             "near-duplicates: 'highest_count' keeps just the most frequent "
+             "read; 'adjacency' repeatedly keeps the most frequent "
+             "remaining read and drops everything within the distance "
+             "threshold of it; 'directional' (default) additionally "
+             "requires a count ratio consistent with PCR/sequencing error "
+             "before dropping a read.")
     parser.add_argument("-v", "--verbose", action="count", default=0,
-                        help="Increase log verbosity.")
+                        help="More verbose logging (stackable).")
     parser.add_argument("-q", "--quiet", action="count", default=0,
-                        help="Reduce log verbosity.")
+                        help="Less verbose logging (stackable).")
     return parser
 
 
@@ -121,6 +125,8 @@ def _maybe_profile():
 
 
 def main() -> None:
+    from .runtime import configure_jax
+    configure_jax()
     args = argument_parser().parse_args()
     initiate_logger(args.verbose, args.quiet)
     logger = logging.getLogger("fastqdedup")

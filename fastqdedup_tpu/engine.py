@@ -162,7 +162,8 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int
         if length:
             padded[idx, :length] = matrix
     keep = np.empty(len(cand_i), dtype=bool)
-    batch = 1 << 16
+    from .ops.edit import EDIT_VERIFY_BATCH
+    batch = EDIT_VERIFY_BATCH
     for start in range(0, len(cand_i), batch):
         sl = slice(start, start + batch)
         keep[sl] = np.asarray(within_edit_distance_auto(

@@ -14,6 +14,8 @@ All ops are jit-compatible with static shapes; ragged work is padded and
 masked by the callers.
 """
 
-from ..runtime import configure_jax as _configure_jax
-
-_configure_jax()
+# JAX runtime configuration (persistent compilation cache, stable Mosaic
+# cache keys) is applied by the entry points — cli.main(),
+# pipeline.deduplicate_cluster(), warmup — via runtime.configure_jax(),
+# NOT as an import side effect: embedding hosts that import this package
+# alongside other JAX code must not have global config silently changed.

@@ -128,13 +128,16 @@ def _launch_bucket_batches(matrix: np.ndarray,
                            member_lists: List[np.ndarray],
                            size_class: int, alphabet_size: int,
                            max_distance: int):
-    """Enqueue within-bucket all-pairs kernels; returns (members, future)
-    pairs.  Dispatch is async — callers drain every future after all device
-    work is queued, overlapping compute/transfer with host processing."""
+    """Enqueue within-bucket all-pairs kernels, yielding
+    (members, future, device_bytes) as each batch is dispatched, so the
+    caller can bound total in-flight device memory."""
     length = matrix.shape[1]
     devices = jax.local_devices()
-    launched = []
     k = _buckets_per_call(size_class)
+    # Per launched batch the device pins the uint8 input [K,S,Lp], the
+    # int32 match tensor [K,S,S] (live until the kernel runs), and the
+    # bool output [K,S,S].
+    nbytes = k * size_class * (length + 5 * size_class)
     for call_index, start in enumerate(
             range(0, len(member_lists), k)):
         chunk = member_lists[start:start + k]
@@ -148,22 +151,25 @@ def _launch_bucket_batches(matrix: np.ndarray,
         # host-side drain merges results).  device=None on a single chip.
         device = devices[call_index % len(devices)] \
             if len(devices) > 1 else None
-        launched.append(
-            (members, _bucketed_within(batch, alphabet_size, max_distance,
-                                       device=device)))
-    return launched
+        yield (members, _bucketed_within(batch, alphabet_size, max_distance,
+                                         device=device), nbytes)
+
+
+# Total device bytes allowed in flight before the launch loop blocks on the
+# oldest result (HBM is ~16 GB/chip; this also bounds host staging copies).
+MAX_INFLIGHT_BYTES = 1 << 29
 
 
 def _drain_bucket_batches(launched):
     """Resolve launched bucket batches into global index pairs."""
-    for _, future in launched:
+    for _, future, _ in launched:
         # D2H is pull-based: start every host copy before blocking on the
         # first, so transfers pipeline instead of paying one RTT each.
         try:
             future.copy_to_host_async()
         except AttributeError:  # pragma: no cover - older jax
             pass
-    for members, future in launched:
+    for members, future, _ in launched:
         within = np.asarray(future)
         bb, ii, jj = np.nonzero(np.triu(within, k=1))
         gi = members[bb, ii]
@@ -195,9 +201,29 @@ def hamming_neighbor_pairs_bucketed(
         return ii.astype(np.int64), jj.astype(np.int64)
 
     pair_codes: List[np.ndarray] = []
-    launched = []
+    launched: List = []
+    inflight = 0
     oversized: List[np.ndarray] = []
-    # Phase 1: enqueue every bucket batch (async device dispatch).
+
+    def drain(down_to: int) -> None:
+        # Resolve oldest batches until in-flight bytes fall to the target;
+        # device compute and D2H of the still-queued batches overlap the
+        # host pair extraction here.
+        nonlocal launched, inflight
+        while launched and inflight > down_to:
+            take = 0
+            while take < len(launched) and inflight > down_to:
+                inflight -= launched[take][2]
+                take += 1
+            head, launched = launched[:take], launched[take:]
+            for gi, gj in _drain_bucket_batches(head):
+                pair_codes.append(np.minimum(gi, gj) * n +
+                                  np.maximum(gi, gj))
+
+    # Enqueue bucket batches (async device dispatch), draining the oldest
+    # whenever total in-flight device memory would exceed the budget —
+    # inputs with many near-threshold buckets must not pile unbounded
+    # [K,S,S] outputs onto the device.
     for seg_start, seg_end in segment_bounds(length, max_distance + 1):
         group_ids = _row_group_ids(matrix[:, seg_start:seg_end])
         order, starts, ends = _iter_bucket_slices(group_ids)
@@ -211,15 +237,16 @@ def hamming_neighbor_pairs_bucketed(
             selected = np.flatnonzero(in_class)
             if len(selected):
                 member_lists = [order[starts[b]:ends[b]] for b in selected]
-                launched.extend(_launch_bucket_batches(
-                    matrix, member_lists, size_class, alphabet_size,
-                    max_distance))
+                for item in _launch_bucket_batches(
+                        matrix, member_lists, size_class, alphabet_size,
+                        max_distance):
+                    launched.append(item)
+                    inflight += item[2]
+                    if inflight > MAX_INFLIGHT_BYTES:
+                        drain(MAX_INFLIGHT_BYTES // 2)
         for b in np.flatnonzero(sizes > classes[-1]):
             oversized.append(order[starts[b]:ends[b]])
-    # Phase 2: drain — device compute and D2H transfers overlap the host
-    # pair extraction of earlier batches.
-    for gi, gj in _drain_bucket_batches(launched):
-        pair_codes.append(np.minimum(gi, gj) * n + np.maximum(gi, gj))
+    drain(0)
     # Oversized buckets: dedicated all-pairs sweep per bucket.
     for idx in oversized:
         li, lj = neighbor_pairs(matrix[idx], alphabet_size, max_distance)

@@ -18,6 +18,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Verification batch size shared by the engine's candidate-pair loop and
+# the warmup path: the Pallas grid size is part of the compiled executable,
+# so batches are padded to one of exactly two geometries (PAIR_BLOCK for
+# tiny runs, EDIT_VERIFY_BATCH otherwise) and a production run loads one
+# program, already warmed, instead of one per distinct remainder batch.
+EDIT_VERIFY_BATCH = 1 << 16
+
 
 @functools.partial(jax.jit, static_argnames=())
 def batched_edit_distance(a: jax.Array, len_a: jax.Array,
@@ -84,7 +91,13 @@ def within_edit_distance_auto(a, len_a, b, len_b,
             and a.shape[1] > 0:
         from .pallas_edit import PAIR_BLOCK, banded_within_edit_distance
         p, length = a.shape
-        padded = -(-max(p, 1) // PAIR_BLOCK) * PAIR_BLOCK
+        # Canonical pair-count geometries (grid size is part of the
+        # executable; every distinct padded P would be a separate program
+        # load, ~30-60 s each through a remote TPU).
+        if p <= PAIR_BLOCK:
+            padded = PAIR_BLOCK
+        else:
+            padded = -(-p // EDIT_VERIFY_BATCH) * EDIT_VERIFY_BATCH
         # Pad L to a multiple of 16 so kernel compiles are shared across
         # nearby read lengths (padding chars are never read: the banded
         # scan stops caring past len_a/len_b).

@@ -1,12 +1,12 @@
 """Device-side phred -> average error rate reduction.
 
 TPU-native equivalent of _fastqmodule.c:38-76: a 128-entry error-rate LUT
-gather plus a masked mean per record.  This is the quality-filter kernel used
-by the device pipeline and the sharded demo path.  (The default end-to-end
-pipeline uses the bit-exact float64 host reduction in
-``fastqdedup_tpu.quality`` to preserve the reference's IEEE rounding
-sequence on threshold comparisons; this kernel is its high-throughput f32
-counterpart.)
+gather plus a masked mean per record.  The pipeline's pass-1 quality filter
+uses it when ``FASTQDEDUP_DEVICE_QUALITY=1`` (see pipeline.py); the default
+is the bit-exact float64 host reduction in ``fastqdedup_tpu.quality``, which
+preserves the reference's IEEE rounding sequence on threshold comparisons
+and its strict character-range validation.  This kernel is the
+high-throughput f32 counterpart for hosts whose CPU is the bottleneck.
 """
 
 import functools
@@ -17,7 +17,7 @@ import numpy as np
 
 from ..quality import DEFAULT_PHRED_OFFSET, SCORE_TO_ERROR_RATE
 
-_LUT_F32 = jnp.asarray(SCORE_TO_ERROR_RATE.astype(np.float32))
+_LUT_F32 = SCORE_TO_ERROR_RATE.astype(np.float32)  # captured as a constant
 
 
 @functools.partial(jax.jit, static_argnames=("phred_offset",))
@@ -31,7 +31,7 @@ def batch_average_error_rate_device(
     """
     lmax = scores.shape[1]
     idx = (scores.astype(jnp.int32) - phred_offset) & 0x7F
-    rates = _LUT_F32[idx]
+    rates = jnp.asarray(_LUT_F32)[idx]
     mask = jnp.arange(lmax, dtype=jnp.int32)[None, :] < \
         lengths.astype(jnp.int32)[:, None]
     totals = jnp.sum(jnp.where(mask, rates, 0.0), axis=1)
@@ -43,8 +43,11 @@ def quality_filter_mask(scores: jax.Array, lengths: jax.Array,
                         max_average_error_rate: jax.Array,
                         phred_offset: int = DEFAULT_PHRED_OFFSET
                         ) -> jax.Array:
-    """bool [B]: True for records that PASS the quality filter
-    (average error rate <= threshold; reference discards on ``>``,
-    __init__.py:247-249)."""
+    """bool [B]: True for records that PASS the quality filter.
+
+    The reference discards on ``rate > threshold`` (__init__.py:247-249),
+    which KEEPS records whose rate is NaN (empty quality string: 0.0/0.0,
+    _fastqmodule.c:73-75) — so the pass mask is ``~(rate > threshold)``,
+    not ``rate <= threshold``."""
     rates = batch_average_error_rate_device(scores, lengths, phred_offset)
-    return rates <= max_average_error_rate
+    return ~(rates > max_average_error_rate)

@@ -392,6 +392,8 @@ def deduplicate_cluster(
     validation, quality filter applied over the check-sliced qualities,
     within-distance clustering, cluster dissection, first-wins rewrite.
     """
+    from .runtime import configure_jax
+    configure_jax()
     if len(input_files) != len(output_files):
         raise ValueError(f"Amount of output files ({len(output_files)}) "
                          f"must be equal to the amount of input files "
@@ -433,6 +435,7 @@ def deduplicate_cluster(
         if cached_chunks is not None:
             cached_bytes += sum(
                 len(c.sequences) + len(c.qualities) + len(c.headers)
+                + c.offsets.nbytes + c.header_offsets.nbytes
                 for c in chunks)
             if cached_bytes <= memory_budget:
                 # Compact before caching: the parser's chunks are views
@@ -461,8 +464,22 @@ def deduplicate_cluster(
         b = chunks[0].count
         total_records += b
         if filter_on_quality:
-            rates = ragged_average_error_rate(qual_data, qual_offsets)
-            keep = ~(rates > max_average_error_rate)
+            if os.environ.get("FASTQDEDUP_DEVICE_QUALITY") == "1":
+                # Opt-in device path: f32 LUT gather + masked mean on the
+                # accelerator (ops/phred.py).  Trades the host path's
+                # bit-exact float64 rounding and strict character-range
+                # validation for throughput when the host CPU is the
+                # bottleneck.
+                from .ops.phred import quality_filter_mask
+                from .utils.ragged import pad_to_matrix
+                matrix, lens = pad_to_matrix(qual_data, qual_offsets,
+                                             fill=33)
+                keep = np.asarray(quality_filter_mask(
+                    matrix, lens.astype(np.int32),
+                    np.float32(max_average_error_rate)))
+            else:
+                rates = ragged_average_error_rate(qual_data, qual_offsets)
+                keep = ~(rates > max_average_error_rate)
             discarded_records += int(b - keep.sum())
             rows = np.flatnonzero(keep)
         else:
@@ -486,6 +503,18 @@ def deduplicate_cluster(
     # ---------------- Pass 2: cluster and dissect ------------------------
     groups = _finalize_groups(counts)
     counts.clear()
+    if logger.isEnabledFor(logging.DEBUG):
+        # Analog of the reference's DEBUG trie stats during pass 1
+        # (__init__.py:260-264): per-length unique-key table sizes.
+        total_bytes = 0
+        for g, length in enumerate(groups.lengths):
+            size = len(groups.counts[g])
+            nbytes = size * (length + 8)  # key bytes + int64 count
+            total_bytes += nbytes
+            logger.debug(f"Key table length {length}: {size} unique keys, "
+                         f"{nbytes / (1024 ** 3):.3f} GiB")
+        logger.debug(f"Key tables total: {groups.n} unique keys, "
+                     f"{total_bytes / (1024 ** 3):.3f} GiB")
     if prewarm_thread is not None:
         prewarm_thread.join()
 
@@ -510,13 +539,25 @@ def deduplicate_cluster(
             kept_mask[gi][rows[g == gi]] = True
 
     def mark_key_bytes(key: bytes) -> None:
+        # A user-supplied dissection strategy may yield a string that is
+        # not one of the cluster's keys; the reference tolerated that
+        # (unknown hashes simply never matched in pass 3,
+        # __init__.py:203-206), so unknown keys are skipped, not marked.
         g = groups.group_index_of_length(len(key))
+        if g is None:
+            logger.debug("dissection yielded unknown key of length "
+                         f"{len(key)}; ignored")
+            return
         if len(key) == 0:
-            kept_mask[g][0] = True
+            if len(kept_mask[g]):
+                kept_mask[g][0] = True
             return
         void = np.frombuffer(key, dtype=np.uint8).view(
             np.dtype((np.void, len(key))))
         row = int(np.searchsorted(groups.voids[g], void[0]))
+        if row >= len(groups.voids[g]) or groups.voids[g][row] != void[0]:
+            logger.debug("dissection yielded unknown key; ignored")
+            return
         kept_mask[g][row] = True
 
     # Singleton components (the bulk): kept wholesale, no dissection.

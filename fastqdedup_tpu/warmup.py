@@ -17,6 +17,8 @@ import numpy as np
 
 def warmup(lengths=(32, 64, 128, 160), edit_distances=(1, 2),
            verbose: bool = True) -> None:
+    from .runtime import configure_jax
+    configure_jax()
     from .ops.edit import within_edit_distance_auto
     from .ops.encode import pack_nibbles
     from .ops.pallas_hamming import ROW_BLOCK, rowwise_within_packed
@@ -73,12 +75,19 @@ def prewarm_async(length: int, alphabet_size: int = 5,
         try:
             rng = np.random.default_rng(0)
             if use_edit_distance:
-                from .ops.edit import within_edit_distance_auto
-                a = rng.integers(0, 4, size=(8, max(length, 1)),
-                                 dtype=np.uint8)
-                la = np.full(8, length, dtype=np.int64)
-                np.asarray(within_edit_distance_auto(
-                    a, la, a, la, max_distance))
+                # Warm BOTH canonical pair-batch geometries (the engine
+                # verifies in EDIT_VERIFY_BATCH batches; tiny runs use the
+                # single-block geometry) at the production length padding.
+                from .ops.edit import (
+                    EDIT_VERIFY_BATCH,
+                    within_edit_distance_auto,
+                )
+                for p in (8, EDIT_VERIFY_BATCH):
+                    a = rng.integers(0, 4, size=(p, max(length, 1)),
+                                     dtype=np.uint8)
+                    la = np.full(p, length, dtype=np.int64)
+                    np.asarray(within_edit_distance_auto(
+                        a, la, a, la, max_distance))
             else:
                 from .ops.bucket import (
                     SIZE_CLASSES,

@@ -76,7 +76,8 @@ def oracle_dedup(input_files: List[str], output_files: List[str],
     for i, key in enumerate(keys):
         clusters.setdefault(find(i), []).append((counts[key], key))
 
-    dissect = CLUSTER_DISSECTION_METHODS[method]
+    dissect = method if callable(method) \
+        else CLUSTER_DISSECTION_METHODS[method]
     kept = set()
     for cluster in clusters.values():
         for key in dissect(cluster, max_distance, use_edit_distance):

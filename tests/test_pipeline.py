@@ -194,3 +194,42 @@ def test_parity_through_device_kernel_path(tmp_path, monkeypatch):
     reads = _random_reads(rng, 400, 20)
     _run_both(tmp_path, [reads], method="directional")
     _run_both(tmp_path, [reads], method="adjacency", max_distance=2)
+
+
+def test_custom_dissection_with_unknown_keys(tmp_path):
+    """A user-supplied dissection strategy may yield strings that are not
+    cluster keys; the reference silently never matched them in pass 3
+    (__init__.py:203-206), so they must be ignored, not crash or mark a
+    neighboring real key."""
+
+    def weird_strategy(cluster, max_distance, use_edit_distance):
+        yield "ZZZZZZZZZZZZZZZZZZZZ"   # unknown, sorts past every key
+        yield "AAAAAAAAAAAAAAAAAAAA"   # unknown, insertion point 0
+        yield "NOT_A_KEY_LENGTH"       # unknown length entirely
+        yield max(cluster)[1]          # one real representative
+
+    rng = random.Random(47)
+    reads = _random_reads(rng, 120, 20)
+    inputs = [str(tmp_path / "in.fastq.gz")]
+    _make_fastq(inputs[0], reads)
+    got = [str(tmp_path / "got.fastq.gz")]
+    exp = [str(tmp_path / "exp.fastq.gz")]
+    deduplicate_cluster(inputs, got, None, 1, 1.0, weird_strategy, False)
+    oracle_dedup(inputs, exp, None, 1, 1.0, weird_strategy, False)
+    assert _read_out(got[0]) == _read_out(exp[0])
+
+
+def test_device_quality_filter_flag(tmp_path, monkeypatch):
+    """FASTQDEDUP_DEVICE_QUALITY=1 routes the pass-1 quality filter through
+    the device LUT kernel (ops/phred.py) with identical keep/drop decisions
+    on this data (thresholds far from f32 rounding boundaries)."""
+    rng = random.Random(48)
+    reads = _random_reads(rng, 200, 20)
+    inputs = [str(tmp_path / "in.fastq.gz")]
+    _make_fastq(inputs[0], reads)
+    out_host = [str(tmp_path / "host.fastq.gz")]
+    out_dev = [str(tmp_path / "dev.fastq.gz")]
+    deduplicate_cluster(inputs, out_host, None, 1, 0.001)
+    monkeypatch.setenv("FASTQDEDUP_DEVICE_QUALITY", "1")
+    deduplicate_cluster(inputs, out_dev, None, 1, 0.001)
+    assert _read_out(out_host[0]) == _read_out(out_dev[0])
