@@ -106,20 +106,28 @@ def _entries_from_keys(keys: Sequence[bytes],
 
 
 def _hamming_edges_entries(entries: Entries, table: EncodeTable,
-                           max_distance: int
+                           max_distance: int,
+                           shard: Tuple[int, int] = (0, 1)
                            ) -> Tuple[np.ndarray, np.ndarray]:
+    pid, nproc = shard
     edges_i: List[np.ndarray] = []
     edges_j: List[np.ndarray] = []
-    for length, matrix, idx in entries:
+    for g, (length, matrix, idx) in enumerate(entries):
         if len(idx) < 2 or length == 0:
             continue
         if len(idx) <= _host_limit(length):
+            # Small groups are a single unit of work: owned by one host.
+            if g % nproc != pid:
+                continue
             li, lj = _host_hamming_pairs(matrix, max_distance)
         elif len(idx) <= BRUTE_FORCE_LIMIT:
+            if g % nproc != pid:
+                continue
             li, lj = neighbor_pairs(matrix, table.size, max_distance)
         else:
+            # Large groups split at bucket granularity across hosts.
             li, lj = hamming_neighbor_pairs_bucketed(
-                matrix, table.size, max_distance)
+                matrix, table.size, max_distance, shard=shard)
         edges_i.append(idx[li])
         edges_j.append(idx[lj])
     if not edges_i:
@@ -142,13 +150,20 @@ def _host_edit_edges(keys: Sequence[bytes], max_distance: int
     return np.asarray(ii, dtype=np.int64), np.asarray(jj, dtype=np.int64)
 
 
-def _edit_edges_entries(entries: Entries, n: int, max_distance: int
+def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
+                        shard: Tuple[int, int] = (0, 1)
                         ) -> Tuple[np.ndarray, np.ndarray]:
     from .ops.edit import within_edit_distance_auto
 
     matrices = [matrix for _, matrix, _ in entries]
     gidx = [idx for _, _, idx in entries]
     cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance)
+    pid, nproc = shard
+    if nproc > 1:
+        # Candidate generation is deterministic and duplicated on every
+        # host; the expensive DP verification strides across hosts.
+        cand_i = cand_i[pid::nproc]
+        cand_j = cand_j[pid::nproc]
     if not len(cand_i):
         return cand_i, cand_j
     lengths = np.empty(n, dtype=np.int64)
@@ -334,6 +349,12 @@ class KeyGroups:
     counts: List[np.ndarray]    # int64 arrays aligned with voids
     starts: np.ndarray          # int64 [G]: global index of group start
     n: int
+    # Global record index of each key's FIRST occurrence among all input
+    # records (aligned with voids); lets pass 3 apply the reference's
+    # first-wins rule (__init__.py:203-206) as a stateless equality test,
+    # which also makes the rewrite pass embarrassingly parallel across
+    # hosts.  None when built through an API that didn't track positions.
+    first_pos: Optional[List[np.ndarray]] = None
 
     def locate(self, index: int) -> Tuple[int, int]:
         g = int(np.searchsorted(self.starts, index, side="right")) - 1
@@ -360,9 +381,16 @@ class KeyGroups:
 
 def build_partition_groups(groups: KeyGroups, max_distance: int,
                            use_edit_distance: bool = False,
-                           table: Optional[EncodeTable] = None) -> Partition:
+                           table: Optional[EncodeTable] = None,
+                           shard: Tuple[int, int] = (0, 1)) -> Partition:
     """Like :func:`build_partition`, but over :class:`KeyGroups` — no
-    per-key Python bytes objects are materialized on this path."""
+    per-key Python bytes objects are materialized on this path.
+
+    ``shard=(process_id, num_processes)``: in multi-host runs each host
+    computes the within-distance pairs for the buckets it owns; the edge
+    lists all-gather and dedupe before union-find, so every host derives
+    the identical partition.
+    """
     if table is None:
         table = EncodeTable("ACGTN")
     n = groups.n
@@ -384,14 +412,28 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
             raw = groups.voids[g].view(np.uint8).reshape(size, length)
             matrix = table.encode(raw)
         entries.append((length, matrix, idx))
+    pid, nproc = shard
     if use_edit_distance:
         if n <= HOST_LIMIT:
+            # Tiny inputs: every host computes the full edge set
+            # identically; skip the exchange below.
             keys = [groups.key_bytes(i) for i in range(n)]
             ei, ej = _host_edit_edges(keys, max_distance)
+            nproc = 1
         else:
-            ei, ej = _edit_edges_entries(entries, n, max_distance)
+            ei, ej = _edit_edges_entries(entries, n, max_distance, shard)
     else:
-        ei, ej = _hamming_edges_entries(entries, table, max_distance)
+        ei, ej = _hamming_edges_entries(entries, table, max_distance,
+                                        shard)
+    if nproc > 1:
+        from .parallel.distributed import allgather_int64_pairs
+        ei, ej = allgather_int64_pairs(ei, ej)
+        if len(ei):
+            # A pair may surface on two hosts (different segment passes);
+            # dedupe so per-cluster edge sets stay canonical.
+            codes = np.unique(np.minimum(ei, ej) * np.int64(n) +
+                              np.maximum(ei, ej))
+            ei, ej = codes // n, codes % n
     labels = connected_components_host(n, ei, ej)
     order = np.argsort(labels, kind="stable")
     sorted_labels = labels[order]

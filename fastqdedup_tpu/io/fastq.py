@@ -291,6 +291,13 @@ def render_fastq_records(chunk: FastqChunk, rows: np.ndarray) -> np.ndarray:
     rows = np.asarray(rows, dtype=np.int64)
     if not len(rows):
         return np.empty(0, dtype=np.uint8)
+    try:
+        from ..native.loader import render_records_native
+        return render_records_native(
+            chunk.sequences, chunk.qualities, chunk.offsets,
+            chunk.headers, chunk.header_offsets, rows)
+    except ImportError:
+        pass
     h0 = chunk.header_offsets[rows]
     hl = chunk.header_offsets[rows + 1] - h0
     s0 = chunk.offsets[rows]

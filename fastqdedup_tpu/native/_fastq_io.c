@@ -456,3 +456,196 @@ int fqw_close(FqWriter *w) {
     free(w);
     return rc;
 }
+
+/* ================= Key accumulator =====================================
+ *
+ * Open-addressing hash table over ragged byte keys, replacing the
+ * reference trie's per-record count aggregation (_triemodule.c:233-239)
+ * on the host side of the TPU pipeline.  For every distinct key it tracks
+ *
+ *   - count      : number of quality-PASSING records with this key
+ *   - first_pos  : global record index of the key's first occurrence
+ *                  among ALL records (the reference's pass 3 emits the
+ *                  first record in file order regardless of the quality
+ *                  filter, __init__.py:189-206)
+ *
+ * Key bytes live in an append-only arena; slots store the 64-bit hash for
+ * cheap probing (hash match -> memcmp verify).  Called through ctypes with
+ * the GIL released, so accumulation overlaps parsing and device work.
+ */
+
+typedef struct {
+    uint64_t hash;
+    int64_t count;
+    int64_t first_pos;
+    int64_t key_off;   /* arena offset; -1 marks an empty slot */
+    int64_t key_len;
+} AccEntry;
+
+typedef struct {
+    AccEntry *slots;
+    size_t cap;        /* power of two */
+    size_t used;
+    unsigned char *arena;
+    size_t arena_len, arena_cap;
+} KeyAcc;
+
+static uint64_t acc_mix64(uint64_t x) {
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33;
+    return x;
+}
+
+static uint64_t acc_hash(const unsigned char *p, size_t n) {
+    uint64_t h = 0x9e3779b97f4a7c15ULL ^ (uint64_t)n;
+    while (n >= 8) {
+        uint64_t k;
+        memcpy(&k, p, 8);
+        h = acc_mix64(h ^ k) * 0x2545F4914F6CDD1DULL;
+        p += 8; n -= 8;
+    }
+    uint64_t k = 0;
+    memcpy(&k, p, n);
+    return acc_mix64(h ^ k);
+}
+
+KeyAcc *acc_new(int64_t expected) {
+    KeyAcc *a = (KeyAcc *)calloc(1, sizeof(KeyAcc));
+    if (!a) return NULL;
+    size_t cap = 1024;
+    while ((int64_t)cap < expected * 2) cap <<= 1;
+    a->slots = (AccEntry *)malloc(cap * sizeof(AccEntry));
+    if (!a->slots) { free(a); return NULL; }
+    for (size_t i = 0; i < cap; i++) a->slots[i].key_off = -1;
+    a->cap = cap;
+    a->arena_cap = 1 << 20;
+    a->arena = (unsigned char *)malloc(a->arena_cap);
+    if (!a->arena) { free(a->slots); free(a); return NULL; }
+    return a;
+}
+
+void acc_free(KeyAcc *a) {
+    if (!a) return;
+    free(a->slots);
+    free(a->arena);
+    free(a);
+}
+
+static int acc_grow(KeyAcc *a) {
+    size_t new_cap = a->cap * 2;
+    AccEntry *ns = (AccEntry *)malloc(new_cap * sizeof(AccEntry));
+    if (!ns) return FQ_ERR_NOMEM;
+    for (size_t i = 0; i < new_cap; i++) ns[i].key_off = -1;
+    size_t mask = new_cap - 1;
+    for (size_t i = 0; i < a->cap; i++) {
+        AccEntry *e = &a->slots[i];
+        if (e->key_off < 0) continue;
+        size_t j = (size_t)e->hash & mask;
+        while (ns[j].key_off >= 0) j = (j + 1) & mask;
+        ns[j] = *e;
+    }
+    free(a->slots);
+    a->slots = ns;
+    a->cap = new_cap;
+    return FQ_OK;
+}
+
+/* Insert/update one batch of ragged keys.
+ * counted: optional uint8[n] (NULL = every record counts); first_pos is
+ * tracked for every record either way.  base = global index of record 0. */
+int acc_add(KeyAcc *a, const unsigned char *key_data,
+            const int64_t *key_offsets, const unsigned char *counted,
+            int64_t n, int64_t base) {
+    for (int64_t i = 0; i < n; i++) {
+        const unsigned char *key = key_data + key_offsets[i];
+        size_t len = (size_t)(key_offsets[i + 1] - key_offsets[i]);
+        uint64_t h = acc_hash(key, len);
+        size_t mask = a->cap - 1;
+        size_t j = (size_t)h & mask;
+        AccEntry *e;
+        for (;;) {
+            e = &a->slots[j];
+            if (e->key_off < 0) break;
+            if (e->hash == h && (size_t)e->key_len == len &&
+                memcmp(a->arena + e->key_off, key, len) == 0)
+                break;
+            j = (j + 1) & mask;
+        }
+        if (e->key_off < 0) {
+            if (a->arena_len + len > a->arena_cap) {
+                size_t nc = a->arena_cap * 2;
+                while (a->arena_len + len > nc) nc *= 2;
+                unsigned char *na = (unsigned char *)realloc(a->arena, nc);
+                if (!na) return FQ_ERR_NOMEM;
+                a->arena = na;
+                a->arena_cap = nc;
+            }
+            memcpy(a->arena + a->arena_len, key, len);
+            e->hash = h;
+            e->key_off = (int64_t)a->arena_len;
+            e->key_len = (int64_t)len;
+            e->count = 0;
+            e->first_pos = base + i;
+            a->arena_len += len;
+            a->used++;
+            if (a->used * 4 > a->cap * 3) {
+                if (acc_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
+            }
+        }
+        if (!counted || counted[i]) e->count++;
+        if (base + i < e->first_pos) e->first_pos = base + i;
+    }
+    return FQ_OK;
+}
+
+int64_t acc_size(const KeyAcc *a) { return (int64_t)a->used; }
+int64_t acc_key_bytes(const KeyAcc *a) { return (int64_t)a->arena_len; }
+
+/* Dump every entry (table order).  Caller allocates:
+ * key_out[arena_len], offsets_out[used+1], counts_out[used],
+ * firstpos_out[used]. */
+void acc_export(const KeyAcc *a, unsigned char *key_out,
+                int64_t *offsets_out, int64_t *counts_out,
+                int64_t *firstpos_out) {
+    int64_t pos = 0, k = 0;
+    offsets_out[0] = 0;
+    for (size_t i = 0; i < a->cap; i++) {
+        const AccEntry *e = &a->slots[i];
+        if (e->key_off < 0) continue;
+        memcpy(key_out + pos, a->arena + e->key_off, (size_t)e->key_len);
+        pos += e->key_len;
+        counts_out[k] = e->count;
+        firstpos_out[k] = e->first_pos;
+        offsets_out[++k] = pos;
+    }
+}
+
+/* ================= Ragged record rendering =============================
+ *
+ * Assemble selected FASTQ records ("@header\nseq\n+\nqual\n") straight
+ * into one output byte buffer with memcpy — the vectorized-numpy fancy
+ * indexing this replaces traverses [rows, L] int64 index matrices and is
+ * ~20x slower.  Used by pass 3 (pipeline._filter_and_write).
+ */
+int64_t fq_render_records(const unsigned char *seq, const unsigned char *qual,
+                          const int64_t *offsets,
+                          const unsigned char *head,
+                          const int64_t *head_offsets,
+                          const int64_t *rows, int64_t n_rows,
+                          unsigned char *out) {
+    unsigned char *p = out;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t i = rows[r];
+        int64_t s0 = offsets[i], sl = offsets[i + 1] - s0;
+        int64_t h0 = head_offsets[i], hl = head_offsets[i + 1] - h0;
+        *p++ = '@';
+        memcpy(p, head + h0, (size_t)hl); p += hl;
+        *p++ = '\n';
+        memcpy(p, seq + s0, (size_t)sl); p += sl;
+        *p++ = '\n'; *p++ = '+'; *p++ = '\n';
+        memcpy(p, qual + s0, (size_t)sl); p += sl;
+        *p++ = '\n';
+    }
+    return (int64_t)(p - out);
+}

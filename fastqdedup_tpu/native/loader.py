@@ -42,6 +42,24 @@ _lib.fq_avg_error_rates.restype = ctypes.c_int64
 _lib.fq_avg_error_rates.argtypes = [
     _u8p, _i64p, ctypes.c_int64, ctypes.c_int, _f64p]
 
+_lib.acc_new.restype = ctypes.c_void_p
+_lib.acc_new.argtypes = [ctypes.c_int64]
+_lib.acc_free.restype = None
+_lib.acc_free.argtypes = [ctypes.c_void_p]
+_lib.acc_add.restype = ctypes.c_int
+_lib.acc_add.argtypes = [ctypes.c_void_p, _u8p, _i64p,
+                         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+_lib.acc_size.restype = ctypes.c_int64
+_lib.acc_size.argtypes = [ctypes.c_void_p]
+_lib.acc_key_bytes.restype = ctypes.c_int64
+_lib.acc_key_bytes.argtypes = [ctypes.c_void_p]
+_lib.acc_export.restype = None
+_lib.acc_export.argtypes = [ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p]
+
+_lib.fq_render_records.restype = ctypes.c_int64
+_lib.fq_render_records.argtypes = [_u8p, _u8p, _i64p, _u8p, _i64p,
+                                   _i64p, ctypes.c_int64, _u8p]
+
 _lib.fqw_open.restype = ctypes.c_void_p
 _lib.fqw_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
 _lib.fqw_write.restype = ctypes.c_int
@@ -64,6 +82,7 @@ def read_fastq_chunks_native(filename: str, chunk_records: int = 1 << 18
         raise OSError(f"could not open {filename!r}")
     payload_cap = chunk_records * _BYTES_PER_RECORD
     head_cap = chunk_records * _HEAD_BYTES_PER_RECORD
+    adapted = False
     try:
         while True:
             seq_buf = np.empty(payload_cap, dtype=np.uint8)
@@ -101,10 +120,30 @@ def read_fastq_chunks_native(filename: str, chunk_records: int = 1 << 18
                 header_offsets=head_offsets[:n + 1],
             )
             if n < chunk_records:
-                # Buffers filled before the record quota: records are larger
-                # than estimated; grow the payload estimate for next chunks.
-                payload_cap *= 2
-                head_cap *= 2
+                # Buffers filled before the record quota: size the next
+                # buffers from the observed per-record payload (+25%), so
+                # record sizes larger than the initial estimate converge in
+                # one step instead of oscillating with the tight sizing
+                # below.  No further tightening after this.
+                bpr = -(-int(offsets[n]) // n)
+                hpr = -(-int(head_offsets[n]) // n)
+                payload_cap = max(payload_cap,
+                                  chunk_records * (bpr + (bpr >> 2) + 2))
+                head_cap = max(head_cap,
+                               chunk_records * (hpr + (hpr >> 2) + 2))
+                adapted = True
+            elif not adapted:
+                # Right-size subsequent buffers to the observed per-record
+                # payload (+6% headroom): downstream keeps these chunks
+                # alive for the rewrite pass, and tight buffers mean the
+                # views pin almost no slack (no compaction copies).
+                payload_cap = max(
+                    int(offsets[n]) + (int(offsets[n]) >> 4) + 4096,
+                    chunk_records * 8)
+                head_cap = max(
+                    int(head_offsets[n]) + (int(head_offsets[n]) >> 4)
+                    + 4096, chunk_records * 8)
+                adapted = True
     finally:
         _lib.fq_close(handle)
 
@@ -166,3 +205,85 @@ class NativeGzWriter:
             self.close()
         except Exception:
             pass
+
+
+class KeyAccumulator:
+    """Streaming (key -> count, first_pos) aggregation in C.
+
+    Replaces pass 1's per-chunk sort/unique + global merge: each chunk's
+    ragged keys feed a GIL-free open-addressing hash table; ``export``
+    dumps unique keys with quality-passing counts and the global index of
+    each key's first occurrence among all records (pass 3's first-wins
+    rule, reference __init__.py:203-206, becomes a stateless equality
+    test against first_pos).
+    """
+
+    def __init__(self, expected: int = 1 << 20):
+        self._handle = _lib.acc_new(int(expected))
+        if not self._handle:
+            raise MemoryError("could not allocate key accumulator")
+
+    def add(self, key_data: np.ndarray, key_offsets: np.ndarray,
+            counted, base: int) -> None:
+        """Insert one chunk.  ``counted``: optional uint8/bool [n] mask of
+        records that increment the count (first_pos tracks every record);
+        ``base``: global index of the chunk's first record."""
+        n = len(key_offsets) - 1
+        key_data = np.ascontiguousarray(key_data, dtype=np.uint8)
+        key_offsets = np.ascontiguousarray(key_offsets, dtype=np.int64)
+        if counted is None:
+            cptr = None
+        else:
+            counted = np.ascontiguousarray(counted, dtype=np.uint8)
+            cptr = counted.ctypes.data_as(ctypes.c_void_p)
+        rc = _lib.acc_add(self._handle, key_data, key_offsets, cptr,
+                          n, int(base))
+        if rc != _FQ_OK:
+            raise MemoryError("key accumulator allocation failure")
+
+    def export(self):
+        """-> (key_data, key_offsets, counts, first_pos) in table order."""
+        n = _lib.acc_size(self._handle)
+        nbytes = _lib.acc_key_bytes(self._handle)
+        key_out = np.empty(nbytes, dtype=np.uint8)
+        offsets_out = np.empty(n + 1, dtype=np.int64)
+        counts_out = np.empty(n, dtype=np.int64)
+        firstpos_out = np.empty(n, dtype=np.int64)
+        _lib.acc_export(self._handle, key_out, offsets_out, counts_out,
+                        firstpos_out)
+        return key_out, offsets_out, counts_out, firstpos_out
+
+    def close(self) -> None:
+        if self._handle:
+            _lib.acc_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def render_records_native(seq: np.ndarray, qual: np.ndarray,
+                          offsets: np.ndarray, head: np.ndarray,
+                          head_offsets: np.ndarray,
+                          rows: np.ndarray) -> np.ndarray:
+    """Serialize selected FASTQ records to one uint8 buffer (C memcpy)."""
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    s0 = offsets[rows]
+    sl = offsets[rows + 1] - s0
+    hl = head_offsets[rows + 1] - head_offsets[rows]
+    total = int((1 + hl + 1 + sl + 3 + sl + 1).sum()) if len(rows) else 0
+    out = np.empty(total, dtype=np.uint8)
+    if not total:
+        return out
+    written = _lib.fq_render_records(
+        np.ascontiguousarray(seq, dtype=np.uint8),
+        np.ascontiguousarray(qual, dtype=np.uint8),
+        np.ascontiguousarray(offsets, dtype=np.int64),
+        np.ascontiguousarray(head, dtype=np.uint8),
+        np.ascontiguousarray(head_offsets, dtype=np.int64),
+        rows, len(rows), out)
+    assert written == total, "renderer wrote unexpected byte count"
+    return out

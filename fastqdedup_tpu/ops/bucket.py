@@ -65,6 +65,9 @@ def _iter_bucket_slices(group_ids: np.ndarray
 @functools.partial(jax.jit, static_argnames=("alphabet_pad",))
 def _bucketed_within_padded(batch: jax.Array, scalars: jax.Array,
                             alphabet_pad: int) -> jax.Array:
+    """uint8 [K, S, ceil(S/8)]: bitpacked per-bucket all-pairs adjacency
+    (little bit order).  Packing on device shrinks the D2H transfer 8x —
+    through a tunneled TPU the wire, not the MXU, is the bottleneck."""
     k, s, l_pad = batch.shape
     onehot = jax.nn.one_hot(batch, alphabet_pad, dtype=jnp.int8)
     flat = onehot.reshape(k, s, l_pad * alphabet_pad)
@@ -72,12 +75,19 @@ def _bucketed_within_padded(batch: jax.Array, scalars: jax.Array,
         flat, flat,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)
-    return (scalars[0] - matches) <= scalars[1]
+    within = (scalars[0] - matches) <= scalars[1]
+    s8 = -(-s // 8) * 8
+    if s8 != s:
+        within = jnp.pad(within, ((0, 0), (0, 0), (0, s8 - s)))
+    bits = within.reshape(k, s, s8 // 8, 8).astype(jnp.int32)
+    weights = (jnp.int32(1) << jnp.arange(8, dtype=jnp.int32))
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
 
 
 def _bucketed_within(batch: np.ndarray, alphabet_size: int,
                      max_distance: int, device=None) -> jax.Array:
-    """bool [K, S, S]: per-bucket all-pairs Hamming <= max_distance.
+    """uint8 [K, S, ceil(S/8)]: bitpacked per-bucket all-pairs
+    Hamming <= max_distance (unpack with np.unpackbits bitorder="little").
 
     ``batch``: uint8 [K, S, L] alphabet indices; padded slots hold
     ``_PAD_INDEX`` whose one-hot is all-zero, so padded rows match nothing
@@ -170,7 +180,9 @@ def _drain_bucket_batches(launched):
         except AttributeError:  # pragma: no cover - older jax
             pass
     for members, future, _ in launched:
-        within = np.asarray(future)
+        s = members.shape[1]
+        within = np.unpackbits(np.asarray(future), axis=-1,
+                               bitorder="little")[..., :s]
         bb, ii, jj = np.nonzero(np.triu(within, k=1))
         gi = members[bb, ii]
         gj = members[bb, jj]
@@ -180,7 +192,8 @@ def _drain_bucket_batches(launched):
 
 def hamming_neighbor_pairs_bucketed(
         matrix: np.ndarray, alphabet_size: int, max_distance: int,
-        large_bucket_threshold: int = 2048
+        large_bucket_threshold: int = 2048,
+        shard: Tuple[int, int] = (0, 1)
         ) -> Tuple[np.ndarray, np.ndarray]:
     """All pairs (i < j) of equal-length rows within Hamming max_distance,
     via pigeonhole bucketing.  Exact (complete) by the pigeonhole principle.
@@ -189,14 +202,25 @@ def hamming_neighbor_pairs_bucketed(
     with one batched [K, S, Lp] one-hot MXU matmul, launched async and
     drained after everything is enqueued.  Buckets larger than
     ``large_bucket_threshold`` get a dedicated all-pairs tile sweep.
+
+    ``shard=(process_id, num_processes)``: multi-host partition — each
+    bucket's pairs are computed on exactly one host, chosen by a stable
+    mix of the bucket's dense content id (identical on every host because
+    every host holds the same key table in the same order).  The union of
+    all shards' outputs equals the unsharded output.
     """
+    from ..parallel.distributed import bucket_owner_mask
     from .hamming import neighbor_pairs
 
+    pid, nproc = shard
     n, length = matrix.shape
     if n < 2:
         return (np.empty(0, dtype=np.int64),) * 2
     if length <= max_distance:
-        # Every pair is trivially within distance; complete graph.
+        # Every pair is trivially within distance; complete graph
+        # (emitted by host 0 only under sharding).
+        if pid != 0:
+            return (np.empty(0, dtype=np.int64),) * 2
         ii, jj = np.triu_indices(n, k=1)
         return ii.astype(np.int64), jj.astype(np.int64)
 
@@ -224,15 +248,18 @@ def hamming_neighbor_pairs_bucketed(
     # whenever total in-flight device memory would exceed the budget —
     # inputs with many near-threshold buckets must not pile unbounded
     # [K,S,S] outputs onto the device.
-    for seg_start, seg_end in segment_bounds(length, max_distance + 1):
+    for seg_index, (seg_start, seg_end) in enumerate(
+            segment_bounds(length, max_distance + 1)):
         group_ids = _row_group_ids(matrix[:, seg_start:seg_end])
         order, starts, ends = _iter_bucket_slices(group_ids)
         sizes = ends - starts
+        owned = bucket_owner_mask(
+            np.arange(len(starts), dtype=np.int64), seg_index, pid, nproc)
         classes = [c for c in SIZE_CLASSES
                    if c <= large_bucket_threshold] or [SIZE_CLASSES[0]]
         lower = 1
         for size_class in classes:
-            in_class = (sizes > lower) & (sizes <= size_class)
+            in_class = (sizes > lower) & (sizes <= size_class) & owned
             lower = size_class
             selected = np.flatnonzero(in_class)
             if len(selected):
@@ -244,7 +271,7 @@ def hamming_neighbor_pairs_bucketed(
                     inflight += item[2]
                     if inflight > MAX_INFLIGHT_BYTES:
                         drain(MAX_INFLIGHT_BYTES // 2)
-        for b in np.flatnonzero(sizes > classes[-1]):
+        for b in np.flatnonzero((sizes > classes[-1]) & owned):
             oversized.append(order[starts[b]:ends[b]])
     drain(0)
     # Oversized buckets: dedicated all-pairs sweep per bucket.

@@ -1,4 +1,4 @@
-"""Multi-host initialization and work partitioning.
+"""Multi-host initialization, work partitioning, and vectorized exchange.
 
 Greenfield relative to the reference (single-threaded, single-process —
 SURVEY.md §2 "Parallelism inventory: none").  Scaling model:
@@ -8,16 +8,32 @@ SURVEY.md §2 "Parallelism inventory: none").  Scaling model:
   under shard_map on a 1-D mesh (parallel/sharded.py).  No user action
   needed.
 * **multi-host pods** — call :func:`initialize_distributed` first (or set
-  the standard JAX coordinator env vars); each host ingests its own input
-  shard (`shard_for_host`), computes candidate pairs for the bucket
-  subsets it owns, and the kept-key sets merge host-side.
+  the standard JAX coordinator env vars) and run the SAME CLI invocation on
+  every host; ``pipeline.deduplicate_cluster`` detects
+  ``jax.process_count() > 1`` and splits the work:
 
-Tested on virtual CPU device meshes
-(`XLA_FLAGS=--xla_force_host_platform_device_count=N`); see
-tests/test_parallel.py and the driver's dryrun_multichip hook.
+  - pass 1: input chunks are strided across hosts (chunk i belongs to host
+    i % H); each host aggregates (key -> count, first_pos) for its chunks
+    and the per-host tables merge through one padded all-gather
+    (:func:`allgather_key_tables` — fixed-width arrays, no per-key Python).
+  - pass 2: pigeonhole buckets are partitioned by a stable content-id mix
+    (:func:`bucket_owner_mask`), each bucket's pairs are computed on
+    exactly one host, and the edge lists union through
+    :func:`allgather_int64_pairs`.  Union-find + dissection then run
+    identically on every host (big clusters stride across hosts with an
+    index all-gather).
+  - pass 3: each host rewrites its own chunks; the first-wins rule needs
+    no coordination because pass 1 recorded each key's global
+    first-occurrence position.
+
+All exchanges ride ``jax.experimental.multihost_utils`` (device all-gather
+over ICI/DCN).  Tested via a real 2-process ``jax.distributed`` CPU run
+(tests/test_distributed.py) and the single-process fallbacks.
 """
 
 from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -41,6 +57,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         pass
 
 
+def process_shape() -> Tuple[int, int]:
+    """(process_id, process_count); (0, 1) when JAX is uninitialized."""
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
 def shard_for_host(items: Sequence, process_id: Optional[int] = None,
                    num_processes: Optional[int] = None) -> List:
     """The subset of ``items`` this host owns (strided partition)."""
@@ -52,46 +78,174 @@ def shard_for_host(items: Sequence, process_id: Optional[int] = None,
             if index % nproc == pid]
 
 
-def merge_kept_keys(local_kept: set) -> set:
-    """Union the per-host kept-key sets across processes.
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (stable across hosts/runs)."""
+    x = x.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
 
-    Keys are small byte strings; the merge runs over the JAX distributed
-    client as fixed-width device arrays (an all-gather over DCN), falling
-    back to the local set in single-process runs.
+
+def bucket_owner_mask(bucket_ids: np.ndarray, salt: int,
+                      process_id: int, num_processes: int) -> np.ndarray:
+    """bool mask: which buckets this host computes pairs for.
+
+    ``bucket_ids`` are dense per-segment bucket ids, identical on every
+    host (all hosts hold the same merged key table in the same order), so
+    a salted integer mix gives a stable, balanced partition with zero
+    communication.  Buckets are the unit of distribution — a bucket's
+    pairs never cross hosts (SURVEY.md §7 step 9).
+    """
+    if num_processes <= 1:
+        return np.ones(len(bucket_ids), dtype=bool)
+    salt_mix = np.uint64((0x9E3779B97F4A7C15 * (salt + 1)) & (2 ** 64 - 1))
+    mixed = _mix64(bucket_ids.astype(np.uint64) ^ salt_mix)
+    return (mixed % np.uint64(num_processes)) == np.uint64(process_id)
+
+
+def _allgather(array: np.ndarray) -> np.ndarray:
+    """[H, ...] stack of every process's ``array`` (device all-gather)."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(array)))
+
+
+def _pad_to(a: np.ndarray, size: int) -> np.ndarray:
+    if len(a) == size:
+        return a
+    out = np.zeros(size, dtype=a.dtype)
+    out[:len(a)] = a
+    return out
+
+
+def allgather_key_tables(key_data: np.ndarray, key_offsets: np.ndarray,
+                         counts: np.ndarray, first_pos: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    np.ndarray]:
+    """Concatenate per-host key-accumulator exports across all processes.
+
+    Three padded all-gathers (payload bytes, per-key lengths, count/pos
+    columns) — O(total table size) device traffic and zero per-key Python.
+    The same key may appear in several hosts' tables; the caller's
+    finalize step collapses duplicates (summing counts, min-ing
+    first_pos).  Single-process: returns the inputs unchanged.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return key_data, key_offsets, counts, first_pos
+    lengths = np.diff(key_offsets)
+    n, nbytes = len(counts), len(key_data)
+    sizes = _allgather(np.asarray([n, nbytes], dtype=np.int64))
+    max_n = int(sizes[:, 0].max())
+    max_b = int(sizes[:, 1].max())
+    g_data = _allgather(_pad_to(key_data, max_b))
+    g_cols = _allgather(np.stack([
+        _pad_to(lengths, max_n),
+        _pad_to(counts, max_n),
+        _pad_to(first_pos, max_n)]))
+    datas: List[np.ndarray] = []
+    lens: List[np.ndarray] = []
+    cnts: List[np.ndarray] = []
+    poss: List[np.ndarray] = []
+    for h in range(len(sizes)):
+        hn, hb = int(sizes[h, 0]), int(sizes[h, 1])
+        datas.append(g_data[h][:hb])
+        lens.append(g_cols[h][0][:hn])
+        cnts.append(g_cols[h][1][:hn])
+        poss.append(g_cols[h][2][:hn])
+    all_lens = np.concatenate(lens)
+    out_offsets = np.zeros(len(all_lens) + 1, dtype=np.int64)
+    np.cumsum(all_lens, out=out_offsets[1:])
+    return (np.concatenate(datas), out_offsets,
+            np.concatenate(cnts), np.concatenate(poss))
+
+
+def allgather_int64(vec: np.ndarray) -> np.ndarray:
+    """Concatenate a variable-length int64 vector across processes."""
+    import jax
+
+    if jax.process_count() == 1:
+        return vec
+    sizes = _allgather(np.asarray([len(vec)], dtype=np.int64))[:, 0]
+    max_n = int(sizes.max())
+    gathered = _allgather(_pad_to(vec.astype(np.int64), max_n))
+    return np.concatenate([gathered[h][:int(sizes[h])]
+                           for h in range(len(sizes))])
+
+
+def allgather_int64_pairs(a: np.ndarray, b: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate paired int64 vectors (e.g. edge lists) across hosts."""
+    import jax
+
+    if jax.process_count() == 1:
+        return a, b
+    stacked = allgather_int64(np.concatenate(
+        [np.asarray([len(a)], dtype=np.int64), a, b]))
+    out_a: List[np.ndarray] = []
+    out_b: List[np.ndarray] = []
+    pos = 0
+    while pos < len(stacked):
+        n = int(stacked[pos])
+        out_a.append(stacked[pos + 1:pos + 1 + n])
+        out_b.append(stacked[pos + 1 + n:pos + 1 + 2 * n])
+        pos += 1 + 2 * n
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def sum_scalars(*values: int) -> Tuple[int, ...]:
+    """Element-wise sum of per-host int scalars (for run statistics)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return values
+    gathered = _allgather(np.asarray(values, dtype=np.int64))
+    return tuple(int(v) for v in gathered.sum(axis=0))
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def merge_kept_keys(local_kept: set) -> set:
+    """Union per-host kept-key byte-string sets across processes.
+
+    Compatibility API over :func:`allgather_key_tables` (ragged keys pack
+    into one payload + length vector; no per-key Python in the exchange).
+    The pipeline itself no longer needs this — first_pos tracking makes
+    kept sets implicit — but external callers mirroring the reference's
+    kept-set flow can still merge through it.
     """
     import jax
 
     if jax.process_count() == 1:
         return local_kept
-    import numpy as np
-    import jax.numpy as jnp
-    from jax.experimental import multihost_utils
-
     local = sorted(local_kept)
-    max_len = max((len(k) for k in local), default=0)
-    max_len = int(multihost_utils.process_allgather(
-        jnp.asarray(max_len)).max())
-    count = len(local)
-    max_count = int(multihost_utils.process_allgather(
-        jnp.asarray(count)).max())
-    buf = np.zeros((max_count, max(max_len, 1)), dtype=np.uint8)
-    # Lengths travel as a separate int32 vector (keys can exceed 255
-    # bytes, e.g. paired 150 bp concatenations); -1 marks empty slots so
-    # genuine zero-length keys survive the merge.
-    lens = np.full(max_count, -1, dtype=np.int32)
-    for i, key in enumerate(local):
-        lens[i] = len(key)
-        buf[i, :len(key)] = np.frombuffer(key, dtype=np.uint8)
-    gathered = np.asarray(multihost_utils.process_allgather(
-        jnp.asarray(buf)))
-    gathered_lens = np.asarray(multihost_utils.process_allgather(
-        jnp.asarray(lens)))
-    merged = set()
-    for host_buf, host_lens in zip(gathered, gathered_lens):
-        for row, key_len in zip(host_buf, host_lens):
-            if key_len >= 0:
-                merged.add(row[:key_len].tobytes())
-    return merged
+    lengths = np.fromiter((len(k) for k in local), dtype=np.int64,
+                          count=len(local))
+    offsets = np.zeros(len(local) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    data = np.frombuffer(b"".join(local), dtype=np.uint8) \
+        if local else np.empty(0, dtype=np.uint8)
+    ones = np.ones(len(local), dtype=np.int64)
+    g_data, g_offsets, _, _ = allgather_key_tables(
+        data, offsets, ones, ones)
+    raw = g_data.tobytes()
+    return {raw[g_offsets[i]:g_offsets[i + 1]]
+            for i in range(len(g_offsets) - 1)}
 
 
 def partition_buckets_by_hash(bucket_keys: Sequence[bytes],

@@ -22,6 +22,7 @@ batch execution:
 """
 
 import logging
+import os
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -319,60 +320,138 @@ def _chunk_keys(chunks: Tuple[FastqChunk, ...],
     return key_data, key_offsets, qual_data, qual_offsets
 
 
-def _accumulate_counts(pending: Dict[int, List[Tuple[np.ndarray,
-                                                     np.ndarray]]],
-                       key_data: np.ndarray, key_offsets: np.ndarray,
-                       rows: np.ndarray) -> None:
-    """Collapse exact duplicates within the chunk (sort/unique per length
-    group) and stash per-chunk (unique_keys, counts) arrays; the global
-    merge happens once in :func:`_finalize_counts` — no Python dicts in the
-    per-record path (replaces the trie's per-record count aggregation,
+class _NumpyKeyAccumulator:
+    """Pure-numpy fallback for native.loader.KeyAccumulator.
+
+    Per-chunk sort/unique per length group with quality-passing counts and
+    first-occurrence positions; chunks merge lazily in :meth:`export`
+    (replaces the trie's per-record count aggregation,
     _triemodule.c:233-239)."""
-    lengths = np.diff(key_offsets)[rows]
-    for length in np.unique(lengths):
-        sel = rows[lengths == length]
-        void = rows_as_void(key_data, key_offsets, sel, int(length))
-        uniq, cnt = np.unique(void, return_counts=True)
-        pending.setdefault(int(length), []).append((uniq, cnt))
+
+    def __init__(self, expected: int = 0):
+        self._pending: Dict[int, List[Tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]]] = {}
+
+    def add(self, key_data: np.ndarray, key_offsets: np.ndarray,
+            counted: Optional[np.ndarray], base: int) -> None:
+        n = len(key_offsets) - 1
+        lengths = np.diff(key_offsets)
+        if counted is None:
+            counted_i = np.ones(n, dtype=np.int64)
+        else:
+            counted_i = counted.astype(np.int64)
+        positions = base + np.arange(n, dtype=np.int64)
+        for length in np.unique(lengths):
+            sel = np.flatnonzero(lengths == length)
+            void = rows_as_void(key_data, key_offsets, sel, int(length))
+            uniq, inverse = np.unique(void, return_inverse=True)
+            cnt = np.bincount(inverse, weights=counted_i[sel]
+                              ).astype(np.int64)
+            pos = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(pos, inverse, positions[sel])
+            self._pending.setdefault(int(length), []).append(
+                (uniq, cnt, pos))
+
+    def export(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray]:
+        datas: List[np.ndarray] = []
+        lens: List[np.ndarray] = []
+        counts_out: List[np.ndarray] = []
+        pos_out: List[np.ndarray] = []
+        for length in sorted(self._pending):
+            parts = self._pending[length]
+            if len(parts) == 1:
+                uniq, counts, pos = parts[0]
+            else:
+                allv = np.concatenate([p[0] for p in parts])
+                allc = np.concatenate([p[1] for p in parts])
+                allp = np.concatenate([p[2] for p in parts])
+                # Presorted runs (np.unique output) merge cheaply under a
+                # stable timsort.
+                order = np.argsort(allv, kind="stable")
+                sv, sc, sp = allv[order], allc[order], allp[order]
+                if len(sv):
+                    run_starts = np.concatenate(
+                        [[0], np.flatnonzero(sv[1:] != sv[:-1]) + 1])
+                    uniq = sv[run_starts]
+                    counts = np.add.reduceat(sc, run_starts)
+                    pos = np.minimum.reduceat(sp, run_starts)
+                else:
+                    uniq, counts, pos = sv, sc, sp
+            datas.append(uniq.view(np.uint8).reshape(-1))
+            lens.append(np.full(len(uniq), length, dtype=np.int64))
+            counts_out.append(counts)
+            pos_out.append(pos)
+        if not datas:
+            return (np.empty(0, dtype=np.uint8),
+                    np.zeros(1, dtype=np.int64),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        key_offsets = np.zeros(sum(len(c) for c in counts_out) + 1,
+                               dtype=np.int64)
+        np.cumsum(np.concatenate(lens), out=key_offsets[1:])
+        return (np.concatenate(datas), key_offsets,
+                np.concatenate(counts_out), np.concatenate(pos_out))
+
+    def close(self) -> None:
+        self._pending.clear()
 
 
-def _finalize_groups(pending: Dict[int, List[Tuple[np.ndarray, np.ndarray]]]
+def _make_key_accumulator(expected: int = 1 << 20):
+    try:
+        from .native.loader import KeyAccumulator
+        return KeyAccumulator(expected)
+    except ImportError:
+        return _NumpyKeyAccumulator(expected)
+
+
+def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
+                     counts: np.ndarray, first_pos: np.ndarray
                      ) -> KeyGroups:
-    """Merge per-chunk unique arrays into global per-length groups,
-    ordered by length then lexicographic key — no per-key Python objects
-    (see engine.KeyGroups)."""
-    lengths: List[int] = []
+    """Accumulator dump -> per-length lexicographically sorted KeyGroups.
+
+    Tolerates duplicate keys (a key seen by several hosts appears once per
+    host in the gathered table): duplicates collapse by summing counts and
+    taking the minimum first position.  Keys whose merged count is zero
+    (every occurrence was quality-filtered) are then dropped: they can
+    never be cluster members or representatives — the reference never
+    inserted them into the trie (__init__.py:247-252)."""
+    lengths_all = np.diff(key_offsets)
+    lengths_list: List[int] = []
     voids: List[np.ndarray] = []
     group_counts: List[np.ndarray] = []
+    group_pos: List[np.ndarray] = []
     starts: List[int] = []
     n = 0
-    for length in sorted(pending):
-        parts = pending[length]
-        if len(parts) == 1:
-            uniq, counts = parts[0]
-        else:
-            # Each per-chunk array is already sorted (np.unique output);
-            # a stable sort (timsort) merges the presorted runs in
-            # ~O(n log k) instead of a full O(n log n) quicksort.
-            allv = np.concatenate([p[0] for p in parts])
-            allc = np.concatenate([p[1] for p in parts])
-            order = np.argsort(allv, kind="stable")
-            sv = allv[order]
-            sc = allc[order]
-            if len(sv):
+    for length in np.unique(lengths_all):
+        sel = np.flatnonzero(lengths_all == length)
+        void = rows_as_void(key_data, key_offsets, sel, int(length))
+        order = np.argsort(void, kind="stable")
+        sv = void[order]
+        sc = counts[sel][order]
+        sp = first_pos[sel][order]
+        if len(sv) > 1:
+            dup = sv[1:] == sv[:-1]
+            if dup.any():
                 run_starts = np.concatenate(
-                    [[0], np.flatnonzero(sv[1:] != sv[:-1]) + 1])
-                uniq = sv[run_starts]
-                counts = np.add.reduceat(sc, run_starts)
-            else:
-                uniq, counts = sv, sc
-        lengths.append(int(length))
-        voids.append(uniq)
-        group_counts.append(counts.astype(np.int64))
+                    [[0], np.flatnonzero(~dup) + 1])
+                sv = sv[run_starts]
+                sc = np.add.reduceat(sc, run_starts)
+                sp = np.minimum.reduceat(sp, run_starts)
+        keep = sc > 0
+        if not keep.all():
+            sv, sc, sp = sv[keep], sc[keep], sp[keep]
+        if not len(sv):
+            continue
+        lengths_list.append(int(length))
+        voids.append(sv)
+        group_counts.append(sc)
+        group_pos.append(sp)
         starts.append(n)
-        n += len(uniq)
-    return KeyGroups(lengths, voids, group_counts,
-                     np.asarray(starts, dtype=np.int64), n)
+        n += len(sv)
+    return KeyGroups(lengths_list, voids, group_counts,
+                     np.asarray(starts, dtype=np.int64), n,
+                     first_pos=group_pos)
 
 
 def deduplicate_cluster(
@@ -394,6 +473,19 @@ def deduplicate_cluster(
     """
     from .runtime import configure_jax
     configure_jax()
+    # Multi-host mode engages automatically when the process is part of an
+    # initialized jax.distributed job (same CLI invocation on every host):
+    # chunks stride across hosts in passes 1 and 3, bucket pair generation
+    # partitions by content ownership in pass 2, and the per-host results
+    # merge through padded all-gathers (parallel/distributed.py).  A
+    # user-supplied cluster_dissection_func must be deterministic — it runs
+    # identically on every host.
+    from .parallel.distributed import (
+        allgather_key_tables,
+        process_shape,
+        sum_scalars,
+    )
+    pid, nproc = process_shape()
     if len(input_files) != len(output_files):
         raise ValueError(f"Amount of output files ({len(output_files)}) "
                          f"must be equal to the amount of input files "
@@ -414,22 +506,27 @@ def deduplicate_cluster(
     # the budget — the reference's own peak RSS is 45-110% of the input
     # (README.rst:35-38), so holding the parsed input is par; beyond the
     # budget pass 3 re-streams from disk instead.
-    import os
     memory_budget = int(os.environ.get("FASTQDEDUP_MEMORY_LIMIT",
                                        16 * 1024 ** 3))
-    cached_chunks: Optional[List[Tuple[FastqChunk, ...]]] = []
+    cached_chunks: Optional[List[Tuple[int, Tuple[FastqChunk, ...]]]] = []
     cached_bytes = 0
 
     # ---------------- Pass 1: ingest, filter, count unique keys ----------
-    # Per-chunk sort/unique runs on a worker thread (numpy sorts release
-    # the GIL), overlapping with the parse thread and the quality filter.
+    # Key accumulation (C hash table; GIL-free) runs on a worker thread,
+    # overlapping with the parse thread and the quality filter.
     from concurrent.futures import ThreadPoolExecutor
 
-    counts: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+    accumulator = _make_key_accumulator()
     accumulate_pool = ThreadPoolExecutor(max_workers=1)
     accumulate_futures = []
     prewarm_started = False
-    for chunks in _zip_chunks(input_files, chunk_records):
+    global_base = 0
+    for chunk_index, chunks in enumerate(
+            _zip_chunks(input_files, chunk_records)):
+        base = global_base
+        global_base += chunks[0].count
+        if chunk_index % nproc != pid:
+            continue  # another host owns this chunk (strided partition)
         if len(chunks) > 1:
             _validate_mates(chunks)
         if cached_chunks is not None:
@@ -442,14 +539,14 @@ def deduplicate_cluster(
                 # into fixed-capacity buffers sized by a per-record byte
                 # estimate; holding the views would pin several times the
                 # actual payload.
-                cached_chunks.append(tuple(
-                    _compact_chunk(c) for c in chunks))
+                cached_chunks.append((chunk_index, tuple(
+                    _compact_chunk(c) for c in chunks)))
             else:
                 cached_chunks = None
         key_data, key_offsets, qual_data, qual_offsets = _chunk_keys(
             chunks, check_slices, use_qualities=filter_on_quality)
         if not prewarm_started and max_distance > 0 \
-                and total_records + chunks[0].count >= 100_000:
+                and global_base >= 100_000:
             # Load the device programs pass 2 will need while pass 1 is
             # still parsing (program loads onto a remote TPU block for
             # seconds each; the thread hides them).  TPU-only; no-op and
@@ -481,17 +578,21 @@ def deduplicate_cluster(
                 rates = ragged_average_error_rate(qual_data, qual_offsets)
                 keep = ~(rates > max_average_error_rate)
             discarded_records += int(b - keep.sum())
-            rows = np.flatnonzero(keep)
+            total_kept += int(keep.sum())
+            counted: Optional[np.ndarray] = keep.astype(np.uint8)
         else:
-            rows = np.arange(b, dtype=np.int64)
-        total_kept += len(rows)
+            total_kept += b
+            counted = None
         accumulate_futures.append(accumulate_pool.submit(
-            _accumulate_counts, counts, key_data, key_offsets, rows))
+            accumulator.add, key_data, key_offsets, counted, base))
 
     for future in accumulate_futures:
         future.result()  # propagate any accumulation error
     accumulate_pool.shutdown()
 
+    if nproc > 1:
+        total_records, total_kept, discarded_records = sum_scalars(
+            total_records, total_kept, discarded_records)
     if filter_on_quality:
         logger.info(
             f"{discarded_records} records out of {total_records} "
@@ -501,8 +602,11 @@ def deduplicate_cluster(
                 f"({timer.get_difference()})")
 
     # ---------------- Pass 2: cluster and dissect ------------------------
-    groups = _finalize_groups(counts)
-    counts.clear()
+    # In multi-host runs each host contributes its partial key table; one
+    # padded all-gather merges them and the finalize step collapses keys
+    # seen by several hosts (summing counts, min-ing first positions).
+    groups = _finalize_groups(*allgather_key_tables(*accumulator.export()))
+    accumulator.close()
     if logger.isEnabledFor(logging.DEBUG):
         # Analog of the reference's DEBUG trie stats during pass 1
         # (__init__.py:260-264): per-length unique-key table sizes.
@@ -518,7 +622,8 @@ def deduplicate_cluster(
     if prewarm_thread is not None:
         prewarm_thread.join()
 
-    part = build_partition_groups(groups, max_distance, use_edit_distance)
+    part = build_partition_groups(groups, max_distance, use_edit_distance,
+                                  shard=(pid, nproc))
     counts_arr = groups.counts_concat()
     sizes = part.sizes()
     method_name = _method_name_for(cluster_dissection_func)
@@ -600,7 +705,16 @@ def deduplicate_cluster(
         el_j = part.local_index[part.edges_j[edge_order]]
         span_starts = np.searchsorted(sorted_ec, big)
         span_ends = np.searchsorted(sorted_ec, big + 1)
-        for c, es, ee in zip(big, span_starts, span_ends):
+        # Multi-host: big clusters stride across hosts for the built-in
+        # methods (kept indices all-gather afterwards); a user-supplied
+        # strategy instead runs identically on every host — its yielded
+        # strings would otherwise need a ragged exchange, and determinism
+        # is already a documented requirement for it.
+        distribute = nproc > 1 and method_name is not None
+        kept_local: List[np.ndarray] = []
+        for k, (c, es, ee) in enumerate(zip(big, span_starts, span_ends)):
+            if distribute and k % nproc != pid:
+                continue
             members = part.order[part.starts[c]:part.ends[c]]
             cluster_list = [(int(counts_arr[i]),
                              groups.key_bytes(int(i)).decode("latin-1"))
@@ -613,9 +727,24 @@ def deduplicate_cluster(
             else:  # user-supplied strategy: scalar oracle API
                 chosen = list(cluster_dissection_func(
                     cluster_list, max_distance, use_edit_distance))
-            # dict.fromkeys: tolerate a custom strategy yielding repeats.
-            for string in dict.fromkeys(chosen):
-                mark_key_bytes(string.encode("latin-1"))
+            if distribute:
+                index_of = {key: int(gi) for (_, key), gi
+                            in zip(cluster_list, members)}
+                kept_local.append(np.asarray(
+                    [index_of[s] for s in dict.fromkeys(chosen)],
+                    dtype=np.int64))
+            else:
+                # dict.fromkeys: tolerate a custom strategy yielding
+                # repeats.
+                for string in dict.fromkeys(chosen):
+                    mark_key_bytes(string.encode("latin-1"))
+        if distribute:
+            from .parallel.distributed import allgather_int64
+            kept_all = allgather_int64(np.concatenate(kept_local)
+                                       if kept_local
+                                       else np.empty(0, dtype=np.int64))
+            if len(kept_all):
+                mark_indices(kept_all)
 
     kept_total = int(sum(int(m.sum()) for m in kept_mask))
     logger.info(f"Found {kept_total} distinct reads "
@@ -624,7 +753,8 @@ def deduplicate_cluster(
 
     # ---------------- Pass 3: filtered rewrite ---------------------------
     _filter_and_write(input_files, output_files, check_slices, groups,
-                      kept_mask, chunk_records, cached_chunks)
+                      kept_mask, chunk_records, cached_chunks,
+                      pid=pid, nproc=nproc)
     logger.info(f"Filtered FASTQ files based on distinct reads from each "
                 f"cluster. ({timer.get_difference()}) ")
 
@@ -634,7 +764,8 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                       groups: KeyGroups, kept_mask: List[np.ndarray],
                       chunk_records: int,
                       cached_chunks: Optional[
-                          List[Tuple[FastqChunk, ...]]] = None) -> None:
+                          List[Tuple[int, Tuple[FastqChunk, ...]]]] = None,
+                      pid: int = 0, nproc: int = 1) -> None:
     """Second pass: write the first record matching each kept key
     (reference filter_fastq_files_on_set, __init__.py:189-206; no quality
     filter is applied here, matching the reference's behavior).
@@ -643,24 +774,45 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     the inputs.  Compression runs on a writer thread (the native zlib
     writer releases the GIL), overlapping with membership computation of
     the next chunk.
+
+    Multi-host: each host renders the chunks it owns (first-wins needs no
+    claim state — pass 1's first_pos decides), writes raw per-chunk part
+    files, and process 0 streams the parts in chunk order through one
+    compressor so the final file is byte-identical to a single-host run.
     """
     import queue
     import threading
 
     # Membership tables ARE the per-length sorted unique arrays from
-    # pass 1; kept_mask marks representatives and taken carries first-wins
-    # claims across chunks.
+    # pass 1; kept_mask marks representatives and first_pos (the global
+    # index of each key's first occurrence, tracked during pass 1) makes
+    # the reference's first-wins rule (__init__.py:203-206) a stateless
+    # equality test — no cross-chunk claim state, so chunks can be
+    # rewritten in parallel and on independent hosts.
     lookup: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    empty_pending = False
+    empty_first_pos = -1
     for g, length in enumerate(groups.lengths):
         if length == 0:
-            empty_pending = bool(kept_mask[g][0]) if len(kept_mask[g]) \
-                else False
+            if len(kept_mask[g]) and kept_mask[g][0] and groups.first_pos:
+                empty_first_pos = int(groups.first_pos[g][0])
             continue
         if kept_mask[g].any():
             lookup[length] = (groups.voids[g], kept_mask[g],
-                              np.zeros(len(kept_mask[g]), dtype=bool))
-    writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
+                              groups.first_pos[g])
+    distributed = nproc > 1
+    if distributed:
+        # Raw per-chunk part files; process 0 compresses after the
+        # barrier.  Assumes a shared filesystem (or a post-run copy of
+        # each host's parts into one place).
+        writers = []
+        parts_dirs = [f + ".parts" for f in output_files]
+        if pid == 0:
+            for d in parts_dirs:
+                os.makedirs(d, exist_ok=True)
+        from .parallel.distributed import barrier
+        barrier("fastqdedup:parts-dirs")
+    else:
+        writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
     write_queue: "queue.Queue" = queue.Queue(maxsize=8)
     write_error: List[BaseException] = []
 
@@ -678,41 +830,43 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
 
     worker = threading.Thread(target=write_worker, daemon=True)
     worker.start()
-    source = iter(cached_chunks) if cached_chunks is not None \
-        else _zip_chunks(input_files, chunk_records)
+    if cached_chunks is not None:
+        source = iter(cached_chunks)
+    else:
+        source = ((i, c) for i, c in
+                  enumerate(_zip_chunks(input_files, chunk_records))
+                  if i % nproc == pid)
     try:
         from .io.fastq import render_fastq_records
-        for chunks in source:
+        for chunk_index, chunks in source:
+            # Chunks are exactly chunk_records long (final chunk aside;
+            # _rechunk guarantees it), so the global index of a chunk's
+            # first record is a product — no cross-chunk running state.
+            base = chunk_index * chunk_records
             key_data, key_offsets, _, _ = _chunk_keys(
                 chunks, check_slices, use_qualities=False)
             emit_parts: List[np.ndarray] = []
             for length, rows in group_rows_by_length(key_offsets):
                 if length == 0:
-                    if empty_pending:
-                        empty_pending = False
-                        emit_parts.append(rows[:1].astype(np.int64))
+                    if empty_first_pos >= 0:
+                        hit = rows[base + rows == empty_first_pos]
+                        if len(hit):
+                            emit_parts.append(hit.astype(np.int64))
                     continue
                 entry = lookup.get(length)
                 if entry is None:
                     continue
-                table, kept_g, taken_g = entry
+                table, kept_g, firstpos_g = entry
                 void = rows_as_void(key_data, key_offsets, rows, length)
                 # table is the pass-1 sorted unique array: membership via
-                # searchsorted, representative-ness via kept_mask.
+                # searchsorted, representative-ness via kept_mask, and
+                # first-wins via the first_pos equality.
                 pos = np.searchsorted(table, void)
                 pos[pos == len(table)] = 0
-                mask = table[pos] == void
-                if not mask.any():
-                    continue
-                hit_rows = rows[mask]
-                tidx = pos[mask]
-                # First-wins, fully vectorized: np.unique's return_index
-                # is the FIRST in-chunk occurrence per table entry; the
-                # "taken" flags carry first-wins across chunks.
-                uniq_t, first_local = np.unique(tidx, return_index=True)
-                claim = kept_g[uniq_t] & ~taken_g[uniq_t]
-                taken_g[uniq_t[claim]] = True
-                emit_parts.append(hit_rows[first_local[claim]])
+                emit = (table[pos] == void) & kept_g[pos] & \
+                    (base + rows == firstpos_g[pos])
+                if emit.any():
+                    emit_parts.append(rows[emit])
             if emit_parts:
                 emit_rows = np.sort(np.concatenate(emit_parts))
             else:
@@ -720,7 +874,11 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
             # Vectorized serialization, one compressor call per chunk.
             for index, chunk in enumerate(chunks):
                 payload = render_fastq_records(chunk, emit_rows)
-                if len(payload):
+                if distributed:
+                    if len(payload):
+                        payload.tofile(os.path.join(
+                            parts_dirs[index], f"{chunk_index:08d}.bin"))
+                elif len(payload):
                     write_queue.put((index, payload))
     finally:
         write_queue.put(None)
@@ -729,3 +887,14 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
             writer.close()
         if write_error:
             raise write_error[0]
+    if distributed:
+        barrier("fastqdedup:parts-written")
+        if pid == 0:
+            import shutil
+            for out, parts_dir in zip(output_files, parts_dirs):
+                with xopen(out, "wb", compresslevel=1) as writer:
+                    for name in sorted(os.listdir(parts_dir)):
+                        writer.write(np.fromfile(
+                            os.path.join(parts_dir, name), dtype=np.uint8))
+                shutil.rmtree(parts_dir)
+        barrier("fastqdedup:output-merged")

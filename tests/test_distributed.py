@@ -62,3 +62,133 @@ def test_bucket_round_robin_multi_device():
     wi, wj = np.nonzero(np.triu(want, k=1))
     got = set(zip(ii.tolist(), jj.tolist()))
     assert got == set(zip(wi.tolist(), wj.tolist()))
+
+
+def test_two_process_jax_distributed_parity(tmp_path):
+    """Real 2-process jax.distributed run: both processes execute the SAME
+    deduplicate_cluster invocation on the same inputs; the merged output
+    must be byte-identical to a single-host run.  (VERDICT round 1 item 1:
+    per-host chunk shards, bucket-hash pair ownership, vectorized kept-key
+    exchange.)"""
+    import gzip
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys
+
+    rng = random.Random(77)
+    mols = ["".join(rng.choice("ACGT") for _ in range(24))
+            for _ in range(60)]
+    records = []
+    for i in range(800):
+        seq = list(rng.choice(mols))
+        if rng.random() < 0.25:
+            seq[rng.randrange(24)] = rng.choice("ACGT")
+        qual = "".join(chr(33 + rng.randrange(25, 40)) for _ in range(24))
+        records.append(f"@r{i} c\n{''.join(seq)}\n+\n{qual}\n")
+    src = tmp_path / "in.fastq.gz"
+    with gzip.open(src, "wt") as f:
+        f.write("".join(records))
+
+    single_out = tmp_path / "single.fastq.gz"
+    from fastqdedup_tpu.pipeline import deduplicate_cluster
+    # Small chunks so the 2-process run actually interleaves ownership.
+    deduplicate_cluster([str(src)], [str(single_out)], None, 1, 0.001,
+                        chunk_records=64)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    driver = tmp_path / "driver.py"
+    dist_out = tmp_path / "dist.fastq.gz"
+    driver.write_text(f"""
+import sys
+import jax
+jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
+                           num_processes=2,
+                           process_id=int(sys.argv[1]))
+from fastqdedup_tpu.pipeline import deduplicate_cluster
+deduplicate_cluster([{str(src)!r}], [{str(dist_out)!r}], None, 1, 0.001,
+                    chunk_records=64)
+""")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(driver), str(p)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for p in range(2)]
+    outputs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out.decode("utf-8", "replace")[-3000:]
+
+    assert gzip.open(single_out, "rb").read() == \
+        gzip.open(dist_out, "rb").read()
+    assert gzip.open(dist_out, "rb").read()  # non-empty
+
+
+def test_bucket_shard_union_equals_full():
+    """The per-host bucket partition is exact: the union of every shard's
+    pair output equals the unsharded output, and shards are disjoint units
+    of work (a bucket is computed by exactly one host)."""
+    import numpy as np
+
+    from fastqdedup_tpu.ops.bucket import hamming_neighbor_pairs_bucketed
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 4, size=(900, 20), dtype=np.uint8)
+    matrix = np.repeat(base, 4, axis=0)[:3000]
+    for i in range(0, len(matrix) - 1, 4):
+        matrix[i + 1, rng.integers(20)] = rng.integers(4)
+    full_i, full_j = hamming_neighbor_pairs_bucketed(
+        matrix, 5, 1, large_bucket_threshold=32)
+    full = set(zip(full_i.tolist(), full_j.tolist()))
+    for nproc in (2, 3):
+        union = set()
+        for p in range(nproc):
+            si, sj = hamming_neighbor_pairs_bucketed(
+                matrix, 5, 1, large_bucket_threshold=32, shard=(p, nproc))
+            union |= set(zip(si.tolist(), sj.tolist()))
+        assert union == full
+
+
+def test_edit_shard_union_equals_full():
+    """Edit-mode verification striding across hosts is exact."""
+    import numpy as np
+
+    from fastqdedup_tpu.engine import (
+        _edit_edges_entries,
+        _entries_from_keys,
+        _group_by_length,
+    )
+    from fastqdedup_tpu.ops.encode import EncodeTable
+    from fastqdedup_tpu.parallel.distributed import allgather_int64_pairs
+
+    rng = np.random.default_rng(12)
+    keys = []
+    for _ in range(300):
+        k = "".join("ACGT"[c] for c in rng.integers(0, 4, 18))
+        keys.append(k.encode())
+        if rng.random() < 0.5:
+            mutated = bytearray(k.encode())
+            op = rng.integers(3)
+            pos = rng.integers(len(mutated))
+            if op == 0:
+                mutated[pos] = ord("ACGT"[rng.integers(4)])
+            elif op == 1:
+                del mutated[pos]
+            else:
+                mutated.insert(pos, ord("ACGT"[rng.integers(4)]))
+            keys.append(bytes(mutated))
+    table = EncodeTable("ACGTN")
+    entries = _entries_from_keys(keys, _group_by_length(keys), table)
+    fi, fj = _edit_edges_entries(entries, len(keys), 1)
+    full = set(zip(fi.tolist(), fj.tolist()))
+    union = set()
+    for p in range(2):
+        si, sj = _edit_edges_entries(entries, len(keys), 1, shard=(p, 2))
+        union |= set(zip(si.tolist(), sj.tolist()))
+    assert union == full

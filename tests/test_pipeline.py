@@ -233,3 +233,23 @@ def test_device_quality_filter_flag(tmp_path, monkeypatch):
     monkeypatch.setenv("FASTQDEDUP_DEVICE_QUALITY", "1")
     deduplicate_cluster(inputs, out_dev, None, 1, 0.001)
     assert _read_out(out_host[0]) == _read_out(out_dev[0])
+
+
+def test_numpy_fallback_accumulator_and_renderer(tmp_path, monkeypatch):
+    """Without the native library the pure-numpy accumulator and renderer
+    must produce byte-identical output (both paths track counts and
+    first-occurrence positions)."""
+    import fastqdedup_tpu.pipeline as pl
+
+    rng = random.Random(49)
+    reads = _random_reads(rng, 300, 20)
+    inputs = [str(tmp_path / "in.fastq.gz")]
+    _make_fastq(inputs[0], reads)
+    native_out = [str(tmp_path / "native.fastq.gz")]
+    fallback_out = [str(tmp_path / "fallback.fastq.gz")]
+    deduplicate_cluster(inputs, native_out, None, 1, 0.001)
+    monkeypatch.setattr(pl, "_make_key_accumulator",
+                        lambda expected=0: pl._NumpyKeyAccumulator(expected))
+    monkeypatch.delattr("fastqdedup_tpu.native.loader.render_records_native")
+    deduplicate_cluster(inputs, fallback_out, None, 1, 0.001)
+    assert _read_out(native_out[0]) == _read_out(fallback_out[0])
