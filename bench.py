@@ -83,25 +83,30 @@ def main() -> None:
     out = os.path.join(workdir, "bench_dedup.fastq.gz")
     generate_fastq(src, n_reads, read_len, umi_len)
 
-    # Warm the JAX kernels on a small prefix so the measured run reflects
-    # steady-state throughput rather than one-time compilation.
+    # Warm the kernels AND the per-process device program loads on a
+    # prefix big enough to touch every bucket size class, so measured
+    # runs reflect steady-state throughput (loading a program onto a
+    # remote TPU blocks for tens of seconds the first time, cache or
+    # not — fastqdedup_tpu/warmup.py hides it for real runs too).
     warm_src = os.path.join(workdir, "warm.fastq.gz")
     warm_out = os.path.join(workdir, "warm_out.fastq.gz")
-    generate_fastq(warm_src, min(20_000, n_reads), read_len, umi_len,
+    generate_fastq(warm_src, min(150_000, n_reads), read_len, umi_len,
                    seed=11)
     deduplicate_cluster([warm_src], [warm_out], None, 1, 0.001,
                         CLUSTER_DISSECTION_METHODS[method], False)
 
-    # Best of two measured runs: dispatch latency through a tunneled TPU
-    # varies run to run; the better run reflects the pipeline's capability.
-    elapsed = float("inf")
-    for attempt in range(2):
+    # Best of three measured runs, spread reported: dispatch latency
+    # through a tunneled TPU swings run to run; the best run reflects the
+    # pipeline's capability and the spread quantifies tunnel weather.
+    times = []
+    for attempt in range(3):
         out_path = f"{out}.{attempt}"
         start = time.perf_counter()
         deduplicate_cluster([src], [out_path], None, 1, 0.001,
                             CLUSTER_DISSECTION_METHODS[method], False)
-        elapsed = min(elapsed, time.perf_counter() - start)
+        times.append(time.perf_counter() - start)
 
+    elapsed = min(times)
     reads_per_sec = n_reads / elapsed
     print(json.dumps({
         "metric": f"end-to-end dedup throughput "
@@ -109,6 +114,7 @@ def main() -> None:
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 4),
+        "runs_s": [round(t, 2) for t in times],
     }))
 
 

@@ -187,6 +187,20 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
     return cand_i[keep], cand_j[keep]
 
 
+def _component_labels(n: int, ei: np.ndarray, ej: np.ndarray) -> np.ndarray:
+    """Component labels: sparse min-label propagation on the device mesh
+    when several local chips are attached (parallel/sharded.py — the same
+    code path the multi-chip dryrun exercises), host union-find otherwise
+    (a single tunneled chip loses more to dispatch than union-find costs).
+    """
+    if len(ei) >= 1024:
+        from .parallel.sharded import components_on_mesh
+        labels = components_on_mesh(n, ei, ej)
+        if labels is not None:
+            return labels
+    return connected_components_host(n, ei, ej)
+
+
 @dataclass
 class Partition:
     """Raw connected-component partition over unique keys.
@@ -236,7 +250,7 @@ def build_partition(keys: Sequence[bytes], max_distance: int,
         else:
             ei, ej = _hamming_edges_entries(entries, table, max_distance)
 
-    labels = connected_components_host(n, ei, ej)
+    labels = _component_labels(n, ei, ej)
     order = np.argsort(labels, kind="stable")
     sorted_labels = labels[order]
     boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
@@ -434,7 +448,7 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
             codes = np.unique(np.minimum(ei, ej) * np.int64(n) +
                               np.maximum(ei, ej))
             ei, ej = codes // n, codes % n
-    labels = connected_components_host(n, ei, ej)
+    labels = _component_labels(n, ei, ej)
     order = np.argsort(labels, kind="stable")
     sorted_labels = labels[order]
     boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1

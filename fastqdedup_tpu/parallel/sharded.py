@@ -1,14 +1,26 @@
-"""Multi-device sharded clustering (Mesh + shard_map + collectives).
+"""Multi-device clustering (Mesh + shard_map + collectives) — sparse.
 
 Greenfield relative to the reference (single-threaded CPU, SURVEY.md
-section 2): the key matrix is sharded row-wise over a 1-D device mesh; each
-device computes its adjacency slab against the full key set with the MXU
-one-hot matmul, and component labels converge through all-gather rounds over
-ICI (min-label propagation with pointer doubling).  Communication per round
-is one [N] int32 all-gather — the adjacency never leaves the devices.
+section 2).  The production pipeline's pair generation (pigeonhole buckets
+-> batched MXU kernels, ops/bucket.py) already data-parallelizes across
+local chips by round-robining bucket batches; this module supplies the
+device-side CLUSTERING stage over the resulting sparse edge list:
 
-This module is also the dryrun_multichip surface: the driver compiles it on
-an N-virtual-device CPU mesh to validate the sharding program.
+* :func:`sharded_components_from_edges` — connected-component labels by
+  min-label propagation with pointer doubling.  Edges shard row-wise over
+  a 1-D mesh; labels stay replicated ([N] int32) and combine each round
+  with one ``pmin`` collective over ICI.  Memory is O(N + E/D) per device
+  — no dense adjacency anywhere, so the same code path scales from the
+  8-virtual-device dryrun to production key counts.
+* :func:`sharded_dedup_step` — the composed multi-chip dedup step the
+  driver dry-runs: bucket-kernel pair generation (round-robin across the
+  mesh's devices) -> sparse label propagation -> highest-count
+  representative selection, i.e. exactly the production algorithm.
+
+The engine routes clustering through :func:`components_on_mesh` when more
+than one local device is attached (engine.py); the host union-find remains
+the single-chip path (a tunneled chip pays more in dispatch than the host
+pays in union-find).
 """
 
 import functools
@@ -40,57 +52,116 @@ def _round_up(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
 
 
-def _sharded_dedup_fn(mesh: Mesh, alphabet_size: int, max_distance: int):
-    """Build the shard_map'd (matrix, counts, rank) -> (labels, keep) fn."""
-    from ..ops.hamming import pairwise_within
+def _pow2_at_least(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
 
-    def per_shard(matrix_shard, counts, rank):
-        # matrix_shard: [N/D, L]; counts/rank: [N] replicated.
-        n = counts.shape[0]
-        block = matrix_shard.shape[0]
-        my = jax.lax.axis_index(AXIS)
-        base = my * block
-        # Rebuild the full key set once (tiled all-gather over ICI), then
-        # compute this device's adjacency slab on the MXU.
-        full = jax.lax.all_gather(matrix_shard, AXIS, tiled=True)
-        adj = pairwise_within(matrix_shard, full, alphabet_size,
-                              max_distance)  # [N/D, N]
-        labels0 = jnp.arange(n, dtype=jnp.int32)
 
-        def step(state):
+@functools.lru_cache(maxsize=None)
+def _components_fn(mesh: Mesh):
+    """shard_map'd (ei_shard, ej_shard, labels0) -> labels."""
+
+    def per_shard(ei, ej, labels0):
+        # ei/ej: int32 [E/D] local edge slabs; labels0: int32 [N]
+        # replicated.  Each round: local scatter-min over this shard's
+        # edges, a pmin collective to combine shards, then two pointer-
+        # doubling hops so long chains converge in O(log N) rounds.
+        ei = ei[0]
+        ej = ej[0]
+
+        def body(state):
             labels, _ = state
-            neighbor_min = jnp.min(
-                jnp.where(adj, labels[None, :], jnp.int32(n)), axis=1)
-            my_block = jax.lax.dynamic_slice(labels, (base,), (block,))
-            new_block = jnp.minimum(my_block, neighbor_min)
-            new = jax.lax.all_gather(new_block, AXIS, tiled=True)
+            m = jnp.minimum(labels[ei], labels[ej])
+            new = labels.at[ei].min(m).at[ej].min(m)
+            new = jax.lax.pmin(new, AXIS)
             new = new[new]
             new = new[new]
             return new, jnp.any(new != labels)
 
-        # Mark the carry as device-varying for shard_map's vma type system
-        # (the all_gather inside the loop produces varying-typed values).
-        init = (jax.lax.pvary(labels0, (AXIS,)),
-                jax.lax.pvary(jnp.array(True), (AXIS,)))
-        labels, _ = jax.lax.while_loop(lambda s: s[1], step, init)
+        # The while_loop carry is device-varying (the scatter-min uses the
+        # device-local edge slab); cast the replicated inits to match.
+        if hasattr(jax.lax, "pcast"):
+            init = (jax.lax.pcast(labels0, (AXIS,), to="varying"),
+                    jax.lax.pcast(jnp.array(True), (AXIS,), to="varying"))
+        else:  # pragma: no cover — older jax
+            init = (jax.lax.pvary(labels0, (AXIS,)),
+                    jax.lax.pvary(jnp.array(True), (AXIS,)))
+        labels, _ = jax.lax.while_loop(lambda s: s[1], body, init)
+        return labels
 
-        # Representative pick (highest count, rank tie-break), replicated.
-        max_count = jnp.zeros(n, jnp.int32).at[labels].max(
-            counts.astype(jnp.int32))
-        is_max = counts.astype(jnp.int32) == max_count[labels]
-        best_rank = jnp.full(n, -1, jnp.int32).at[labels].max(
-            jnp.where(is_max, rank.astype(jnp.int32), -1))
-        keep = is_max & (rank.astype(jnp.int32) == best_rank[labels])
-        return labels, keep
-
-    # Outputs are replicated by construction (every device ends with the
-    # same all-gathered labels); vma inference can't prove it, so disable
-    # the static check.
+    # Every device converges to the same labels (final pmin + pointer
+    # doubling are deterministic); vma inference can't prove replication,
+    # so the static check is off.
     return shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(AXIS, None), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(None, AXIS), P(None, AXIS), P()),
+        out_specs=P(),
         check_vma=False)
+
+
+def sharded_components_from_edges(n: int, edges_i: np.ndarray,
+                                  edges_j: np.ndarray,
+                                  mesh: Optional[Mesh] = None) -> np.ndarray:
+    """int64 [n] min-index component labels over a sparse edge list.
+
+    Output contract matches ops.components.connected_components_host: each
+    key's label is the smallest key index in its component.  Shapes pad to
+    powers of two so the compiled-executable family stays logarithmic.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    d = mesh.devices.size
+    n_pad = _pow2_at_least(max(n, 2))
+    e_pad = _round_up(_pow2_at_least(max(len(edges_i), 1)), d)
+    # Self-loops on a padding node are no-ops under scatter-min.
+    ei = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    ej = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    ei[:len(edges_i)] = edges_i
+    ej[:len(edges_j)] = edges_j
+    labels0 = np.arange(n_pad, dtype=np.int32)
+    fn = jax.jit(_components_fn(mesh))
+    edge_sharding = NamedSharding(mesh, P(None, AXIS))
+    ei_dev = jax.device_put(ei.reshape(1, -1), edge_sharding)
+    ej_dev = jax.device_put(ej.reshape(1, -1), edge_sharding)
+    labels_dev = jax.device_put(labels0, NamedSharding(mesh, P()))
+    labels = np.asarray(fn(ei_dev, ej_dev, labels_dev))
+    return labels[:n].astype(np.int64)
+
+
+def components_on_mesh(n: int, edges_i: np.ndarray, edges_j: np.ndarray
+                       ) -> Optional[np.ndarray]:
+    """Device component labels when >1 local chip is attached, else None.
+
+    The engine calls this before falling back to the host union-find; a
+    single (possibly tunneled) chip gains nothing from device clustering,
+    but a real multi-chip host keeps the whole pass on the mesh.
+    """
+    if jax.local_device_count() <= 1 or n < 2:
+        return None
+    try:
+        return sharded_components_from_edges(n, edges_i, edges_j)
+    except Exception:  # pragma: no cover — any backend hiccup -> host path
+        return None
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _representative_pick(labels: jax.Array, counts: jax.Array,
+                         rank: jax.Array) -> jax.Array:
+    """bool [N]: one representative per component — highest count, ties
+    broken toward the highest rank (callers pass lexicographic rank,
+    reproducing the reference's descending (count, string) sort,
+    __init__.py:99-101)."""
+    n = labels.shape[0]
+    labels = labels.astype(jnp.int32)
+    counts = counts.astype(jnp.int32)
+    rank = rank.astype(jnp.int32)
+    max_count = jnp.zeros(n, jnp.int32).at[labels].max(counts)
+    is_max = counts == max_count[labels]
+    best_rank = jnp.full(n, -1, jnp.int32).at[labels].max(
+        jnp.where(is_max, rank, -1))
+    return is_max & (rank == best_rank[labels])
 
 
 def sharded_dedup_step(matrix: np.ndarray, counts: np.ndarray,
@@ -98,27 +169,22 @@ def sharded_dedup_step(matrix: np.ndarray, counts: np.ndarray,
                        max_distance: int,
                        mesh: Optional[Mesh] = None
                        ) -> Tuple[np.ndarray, np.ndarray]:
-    """Cluster labels + highest-count representatives on a device mesh.
+    """Full multi-chip dedup step: cluster labels + highest-count
+    representatives for a batch of equal-length encoded keys.
 
-    Pads N up to a multiple of the mesh size (padding keys are all-sentinel,
-    match nothing, and are dropped from the result).
+    Composition IS the production pipeline's: pigeonhole bucket kernels
+    generate the sparse pair list (batches round-robin across the mesh's
+    devices, ops/bucket.py), min-label propagation runs sharded over the
+    mesh, and the representative pick is one fused scatter step.
     """
+    from ..ops.bucket import hamming_neighbor_pairs_bucketed
+
     if mesh is None:
         mesh = make_mesh()
-    n_shards = mesh.devices.size
-    n, length = matrix.shape
-    padded_n = max(_round_up(n, n_shards), n_shards)
-    if padded_n != n:
-        pad = padded_n - n
-        matrix = np.concatenate(
-            [matrix, np.full((pad, length), 0xFF, dtype=matrix.dtype)])
-        counts = np.concatenate([counts, np.zeros(pad, counts.dtype)])
-        rank = np.concatenate([rank, np.zeros(pad, rank.dtype)])
-    fn = jax.jit(_sharded_dedup_fn(mesh, alphabet_size, max_distance))
-    sharding = NamedSharding(mesh, P(AXIS, None))
-    matrix_dev = jax.device_put(jnp.asarray(matrix), sharding)
-    replicated = NamedSharding(mesh, P())
-    counts_dev = jax.device_put(jnp.asarray(counts, jnp.int32), replicated)
-    rank_dev = jax.device_put(jnp.asarray(rank, jnp.int32), replicated)
-    labels, keep = fn(matrix_dev, counts_dev, rank_dev)
-    return np.asarray(labels)[:n], np.asarray(keep)[:n]
+    n = matrix.shape[0]
+    ei, ej = hamming_neighbor_pairs_bucketed(
+        matrix, alphabet_size, max_distance)
+    labels = sharded_components_from_edges(n, ei, ej, mesh)
+    keep = np.asarray(_representative_pick(
+        jnp.asarray(labels), jnp.asarray(counts), jnp.asarray(rank)))
+    return labels, keep
