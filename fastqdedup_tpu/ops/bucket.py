@@ -286,22 +286,59 @@ def hamming_neighbor_pairs_bucketed(
     return codes // n, codes % n
 
 
+_MASK64 = (1 << 64) - 1
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 arrays."""
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _hash_window_rows(window: np.ndarray, salt: int) -> np.ndarray:
+    """uint64 [n] content hashes of the rows of a [n, w] uint8 window.
+
+    Deterministic, so equal contents always collide (no false negatives);
+    unequal contents collide with ~2^-64 probability and any such false
+    candidate is discarded by the exact DP verification downstream.
+    """
+    n, w = window.shape
+    w8 = -(-w // 8) * 8
+    if w8 != w:
+        padded = np.zeros((n, w8), dtype=np.uint8)
+        padded[:, :w] = window
+    else:
+        padded = np.ascontiguousarray(window)
+    cols = padded.view(np.uint64).reshape(n, w8 // 8)
+    h = np.full(n, (0x9E3779B97F4A7C15 * (salt + 0x10001) + 0x85EBCA6B)
+                & _MASK64, dtype=np.uint64)
+    for c in range(cols.shape[1]):
+        h = _mix64(h ^ cols[:, c]) * np.uint64(0x2545F4914F6CDD1D)
+    return _mix64(h)
+
+
 def edit_candidate_pairs(matrices: List[np.ndarray],
                          group_indices: List[np.ndarray],
                          max_distance: int
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Candidate (i, j) global-index pairs for the Levenshtein mode.
 
-    ``matrices``: one uint8 index matrix per length group (rows = keys of one
-    length); ``group_indices``: the global key index of each row.  If
-    lev(a, b) <= d then splitting a into d+1 segments leaves at least one
-    segment that occurs *exactly* in b, shifted by at most d positions — so
-    probing every segment of every key against every d-shifted window of
-    every length-compatible key generates a complete candidate superset.
-    Pairs must still be verified with the exact DP.
+    If lev(a, b) <= d then splitting a into d+1 segments leaves at least
+    one segment that occurs *exactly* in b, shifted by at most d positions
+    (semantics target: reference distances.h:33-88).  Every key therefore
+    emits one PROBE row per segment, keyed by (segment width, segment
+    start, content), and one WINDOW row per reachable (width, start,
+    shift) descriptor; a single global sort of 64-bit content hashes joins
+    them — no per-(group, group, shift) Python loops.  Hash collisions can
+    only ADD candidates; the exact banded DP verifies every pair.
     """
-    num_segments = max_distance + 1
-    probe_codes: List[np.ndarray] = []
+    d = max_distance
+    num_segments = d + 1
+    pair_parts: List[np.ndarray] = []
 
     # Keys shorter than d+1 have zero-width pigeonhole segments, so the
     # segment-match argument gives no coverage for them.  Any partner
@@ -310,80 +347,109 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
     # all pairs among keys of length <= 2*max_distance directly.
     short: List[int] = []
     for matrix, gidx in zip(matrices, group_indices):
-        if matrix.shape[1] <= 2 * max_distance:
+        if matrix.shape[1] <= 2 * d:
             short.extend(int(i) for i in gidx)
     if len(short) > 1:
         arr = np.asarray(short, dtype=np.int64)
         ii, jj = np.triu_indices(len(arr), k=1)
-        probe_codes.append(np.minimum(arr[ii], arr[jj]) * _PAIR_BASE +
-                           np.maximum(arr[ii], arr[jj]))
+        pair_parts.append(np.minimum(arr[ii], arr[jj]) * _PAIR_BASE +
+                          np.maximum(arr[ii], arr[jj]))
 
-    # Build, for every group, windows of each (position, width) we may need,
-    # then join via np.unique on the concatenated (width, start, bytes) keys.
-    entries: List[Tuple[bytes, int]] = []  # (window payload, global index)
+    lengths = [m.shape[1] for m in matrices]
+    seg_by_length = {length: segment_bounds(length, num_segments)
+                     for length in set(lengths)}
+
+    hash_parts: List[np.ndarray] = []
+    idx_parts: List[np.ndarray] = []
+    side_parts: List[np.ndarray] = []  # 0 = probe (A), 1 = window (B)
+
+    def salt_of(width: int, seg_start: int) -> int:
+        return width * 65536 + seg_start
+
     for matrix, gidx in zip(matrices, group_indices):
         n, length = matrix.shape
         if n == 0 or length == 0:
             continue
-        for seg_start, seg_end in segment_bounds(length, num_segments):
+        # A-side: this group's own pigeonhole segments.
+        for seg_start, seg_end in seg_by_length[length]:
             width = seg_end - seg_start
             if width == 0:
                 continue
-            for shift in range(-max_distance, max_distance + 1):
-                w_start = seg_start + shift
-                for other, oidx in zip(matrices, group_indices):
-                    olen = other.shape[1]
-                    if abs(olen - length) > max_distance:
-                        continue
-                    if w_start < 0 or w_start + width > olen:
-                        continue
-                    window = other[:, w_start:w_start + width]
-                    a_side = matrix[:, seg_start:seg_end]
-                    # Join a-side segment content with b-side windows.
-                    probe_codes.append(
-                        _join_pairs(a_side, gidx, window, oidx))
-    if not probe_codes:
+            hash_parts.append(_hash_window_rows(
+                matrix[:, seg_start:seg_end], salt_of(width, seg_start)))
+            idx_parts.append(gidx)
+            side_parts.append(np.zeros(n, dtype=np.uint8))
+        # B-side: every (width, source-segment-start, shifted window
+        # start) descriptor reachable from a source length within +-d.
+        descriptors = set()
+        for src_length in seg_by_length:
+            if abs(src_length - length) > d:
+                continue
+            for seg_start, seg_end in seg_by_length[src_length]:
+                width = seg_end - seg_start
+                if width == 0:
+                    continue
+                for shift in range(-d, d + 1):
+                    w_start = seg_start + shift
+                    if 0 <= w_start and w_start + width <= length:
+                        descriptors.add((width, seg_start, w_start))
+        for width, seg_start, w_start in sorted(descriptors):
+            hash_parts.append(_hash_window_rows(
+                matrix[:, w_start:w_start + width],
+                salt_of(width, seg_start)))
+            idx_parts.append(gidx)
+            side_parts.append(np.ones(n, dtype=np.uint8))
+
+    if hash_parts:
+        hashes = np.concatenate(hash_parts)
+        gids = np.concatenate(idx_parts).astype(np.int64)
+        sides = np.concatenate(side_parts)
+        order = np.argsort(hashes, kind="stable")
+        sh, sg, ss = hashes[order], gids[order], sides[order]
+        run_starts = np.concatenate(
+            [[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1]) \
+            if len(sh) else np.empty(0, dtype=np.int64)
+        run_ends = np.concatenate([run_starts[1:], [len(sh)]]) \
+            if len(sh) else run_starts
+        # Cross products A x B within each hash run, fully vectorized:
+        # count probes/windows per run, then index arithmetic over the
+        # flattened pair space (probes sort before windows within a run
+        # because the side byte participates via a stable two-key sort).
+        run_of = np.repeat(np.arange(len(run_starts)),
+                           run_ends - run_starts)
+        n_b = np.bincount(run_of, weights=ss,
+                          minlength=len(run_starts)).astype(np.int64)
+        n_a = (run_ends - run_starts) - n_b
+        pair_counts = n_a * n_b
+        active = np.flatnonzero(pair_counts)
+        if len(active):
+            # Re-sort each run so probes come first (stable sort on side).
+            order2 = np.lexsort((ss, run_of))
+            sg2 = sg[order2]
+            total = int(pair_counts[active].sum())
+            run_rep = np.repeat(active, pair_counts[active])
+            pair_offsets = np.concatenate(
+                [[0], np.cumsum(pair_counts[active])])
+            p_within = np.arange(total, dtype=np.int64) - \
+                np.repeat(pair_offsets[:-1], pair_counts[active])
+            nb_rep = n_b[run_rep]
+            a_local = p_within // nb_rep
+            b_local = p_within % nb_rep
+            base = run_starts[run_rep]
+            gi = sg2[base + a_local]
+            gj = sg2[base + n_a[run_rep] + b_local]
+            keep = gi != gj
+            gi, gj = gi[keep], gj[keep]
+            pair_parts.append(np.minimum(gi, gj) * _PAIR_BASE +
+                              np.maximum(gi, gj))
+
+    if not pair_parts:
         return (np.empty(0, dtype=np.int64),) * 2
-    codes = np.unique(np.concatenate(probe_codes))
+    codes = np.unique(np.concatenate(pair_parts))
     return _decode_pair_codes(codes)
 
 
 _PAIR_BASE = 1 << 31
-
-
-def _join_pairs(a_rows: np.ndarray, a_idx: np.ndarray,
-                b_rows: np.ndarray, b_idx: np.ndarray) -> np.ndarray:
-    """Unordered pair codes (min * BASE + max) for rows with equal content."""
-    if not len(a_rows) or not len(b_rows):
-        return np.empty(0, dtype=np.int64)
-    both = np.concatenate([a_rows, b_rows], axis=0)
-    ids = _row_group_ids(both)
-    a_ids, b_ids = ids[:len(a_rows)], ids[len(a_rows):]
-    out: List[np.ndarray] = []
-    order_a, starts_a, ends_a = _iter_bucket_slices(a_ids)
-    order_b, starts_b, ends_b = _iter_bucket_slices(b_ids)
-    ga = a_ids[order_a[starts_a]]
-    gb = b_ids[order_b[starts_b]]
-    pa = pb = 0
-    while pa < len(ga) and pb < len(gb):
-        if ga[pa] < gb[pb]:
-            pa += 1
-        elif ga[pa] > gb[pb]:
-            pb += 1
-        else:
-            ia = a_idx[order_a[starts_a[pa]:ends_a[pa]]]
-            ib = b_idx[order_b[starts_b[pb]:ends_b[pb]]]
-            gi = np.repeat(ia, len(ib))
-            gj = np.tile(ib, len(ia))
-            keep = gi != gj
-            gi, gj = gi[keep], gj[keep]
-            out.append(np.minimum(gi, gj) * _PAIR_BASE +
-                       np.maximum(gi, gj))
-            pa += 1
-            pb += 1
-    if not out:
-        return np.empty(0, dtype=np.int64)
-    return np.concatenate(out)
 
 
 def _decode_pair_codes(codes: np.ndarray
