@@ -25,6 +25,8 @@ the reads remaining in that round, so any BFS order yields the same set.
 
 from typing import Callable, Dict, Iterator, List, Sequence, Set, Tuple
 
+import numpy as np
+
 from .distance import within_distance
 
 DEFAULT_MAX_DISTANCE = 1
@@ -122,6 +124,76 @@ CLUSTER_DISSECTION_METHODS: Dict[str, ClusterDissectionFunc] = {
     "adjacency": cluster_dissection_adjacency,
     "directional": cluster_dissection_directional,
 }
+
+
+def dissect_indices(method: str, counts: np.ndarray, rank: np.ndarray,
+                    edges_i: np.ndarray, edges_j: np.ndarray) -> np.ndarray:
+    """Vectorized dissection over local member indices — the big-cluster
+    path (no per-member Python tuples, no list-scan BFS).
+
+    ``counts``: int64 [m]; ``rank``: int64 [m] ascending lexicographic
+    rank of each member's key string (ties in count break toward the
+    greatest string, replicating the reference's tuple sort,
+    __init__.py:68,99,111); ``edges_i``/``edges_j``: local within-distance
+    pairs.  Returns kept local indices.
+
+    Semantics proof sketch for ``directional``: the reference's
+    append-while-iterating BFS (__init__.py:78-90) absorbs exactly the set
+    of members reachable from the origin through directed edges u -> v
+    with ``2*count(v) - 1 <= count(u)`` among the not-yet-absorbed — a
+    path-constrained reachability that any BFS order computes identically
+    (see module docstring), here as a CSR frontier expansion.
+    """
+    m = len(counts)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((rank, counts))  # ascending (count, string)
+    if method == "highest_count":
+        return order[-1:].astype(np.int64)
+    # Symmetric CSR adjacency.
+    src = np.concatenate([edges_i, edges_j])
+    dst = np.concatenate([edges_j, edges_i])
+    deg = np.bincount(src, minlength=m)
+    indptr = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    adj_order = np.argsort(src, kind="stable")
+    indices = dst[adj_order]
+
+    remaining = np.ones(m, dtype=bool)
+    kept: List[int] = []
+    if method == "adjacency":
+        for top in order[::-1]:
+            if not remaining[top]:
+                continue
+            kept.append(int(top))
+            remaining[top] = False
+            remaining[indices[indptr[top]:indptr[top + 1]]] = False
+        return np.asarray(kept, dtype=np.int64)
+    if method != "directional":
+        raise ValueError(f"Unknown cluster dissection method: {method}")
+    for origin in order[::-1]:
+        if not remaining[origin]:
+            continue
+        kept.append(int(origin))
+        remaining[origin] = False
+        frontier = np.asarray([origin], dtype=np.int64)
+        while len(frontier):
+            starts = indptr[frontier]
+            degs = indptr[frontier + 1] - starts
+            total = int(degs.sum())
+            if total == 0:
+                break
+            offsets = np.zeros(len(degs), dtype=np.int64)
+            np.cumsum(degs[:-1], out=offsets[1:])
+            flat = np.repeat(starts - offsets, degs) + \
+                np.arange(total, dtype=np.int64)
+            nbr = indices[flat]
+            parent = np.repeat(frontier, degs)
+            ok = remaining[nbr] & (2 * counts[nbr] - 1 <= counts[parent])
+            newly = np.unique(nbr[ok])
+            remaining[newly] = False
+            frontier = newly
+    return np.asarray(kept, dtype=np.int64)
 
 
 def dissect_with_adjacency(method: str,

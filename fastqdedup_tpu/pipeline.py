@@ -31,7 +31,7 @@ from .dissect import (
     CLUSTER_DISSECTION_METHODS,
     ClusterDissectionFunc,
     cluster_dissection_directional,
-    dissect_with_adjacency,
+    dissect_indices,
 )
 from .engine import KeyGroups, build_partition_groups
 from .io.fastq import FastqChunk, FastqFormatError, read_fastq_chunks
@@ -705,6 +705,28 @@ def deduplicate_cluster(
         el_j = part.local_index[part.edges_j[edge_order]]
         span_starts = np.searchsorted(sorted_ec, big)
         span_ends = np.searchsorted(sorted_ec, big + 1)
+        def member_rank(members: np.ndarray) -> np.ndarray:
+            """int64 [m] ascending lexicographic rank of the members' raw
+            key strings (shorter-prefix-first across mixed lengths, i.e.
+            Python str order, via zero-padded byte rows)."""
+            g = group_of_key[members]
+            rows = members - groups.starts[g]
+            width = max(max((groups.lengths[int(gi)]
+                             for gi in np.unique(g)), default=1), 1)
+            padded = np.zeros((len(members), width), dtype=np.uint8)
+            for gi in np.unique(g):
+                length = groups.lengths[int(gi)]
+                sel = np.flatnonzero(g == gi)
+                if length:
+                    raw = groups.voids[int(gi)][rows[sel]].view(np.uint8)
+                    padded[sel, :length] = raw.reshape(len(sel), length)
+            void = np.ascontiguousarray(padded).view(
+                np.dtype((np.void, width))).ravel()
+            rank = np.empty(len(members), dtype=np.int64)
+            rank[np.argsort(void, kind="stable")] = \
+                np.arange(len(members), dtype=np.int64)
+            return rank
+
         # Multi-host: big clusters stride across hosts for the built-in
         # methods (kept indices all-gather afterwards); a user-supplied
         # strategy instead runs identically on every host — its yielded
@@ -716,28 +738,27 @@ def deduplicate_cluster(
             if distribute and k % nproc != pid:
                 continue
             members = part.order[part.starts[c]:part.ends[c]]
+            if method_name is not None:
+                # Index-based vectorized dissection: no per-member Python
+                # tuples, CSR BFS instead of list scans — giant clusters
+                # (low-complexity libraries) stay near O(edges).
+                kept_idx = members[dissect_indices(
+                    method_name, counts_arr[members],
+                    member_rank(members), el_i[es:ee], el_j[es:ee])]
+                if distribute:
+                    kept_local.append(kept_idx)
+                else:
+                    mark_indices(kept_idx)
+                continue
+            # User-supplied strategy: scalar (count, str) oracle API.
             cluster_list = [(int(counts_arr[i]),
                              groups.key_bytes(int(i)).decode("latin-1"))
                             for i in members]
-            edges = {(int(a), int(b)) if a < b else (int(b), int(a))
-                     for a, b in zip(el_i[es:ee], el_j[es:ee])}
-            if method_name is not None:
-                chosen = dissect_with_adjacency(method_name, cluster_list,
-                                                edges)
-            else:  # user-supplied strategy: scalar oracle API
-                chosen = list(cluster_dissection_func(
-                    cluster_list, max_distance, use_edit_distance))
-            if distribute:
-                index_of = {key: int(gi) for (_, key), gi
-                            in zip(cluster_list, members)}
-                kept_local.append(np.asarray(
-                    [index_of[s] for s in dict.fromkeys(chosen)],
-                    dtype=np.int64))
-            else:
-                # dict.fromkeys: tolerate a custom strategy yielding
-                # repeats.
-                for string in dict.fromkeys(chosen):
-                    mark_key_bytes(string.encode("latin-1"))
+            chosen = list(cluster_dissection_func(
+                cluster_list, max_distance, use_edit_distance))
+            # dict.fromkeys: tolerate a custom strategy yielding repeats.
+            for string in dict.fromkeys(chosen):
+                mark_key_bytes(string.encode("latin-1"))
         if distribute:
             from .parallel.distributed import allgather_int64
             kept_all = allgather_int64(np.concatenate(kept_local)

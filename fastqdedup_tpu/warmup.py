@@ -43,11 +43,15 @@ def warmup(lengths=(32, 64, 128, 160), edit_distances=(1, 2),
         log(f"rowwise packed kernel lanes={lanes}: "
             f"{time.perf_counter() - t0:.1f}s")
         for d in edit_distances:
-            t0 = time.perf_counter()
-            la = np.full(64, length, dtype=np.int64)
-            np.asarray(within_edit_distance_auto(a[:64], la, b[:64], la, d))
-            log(f"banded edit kernel Lp<={length} d={d}: "
-                f"{time.perf_counter() - t0:.1f}s")
+            from .ops.edit import EDIT_VERIFY_BATCH
+            for p in (64, EDIT_VERIFY_BATCH):
+                t0 = time.perf_counter()
+                ap = np.resize(a, (p, length))
+                bp = np.resize(b, (p, length))
+                la = np.full(p, length, dtype=np.int64)
+                np.asarray(within_edit_distance_auto(ap, la, bp, la, d))
+                log(f"banded edit kernel Lp<={length} d={d} P={p}: "
+                    f"{time.perf_counter() - t0:.1f}s")
 
 
 def prewarm_async(length: int, alphabet_size: int = 5,

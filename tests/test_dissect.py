@@ -163,3 +163,75 @@ def test_dissect_randomized_parity():
             got = set(dissect_with_adjacency(method, cluster,
                                              _edges_for(cluster)))
             assert got == expected, (method, cluster)
+
+
+def test_dissect_indices_matches_reference_semantics():
+    """The vectorized index path must agree with the oracle-API
+    implementation on dense random clusters with count ties."""
+    import random
+
+    import numpy as np
+
+    from fastqdedup_tpu.dissect import dissect_indices, dissect_with_adjacency
+
+    rng = random.Random(123)
+    for trial in range(30):
+        m = rng.randrange(3, 40)
+        length = 8
+        keys = []
+        while len(keys) < m:
+            k = "".join(rng.choice("AC") for _ in range(length))
+            if k not in keys:
+                keys.append(k)
+        counts = [rng.randrange(1, 5) for _ in range(m)]
+        edges = set()
+        for i in range(m):
+            for j in range(i + 1, m):
+                if sum(a != b for a, b in zip(keys[i], keys[j])) <= 2:
+                    edges.add((i, j))
+        # Only connected clusters occur in the pipeline; still, the
+        # methods are well-defined on any edge set.
+        cluster = list(zip(counts, keys))
+        ei = np.asarray([e[0] for e in edges], dtype=np.int64)
+        ej = np.asarray([e[1] for e in edges], dtype=np.int64)
+        rank = np.empty(m, dtype=np.int64)
+        rank[np.argsort(np.asarray(keys))] = np.arange(m)
+        for method in ("highest_count", "adjacency", "directional"):
+            want = set(dissect_with_adjacency(method, cluster, edges))
+            got_idx = dissect_indices(
+                method, np.asarray(counts, dtype=np.int64), rank, ei, ej)
+            got = {keys[i] for i in got_idx}
+            assert got == want, (trial, method)
+
+
+def test_giant_low_complexity_cluster_completes(tmp_path):
+    """A pathological low-complexity library (hundreds of near-identical
+    keys collapsing into giant clusters) must dissect via the vectorized
+    path and match the O(N^2) oracle."""
+    import gzip
+    import random
+
+    from fastqdedup_tpu.pipeline import deduplicate_cluster
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from oracle import oracle_dedup
+
+    rng = random.Random(7)
+    base = "A" * 20
+    records = []
+    for i in range(2000):
+        seq = list(base)
+        # 1-2 mutations concentrated in few positions -> one giant cluster
+        for _ in range(rng.randrange(0, 3)):
+            seq[rng.randrange(4)] = rng.choice("ACGT")
+        qual = "I" * 20
+        records.append(f"@r{i} x\n{''.join(seq)}\n+\n{qual}\n")
+    src = tmp_path / "giant.fastq.gz"
+    with gzip.open(src, "wt") as f:
+        f.write("".join(records))
+    got = tmp_path / "got.fastq.gz"
+    exp = tmp_path / "exp.fastq.gz"
+    deduplicate_cluster([str(src)], [str(got)], None, 1, 1.0)
+    oracle_dedup([str(src)], [str(exp)], None, 1, 1.0)
+    assert gzip.open(got, "rb").read() == gzip.open(exp, "rb").read()
