@@ -1,113 +1,149 @@
-"""Trie API parity tests (reference tests/test_trie.py golden cases)."""
+"""Trie facade tests.
+
+Pins the same SEMANTICS the reference's trie tests pin — approximate
+membership, equal-length Hamming clustering vs indel-tolerant edit
+clustering, alphabet bookkeeping — but with this project's own fixtures
+and with cluster expectations derived from a brute-force within-distance
+oracle (plus one hand-pinned golden partition as a cross-check).
+"""
+
+import itertools
 
 import pytest
 
 from fastqdedup_tpu import Trie
+from fastqdedup_tpu.distance import within_distance
 
 
-def test_one_sequence_fuzzy_contains():
-    trie = Trie()
-    trie.add_sequence("GATTACA")
-    assert trie.contains_sequence("GATTACA", 0)
-    assert trie.contains_sequence("AATTACA", 1)
-    assert trie.contains_sequence("GATTACC", 1)
-    assert trie.contains_sequence("GACCACA", 2)
-    assert not trie.contains_sequence("GACCACA", 1)
-    assert not trie.contains_sequence("GATTACC", 0)
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
-def test_one_sequence_edit_distance_contains():
-    trie = Trie()
-    trie.add_sequence("GATTACA")
-    assert trie.contains_sequence("GATTACA", 0, use_edit_distance=True)
-    assert trie.contains_sequence("AATTACA", 1, use_edit_distance=True)
-    assert trie.contains_sequence("GATTACC", 1, use_edit_distance=True)
-    assert trie.contains_sequence("GACCACA", 2, use_edit_distance=True)
-    assert not trie.contains_sequence("GACCACA", 1, use_edit_distance=True)
-    assert not trie.contains_sequence("GATTACC", 0, use_edit_distance=True)
-    assert trie.contains_sequence("GATTAA", 1, use_edit_distance=True)
-    assert trie.contains_sequence("GATTAC", 1, use_edit_distance=True)
-    assert trie.contains_sequence("ATTAC", 2, use_edit_distance=True)
-
-
-def test_prefix_is_not_membership():
-    trie = Trie()
-    trie.add_sequence("GATTACA")
-    trie.add_sequence("GATTA")
-    assert trie.contains_sequence("GATTA")
-    assert trie.contains_sequence("GATTACA")
-    assert not trie.contains_sequence("GATTAC")
-
-
-@pytest.mark.parametrize(["sequence", "distance", "result"], [
-    ("GATTA", 0, True),
-    ("GATTACA", 0, True),
-    ("GATTAC", 1, True),
-    ("G", 4, True),
-    ("GATTAT", 2, True),
-    ("UU", 4, False),
-    ("UU", 5, True),
-    ("UUUUU", 3, False),
-    ("ATTAC", 2, True),
+@pytest.mark.parametrize("probe,d,expect", [
+    ("CGTACGTA", 0, True),    # exact
+    ("AGTACGTA", 1, True),    # one substitution
+    ("CGTACGTT", 1, True),
+    ("AGTACGTT", 1, False),   # two substitutions, budget one
+    ("AGTACGTT", 2, True),
+    ("CGTACGT", 1, False),    # Hamming never crosses lengths
 ])
-def test_subsequence_edit_distance(sequence, distance, result):
+def test_fuzzy_membership_hamming(probe, d, expect):
     trie = Trie()
-    trie.add_sequence("GATTACA")
-    trie.add_sequence("GATTA")
+    trie.add_sequence("CGTACGTA")
+    assert trie.contains_sequence(probe, d) is expect
+
+
+@pytest.mark.parametrize("probe,d", [
+    (probe, d)
+    for probe in ("CGTACGTA", "CGTACGT", "GTACGTA", "CGTAACGTA",
+                  "CCTACGT", "TTTT", "")
+    for d in (0, 1, 2, 3)
+])
+def test_fuzzy_membership_edit_matches_levenshtein(probe, d):
+    stored = "CGTACGTA"
+    trie = Trie()
+    trie.add_sequence(stored)
+    expect = _lev(stored, probe) <= d
     assert trie.contains_sequence(
-        sequence, distance, use_edit_distance=True) is result
+        probe, d, use_edit_distance=True) is expect
 
 
-TEST_SEQUENCES = ["AAAA", "AAAA", "AAAC", "AAGC", "AGGC", "CCCG", "CCCG",
-                  "TTCA", "TTCC", "TTTA", "TTT", "TTC"]
-
-
-def test_pop_cluster_hamming_partition():
+def test_stored_prefix_is_a_member_but_truncations_are_not():
     trie = Trie()
-    for seq in TEST_SEQUENCES:
-        trie.add_sequence(seq)
-    clusters = []
-    while True:
-        try:
-            clusters.append(set(trie.pop_cluster(1)))
-        except LookupError:
-            break
-    expected = [
-        {(2, "AAAA"), (1, "AAGC"), (1, "AAAC"), (1, "AGGC")},
-        {(2, "CCCG")},
-        {(1, "TTCA"), (1, "TTCC"), (1, "TTTA")},
-        {(1, "TTT"), (1, "TTC")},  # Hamming links equal lengths only
-    ]
-    for cluster in expected:
-        assert cluster in clusters
-        clusters.remove(cluster)
-    assert not clusters
+    trie.add_sequence("TTGCAAC")
+    trie.add_sequence("TTGCA")
+    assert trie.contains_sequence("TTGCA")
+    assert trie.contains_sequence("TTGCAAC")
+    # A string between the two stored ones is not a member...
+    assert not trie.contains_sequence("TTGCAA")
+    # ...but is within edit distance 1 of both.
+    assert trie.contains_sequence("TTGCAA", 1, use_edit_distance=True)
 
 
-def test_pop_cluster_edit_partition():
-    trie = Trie()
-    for seq in TEST_SEQUENCES:
-        trie.add_sequence(seq)
+READS = ["AAAA", "AAAA", "AAAC", "AAGC", "AGGC", "CCCG", "CCCG",
+         "TTCA", "TTCC", "TTTA", "TTT", "TTC"]
+
+
+def _pop_all(trie):
     clusters = []
     while trie.number_of_sequences:
-        clusters.append(set(trie.pop_cluster(1, use_edit_distance=True)))
-    expected = [
-        {(2, "AAAA"), (1, "AAGC"), (1, "AAAC"), (1, "AGGC")},
-        {(2, "CCCG")},
-        {(1, "TTCA"), (1, "TTCC"), (1, "TTTA"), (1, "TTT"), (1, "TTC")},
-    ]
+        clusters.append(set(trie.pop_cluster(
+            1, use_edit_distance=getattr(_pop_all, "edit", False))))
+    return clusters
+
+
+def _oracle_partition(reads, d, edit):
+    """Connected components of the within-distance relation over unique
+    reads, as {(aggregate count, read), ...} sets."""
+    uniq = sorted(set(reads))
+    parent = list(range(len(uniq)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in itertools.combinations(range(len(uniq)), 2):
+        if within_distance(uniq[i], uniq[j], d, edit):
+            parent[find(i)] = find(j)
+    groups = {}
+    for i, read in enumerate(uniq):
+        groups.setdefault(find(i), set()).add(
+            (reads.count(read), read))
+    return list(groups.values())
+
+
+@pytest.mark.parametrize("edit", [False, True])
+def test_pop_cluster_matches_bruteforce_partition(edit):
+    trie = Trie()
+    for read in READS:
+        trie.add_sequence(read)
+    clusters = []
+    while trie.number_of_sequences:
+        clusters.append(set(trie.pop_cluster(1, use_edit_distance=edit)))
+    expected = _oracle_partition(READS, 1, edit)
     for cluster in expected:
         assert cluster in clusters
         clusters.remove(cluster)
     assert not clusters
 
 
-def test_alphabet_seed():
-    trie = Trie(alphabet="acd")
-    assert trie.alphabet == "acd"
+def test_pop_cluster_golden_pin():
+    """Hand-pinned golden facts, independent of the oracle above: Hamming
+    d=1 keeps the length-3 and length-4 'TT*' reads apart; edit d=1
+    merges them through the TTC/TTCA and TTT/TTTA indel bridges."""
+    trie = Trie()
+    for read in READS:
+        trie.add_sequence(read)
+    hamming = []
+    while trie.number_of_sequences:
+        hamming.append(set(trie.pop_cluster(1)))
+    assert {(1, "TTT"), (1, "TTC")} in hamming
+    assert {(1, "TTCA"), (1, "TTCC"), (1, "TTTA")} in hamming
+    assert {(2, "AAAA"), (1, "AAAC"), (1, "AAGC"), (1, "AGGC")} in hamming
+
+    for read in READS:
+        trie.add_sequence(read)
+    edit = []
+    while trie.number_of_sequences:
+        edit.append(set(trie.pop_cluster(1, use_edit_distance=True)))
+    assert {(1, "TTCA"), (1, "TTCC"), (1, "TTTA"),
+            (1, "TTT"), (1, "TTC")} in edit
 
 
-def test_alphabet_repeated_char():
+def test_alphabet_seed_preserved():
+    assert Trie(alphabet="acd").alphabet == "acd"
+
+
+def test_alphabet_rejects_duplicates():
     with pytest.raises(ValueError, match="c was repeated"):
         Trie(alphabet="abcc")
 
@@ -124,24 +160,21 @@ def test_alphabet_grows_on_edge_registration_only():
     assert trie.alphabet == "abc"
 
 
-def test_number_of_sequences_bookkeeping():
+def test_sequence_count_tracks_adds_and_pops():
     trie = Trie()
-    trie.add_sequence("abc")
-    trie.add_sequence("ab")
-    trie.add_sequence("abcd")
+    for read in ("abc", "ab", "abcd"):
+        trie.add_sequence(read)
     assert trie.number_of_sequences == 3
-    while True:
-        try:
+    with pytest.raises(LookupError):
+        while True:
             trie.pop_cluster(0)
-        except LookupError:
-            break
     assert trie.number_of_sequences == 0
 
 
 def test_raw_stats_and_memory_size_shape():
     trie = Trie(alphabet="ACGTN")
-    for seq in TEST_SEQUENCES:
-        trie.add_sequence(seq)
+    for read in READS:
+        trie.add_sequence(read)
     stats = trie.raw_stats()
     layer_size = len(trie.alphabet) + 1
     assert all(len(row) == layer_size for row in stats)
@@ -159,5 +192,4 @@ def test_stats_after_interleaved_ops():
     assert trie.number_of_sequences == 0
     trie.add_sequence("CCCC")
     assert trie.number_of_sequences == 1
-    cluster = trie.pop_cluster(1)
-    assert cluster == [(1, "CCCC")]
+    assert trie.pop_cluster(1) == [(1, "CCCC")]
