@@ -64,6 +64,10 @@ class Trie:
         self._cluster_cache: Optional[List] = None
         self._cluster_cache_params: Optional[Tuple[int, bool]] = None
         self._cluster_of_key: Dict[bytes, int] = {}
+        # Cached (keys list, query encode table) for contains_sequence:
+        # rebuilt lazily after mutations, so probe loops pay O(N) once,
+        # not per call.
+        self._query_cache: Optional[Tuple[List[bytes], EncodeTable]] = None
 
     # ------------------------------------------------------------------ #
     # Mutation
@@ -78,6 +82,7 @@ class Trie:
         self._counts[key] = self._counts.get(key, 0) + 1
         self._number_of_sequences += 1
         self._cluster_cache = None
+        self._query_cache = None
 
     def _register(self, byte: int) -> None:
         if self._table.table[byte] == 0xFF:
@@ -184,9 +189,11 @@ class Trie:
             return key in self._counts
         if key in self._counts:
             return True
-        return contains_within(list(self._counts), key, max_distance,
-                               use_edit_distance,
-                               table=self._query_table())
+        if self._query_cache is None:
+            self._query_cache = (list(self._counts), self._query_table())
+        keys, table = self._query_cache
+        return contains_within(keys, key, max_distance,
+                               use_edit_distance, table=table)
 
     def _query_table(self) -> EncodeTable:
         """Encode table covering every byte present in stored keys (the
@@ -250,6 +257,7 @@ class Trie:
             self._delete_structure(key)
             self._cluster_of_key.pop(key, None)
             result.append((count, key.decode("ascii")))
+        self._query_cache = None
         return result
 
     def pop_all_clusters(self, max_distance: int,

@@ -132,3 +132,77 @@ def test_connected_components_vectorized_matches_bruteforce():
             adj = adj | (adj @ adj)
         want = np.array([np.flatnonzero(adj[i]).min() for i in range(n)])
         np.testing.assert_array_equal(labels, want)
+
+
+def test_threaded_pipeline_stress_many_small_chunks(tmp_path):
+    """Concurrency stress: tiny chunks maximize handoffs between the parse
+    thread, accumulate worker, and writer thread; repeated runs must stay
+    deterministic and identical."""
+    import gzip
+    import random
+
+    from fastqdedup_tpu.pipeline import deduplicate_cluster
+
+    rng = random.Random(99)
+    records = []
+    for i in range(3000):
+        seq = "".join(rng.choice("ACGT") for _ in range(12))
+        records.append(f"@r{i} z\n{seq}\n+\n{'I' * 12}\n")
+    src = tmp_path / "in.fastq.gz"
+    with gzip.open(src, "wt") as f:
+        f.write("".join(records))
+    outputs = []
+    for run in range(3):
+        out = tmp_path / f"out{run}.fastq.gz"
+        deduplicate_cluster([str(src)], [str(out)], None, 1, 1.0,
+                            chunk_records=7)  # 429 chunks
+        outputs.append(gzip.open(out, "rb").read())
+    assert outputs[0] == outputs[1] == outputs[2]
+    assert outputs[0]
+
+
+def test_writer_thread_error_propagates(tmp_path):
+    """A failing output stream must surface as an exception on the caller,
+    not hang the writer thread."""
+    import gzip
+    import random
+
+    import pytest
+
+    from fastqdedup_tpu.pipeline import deduplicate_cluster
+
+    rng = random.Random(98)
+    records = []
+    for i in range(500):
+        seq = "".join(rng.choice("ACGT") for _ in range(12))
+        records.append(f"@r{i} z\n{seq}\n+\n{'I' * 12}\n")
+    src = tmp_path / "in.fastq.gz"
+    with gzip.open(src, "wt") as f:
+        f.write("".join(records))
+    bad_out = tmp_path / "no_such_dir" / "out.fastq.gz"
+    with pytest.raises(OSError):
+        deduplicate_cluster([str(src)], [str(bad_out)], None, 1, 1.0)
+
+
+def test_prefetch_cancel_on_consumer_error(tmp_path):
+    """Abandoning the chunk iterator mid-stream must unblock and not leak
+    a stuck producer thread."""
+    import gzip
+    import threading
+
+    from fastqdedup_tpu.pipeline import _zip_chunks
+
+    src = tmp_path / "in.fastq.gz"
+    records = [f"@r{i} z\nACGTACGT\n+\nIIIIIIII\n" for i in range(5000)]
+    with gzip.open(src, "wt") as f:
+        f.write("".join(records))
+    before = threading.active_count()
+    it = _zip_chunks([str(src)], chunk_records=16)
+    next(it)
+    it.close()  # generator close triggers the finally-drain path
+    # The producer daemon thread must exit promptly.
+    import time
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before

@@ -193,3 +193,19 @@ def test_stats_after_interleaved_ops():
     trie.add_sequence("CCCC")
     assert trie.number_of_sequences == 1
     assert trie.pop_cluster(1) == [(1, "CCCC")]
+
+
+def test_query_cache_invalidation_on_mutation():
+    """Probe loops reuse cached query state, and mutations invalidate it."""
+    trie = Trie()
+    trie.add_sequence("AAAA")
+    assert trie.contains_sequence("AAAT", 1)
+    assert not trie.contains_sequence("CCCC", 1)
+    trie.add_sequence("CCCG")              # mutation after a probe
+    assert trie.contains_sequence("CCCC", 1)
+    trie.pop_cluster(1)                    # removes one cluster
+    remaining = trie.number_of_sequences
+    assert remaining in (1, 2)
+    # Whichever cluster was popped, a probe for its key must now miss.
+    assert trie.contains_sequence("AAAA", 0) != \
+        trie.contains_sequence("CCCG", 0) or remaining == 0
