@@ -27,43 +27,47 @@ BASELINE_READS_PER_SEC = 1_000_000.0
 
 def generate_fastq(path: str, n_reads: int, read_len: int,
                    umi_len: int, seed: int = 7) -> None:
-    """Vectorized synthetic duplicate-heavy FASTQ (numpy; ~seconds for
-    millions of reads)."""
+    """Vectorized synthetic duplicate-heavy FASTQ, streamed in blocks so
+    peak memory stays O(block + molecule pool) — a 100M-read file
+    generates without materializing 10+ GB arrays."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     n_molecules = max(n_reads // 5, 1)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    molecules = bases[rng.integers(0, 4, size=(n_molecules, read_len))]
-    picks = rng.integers(0, n_molecules, size=n_reads)
-    seqs = molecules[picks]
-    # ~15% of reads get one substitution error.
-    errored = np.flatnonzero(rng.random(n_reads) < 0.15)
-    pos = rng.integers(0, read_len, size=len(errored))
-    seqs[errored, pos] = bases[rng.integers(0, 4, size=len(errored))]
-    quals = (33 + rng.integers(30, 41,
-                               size=(n_reads, read_len))).astype(np.uint8)
+    molecules = bases[rng.integers(0, 4, size=(n_molecules, read_len),
+                                   dtype=np.int64)]
     # Fixed-width records allow fully vectorized assembly: one uint8
     # matrix per block, filled by column slices.
     digits = 9
     head_len = 5 + digits + 1               # "@read" + id + "\n"
     rec_len = head_len + read_len + 3 + read_len + 1
     with gzip.open(path, "wb", compresslevel=1) as f:
-        step = 100_000
+        step = 250_000
         for start in range(0, n_reads, step):
             stop = min(start + step, n_reads)
             count = stop - start
+            picks = rng.integers(0, n_molecules, size=count)
+            seqs = molecules[picks]
+            # ~15% of reads get one substitution error.
+            errored = np.flatnonzero(rng.random(count) < 0.15)
+            pos = rng.integers(0, read_len, size=len(errored))
+            seqs[errored, pos] = bases[
+                rng.integers(0, 4, size=len(errored))]
+            quals = (33 + rng.integers(
+                30, 41, size=(count, read_len),
+                dtype=np.int8)).astype(np.uint8)
             block = np.empty((count, rec_len), dtype=np.uint8)
             block[:, 0:5] = np.frombuffer(b"@read", dtype=np.uint8)
             ids = np.arange(start, stop, dtype=np.int64)
             for d in range(digits):
                 block[:, 5 + d] = 48 + (ids // 10 ** (digits - 1 - d)) % 10
             block[:, head_len - 1] = 10
-            block[:, head_len:head_len + read_len] = seqs[start:stop]
+            block[:, head_len:head_len + read_len] = seqs
             block[:, head_len + read_len:head_len + read_len + 3] = \
                 np.frombuffer(b"\n+\n", dtype=np.uint8)
             qstart = head_len + read_len + 3
-            block[:, qstart:qstart + read_len] = quals[start:stop]
+            block[:, qstart:qstart + read_len] = quals
             block[:, -1] = 10
             f.write(block.tobytes())
 

@@ -107,10 +107,23 @@ def bucket_owner_mask(bucket_ids: np.ndarray, salt: int,
 
 
 def _allgather(array: np.ndarray) -> np.ndarray:
-    """[H, ...] stack of every process's ``array`` (device all-gather)."""
+    """[H, ...] stack of every process's ``array`` (device all-gather).
+
+    int64 payloads travel as int32 pairs: jnp.asarray silently downcasts
+    64-bit integers when jax_enable_x64 is off (the default), which would
+    truncate values like sharded-input record offsets (multiples of
+    2^44).
+    """
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
 
+    if array.dtype == np.int64:
+        as32 = np.ascontiguousarray(array).view(np.int32).reshape(
+            array.shape + (2,))
+        out = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(as32)))
+        return np.ascontiguousarray(out).view(np.int64).reshape(
+            out.shape[:-1])
     return np.asarray(multihost_utils.process_allgather(
         jnp.asarray(array)))
 

@@ -48,6 +48,9 @@ from .utils.timing import Timer
 DEFAULT_MAX_DISTANCE = 1
 DEFAULT_MAX_AVERAGE_ERROR_RATE = 0.001
 DEFAULT_CHUNK_RECORDS = 1 << 18
+# Global-record-index stride between hosts in sharded-input mode: each
+# host's records occupy [pid * stride, pid * stride + its record count).
+_SHARD_STRIDE = 1 << 44
 
 logger = logging.getLogger("fastqdedup")
 
@@ -486,6 +489,16 @@ def deduplicate_cluster(
         sum_scalars,
     )
     pid, nproc = process_shape()
+    # Sharded-input mode (FASTQDEDUP_SHARDED_INPUT=1): each host passes
+    # ITS OWN input/output shard on the command line (e.g. per-lane
+    # files); parsing and rewriting parallelize perfectly — no strided
+    # chunk skipping, no output merge — while the key tables, clustering,
+    # and dissection still agree globally.  The global record order is
+    # the concatenation of shards by process id, so first-wins picks the
+    # first occurrence in that concatenated order.
+    sharded_input = nproc > 1 and \
+        os.environ.get("FASTQDEDUP_SHARDED_INPUT") == "1"
+    shard_base = pid * _SHARD_STRIDE if sharded_input else 0
     if len(input_files) != len(output_files):
         raise ValueError(f"Amount of output files ({len(output_files)}) "
                          f"must be equal to the amount of input files "
@@ -523,9 +536,9 @@ def deduplicate_cluster(
     global_base = 0
     for chunk_index, chunks in enumerate(
             _zip_chunks(input_files, chunk_records)):
-        base = global_base
+        base = shard_base + global_base
         global_base += chunks[0].count
-        if chunk_index % nproc != pid:
+        if not sharded_input and chunk_index % nproc != pid:
             continue  # another host owns this chunk (strided partition)
         if len(chunks) > 1:
             _validate_mates(chunks)
@@ -775,7 +788,8 @@ def deduplicate_cluster(
     # ---------------- Pass 3: filtered rewrite ---------------------------
     _filter_and_write(input_files, output_files, check_slices, groups,
                       kept_mask, chunk_records, cached_chunks,
-                      pid=pid, nproc=nproc)
+                      pid=pid, nproc=nproc, shard_base=shard_base,
+                      sharded_input=sharded_input)
     logger.info(f"Filtered FASTQ files based on distinct reads from each "
                 f"cluster. ({timer.get_difference()}) ")
 
@@ -786,7 +800,9 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                       chunk_records: int,
                       cached_chunks: Optional[
                           List[Tuple[int, Tuple[FastqChunk, ...]]]] = None,
-                      pid: int = 0, nproc: int = 1) -> None:
+                      pid: int = 0, nproc: int = 1,
+                      shard_base: int = 0,
+                      sharded_input: bool = False) -> None:
     """Second pass: write the first record matching each kept key
     (reference filter_fastq_files_on_set, __init__.py:189-206; no quality
     filter is applied here, matching the reference's behavior).
@@ -820,7 +836,10 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
         if kept_mask[g].any():
             lookup[length] = (groups.voids[g], kept_mask[g],
                               groups.first_pos[g])
-    distributed = nproc > 1
+    # Sharded-input mode: this host's files are wholly its own — plain
+    # single-host writing (no parts, no merge); only the global record
+    # base carries the shard offset.
+    distributed = nproc > 1 and not sharded_input
     if distributed:
         # Raw per-chunk part files; process 0 compresses after the
         # barrier.  Assumes a shared filesystem (or a post-run copy of
@@ -856,14 +875,14 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     else:
         source = ((i, c) for i, c in
                   enumerate(_zip_chunks(input_files, chunk_records))
-                  if i % nproc == pid)
+                  if sharded_input or i % nproc == pid)
     try:
         from .io.fastq import render_fastq_records
         for chunk_index, chunks in source:
             # Chunks are exactly chunk_records long (final chunk aside;
             # _rechunk guarantees it), so the global index of a chunk's
             # first record is a product — no cross-chunk running state.
-            base = chunk_index * chunk_records
+            base = shard_base + chunk_index * chunk_records
             key_data, key_offsets, _, _ = _chunk_keys(
                 chunks, check_slices, use_qualities=False)
             emit_parts: List[np.ndarray] = []

@@ -108,6 +108,7 @@ import jax
 jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
                            num_processes=2,
                            process_id=int(sys.argv[1]))
+assert jax.process_count() == 2, "distributed init was a no-op"
 from fastqdedup_tpu.pipeline import deduplicate_cluster
 deduplicate_cluster([{str(src)!r}], [{str(dist_out)!r}], None, 1, 0.001,
                     chunk_records=64)
@@ -116,7 +117,11 @@ deduplicate_cluster([{str(src)!r}], [{str(dist_out)!r}], None, 1, 0.001,
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # Deliberately EXCLUDE any inherited PYTHONPATH: this machine's
+    # sitecustomize imports jax at interpreter startup, which initializes
+    # backends before jax.distributed.initialize can run and silently
+    # leaves process_count() at 1 (the test would pass vacuously).
+    env["PYTHONPATH"] = repo
     procs = [subprocess.Popen([sys.executable, str(driver), str(p)],
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
@@ -192,3 +197,83 @@ def test_edit_shard_union_equals_full():
         si, sj = _edit_edges_entries(entries, len(keys), 1, shard=(p, 2))
         union |= set(zip(si.tolist(), sj.tolist()))
     assert union == full
+
+
+def test_two_process_sharded_input_parity(tmp_path):
+    """FASTQDEDUP_SHARDED_INPUT=1: every host feeds its own input shard
+    (parse/rewrite parallelize perfectly); the concatenation of the
+    per-host outputs must equal the single-host run on the concatenated
+    input."""
+    import gzip
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys
+
+    rng = random.Random(55)
+    mols = ["".join(rng.choice("ACGT") for _ in range(22))
+            for _ in range(50)]
+    shards = [[], []]
+    for i in range(900):
+        seq = list(rng.choice(mols))
+        if rng.random() < 0.25:
+            seq[rng.randrange(22)] = rng.choice("ACGT")
+        qual = "".join(chr(33 + rng.randrange(25, 40)) for _ in range(22))
+        shards[0 if i < 450 else 1].append(
+            f"@r{i} c\n{''.join(seq)}\n+\n{qual}\n")
+    shard_paths = []
+    for p, records in enumerate(shards):
+        path = tmp_path / f"shard{p}.fastq.gz"
+        with gzip.open(path, "wt") as f:
+            f.write("".join(records))
+        shard_paths.append(path)
+    full = tmp_path / "full.fastq.gz"
+    with gzip.open(full, "wt") as f:
+        f.write("".join(shards[0] + shards[1]))
+
+    from fastqdedup_tpu.pipeline import deduplicate_cluster
+    single_out = tmp_path / "single.fastq.gz"
+    deduplicate_cluster([str(full)], [str(single_out)], None, 1, 0.001,
+                        chunk_records=64)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    driver = tmp_path / "driver.py"
+    driver.write_text(f"""
+import sys
+import jax
+pid = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, "distributed init was a no-op"
+from fastqdedup_tpu.pipeline import deduplicate_cluster
+shards = [{str(shard_paths[0])!r}, {str(shard_paths[1])!r}]
+outs = [{str(tmp_path / 'out0.fastq.gz')!r},
+        {str(tmp_path / 'out1.fastq.gz')!r}]
+deduplicate_cluster([shards[pid]], [outs[pid]], None, 1, 0.001,
+                    chunk_records=64)
+""")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["FASTQDEDUP_SHARDED_INPUT"] = "1"
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Deliberately EXCLUDE any inherited PYTHONPATH: this machine's
+    # sitecustomize imports jax at interpreter startup, which initializes
+    # backends before jax.distributed.initialize can run and silently
+    # leaves process_count() at 1 (the test would pass vacuously).
+    env["PYTHONPATH"] = repo
+    procs = [subprocess.Popen([sys.executable, str(driver), str(p)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for p in range(2)]
+    outputs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out.decode("utf-8", "replace")[-3000:]
+
+    merged = gzip.open(tmp_path / "out0.fastq.gz", "rb").read() + \
+        gzip.open(tmp_path / "out1.fastq.gz", "rb").read()
+    assert merged == gzip.open(single_out, "rb").read()
+    assert merged
