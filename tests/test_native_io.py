@@ -205,3 +205,43 @@ def test_ragged_average_error_rate_dispatch():
     want = batch_average_error_rate(data.reshape(50, 20).copy(),
                                     np.full(50, 20))
     np.testing.assert_array_equal(got, want)
+
+
+def test_key_accumulator_growth_stress():
+    """Force repeated hash-table growth (regression: acc_add once updated
+    a stale entry pointer after the grow realloc, corrupting the heap at
+    tens of millions of unique keys)."""
+    import numpy as np
+
+    from fastqdedup_tpu.native.loader import KeyAccumulator
+
+    rng = np.random.default_rng(0)
+    acc = KeyAccumulator(expected=16)  # tiny: many growth steps
+    n_chunks, per_chunk, length = 8, 50_000, 12
+    seen = {}
+    base = 0
+    for c in range(n_chunks):
+        keys = rng.integers(65, 69, size=(per_chunk, length),
+                            dtype=np.uint8)
+        # Re-insert some earlier keys so counts exceed 1.
+        if c:
+            keys[: per_chunk // 4] = prev[: per_chunk // 4]
+        prev = keys
+        counted = (rng.random(per_chunk) < 0.8).astype(np.uint8)
+        data = keys.reshape(-1)
+        offsets = np.arange(per_chunk + 1, dtype=np.int64) * length
+        acc.add(data, offsets, counted, base)
+        for i in range(per_chunk):
+            k = keys[i].tobytes()
+            cnt, pos = seen.get(k, (0, 1 << 62))
+            seen[k] = (cnt + int(counted[i]), min(pos, base + i))
+        base += per_chunk
+    kd, ko, counts, first_pos = acc.export()
+    assert len(counts) == len(seen)
+    raw = kd.tobytes()
+    for i in range(len(counts)):
+        k = raw[ko[i]:ko[i + 1]]
+        cnt, pos = seen[k]
+        assert counts[i] == cnt, k
+        assert first_pos[i] == pos, k
+    acc.close()
