@@ -1,0 +1,81 @@
+"""BGZF (blocked gzip) writing.
+
+BGZF is the blocked-gzip variant used across genomics (bgzip/htslib):
+every <=64 KiB block is an independent, fully valid gzip member whose
+FEXTRA field records the compressed block length.  Any gzip reader can
+decompress a BGZF file, but a BGZF-aware reader can discover block
+boundaries WITHOUT inflating and decompress blocks in parallel — the
+native chunk parser (native/_fastq_io.c) does exactly that, which makes
+ingest scale across host cores instead of being bound by single-thread
+zlib inflate (~45 MB/s of compressed input).
+
+This module provides the writer side in pure Python (zlib raw deflate +
+hand-built member framing); outputs are deterministic (no mtime).
+"""
+
+import struct
+import zlib
+from typing import IO, Union
+
+# Maximum uncompressed payload per block (matches bgzip: 65536 - 256
+# safety margin so level-0/incompressible data still fits the u16 BSIZE).
+BLOCK_SIZE = 65280
+
+# The canonical 28-byte BGZF EOF marker (an empty block), byte-identical
+# to htslib's.
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+def compress_block(data: bytes, compresslevel: int = 1) -> bytes:
+    """One BGZF member containing ``data`` (<= BLOCK_SIZE bytes)."""
+    co = zlib.compressobj(compresslevel, zlib.DEFLATED, -15)
+    payload = co.compress(data) + co.flush()
+    bsize = 18 + len(payload) + 8 - 1
+    if bsize >= 1 << 16:
+        raise ValueError("incompressible block exceeds BGZF frame size")
+    header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"  # no mtime
+              b"\x06\x00BC\x02\x00" + struct.pack("<H", bsize))
+    trailer = struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF)
+    return header + payload + trailer
+
+
+class BgzfWriter:
+    """File-like BGZF writer (binary), deterministic output."""
+
+    def __init__(self, file: Union[str, IO[bytes]],
+                 compresslevel: int = 1):
+        if isinstance(file, str):
+            self._file: IO[bytes] = open(file, "wb")
+            self._owns = True
+        else:
+            self._file = file
+            self._owns = False
+        self._level = compresslevel
+        self._pending = bytearray()
+
+    def write(self, data) -> int:
+        self._pending += bytes(data)
+        while len(self._pending) >= BLOCK_SIZE:
+            block = bytes(self._pending[:BLOCK_SIZE])
+            del self._pending[:BLOCK_SIZE]
+            self._file.write(compress_block(block, self._level))
+        return len(data)
+
+    def close(self) -> None:
+        if self._file is None:
+            return
+        if self._pending:
+            self._file.write(compress_block(bytes(self._pending),
+                                            self._level))
+            self._pending.clear()
+        self._file.write(BGZF_EOF)
+        if self._owns:
+            self._file.close()
+        self._file = None  # type: ignore[assignment]
+
+    def __enter__(self) -> "BgzfWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -11,10 +11,13 @@
  * `cc -O3 -shared -fPIC _fastq_io.c -o _fastq_io.so -lz`.
  */
 
+#include <fcntl.h>
+#include <pthread.h>
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 #include <zlib.h>
 
 #define FQ_OK 0
@@ -24,6 +27,23 @@
 #define FQ_ERR_NOMEM 4
 
 #define READ_BUF_SIZE (1 << 20)
+
+/* BGZF (blocked gzip, as written by bgzip/htslib and this library's
+ * blocked writer): each <=64 KiB block is an independent gzip member
+ * whose FEXTRA field carries the compressed block length, so member
+ * boundaries are discoverable WITHOUT inflating — which makes inflate
+ * embarrassingly parallel across cores.  Plain single-member gzip (and
+ * uncompressed files) keep the sequential zlib path. */
+#define BGZF_BATCH 64        /* blocks inflated per parallel batch */
+#define BGZF_THREADS 3
+#define BGZF_MAX_BLOCK 65536
+
+typedef struct {
+    size_t comp_off;         /* offset of deflate payload in comp buf */
+    size_t comp_len;         /* deflate payload length */
+    size_t out_off;          /* offset in the output area */
+    size_t isize;            /* uncompressed size (from member trailer) */
+} BgzfBlock;
 
 typedef struct {
     gzFile gz;
@@ -39,15 +59,253 @@ typedef struct {
     unsigned char *pend_head, *pend_seq, *pend_qual;
     size_t pend_head_len, pend_seq_len;
     int has_pending;
+    /* BGZF parallel-inflate state (bgzf != 0 -> fd-based path). */
+    int bgzf;
+    int fd;
+    unsigned char *comp;     /* compressed readahead */
+    size_t comp_len, comp_pos, comp_cap;
+    int comp_eof;
+    int tail_plain;          /* hit a non-BGZF member: stream the rest */
+    z_stream tail_zs;
+    int tail_active;
 } FqReader;
 
+/* ---- BGZF helpers --------------------------------------------------- */
+
+static int bg_refill_comp(FqReader *r) {
+    if (r->comp_pos > 0) {
+        memmove(r->comp, r->comp + r->comp_pos,
+                r->comp_len - r->comp_pos);
+        r->comp_len -= r->comp_pos;
+        r->comp_pos = 0;
+    }
+    if (r->comp_len == r->comp_cap) {
+        size_t nc = r->comp_cap * 2;
+        unsigned char *nb = (unsigned char *)realloc(r->comp, nc);
+        if (!nb) return FQ_ERR_NOMEM;
+        r->comp = nb;
+        r->comp_cap = nc;
+    }
+    ssize_t n = read(r->fd, r->comp + r->comp_len,
+                     r->comp_cap - r->comp_len);
+    if (n < 0) {
+        snprintf(r->error, sizeof(r->error), "read error");
+        return FQ_ERR_IO;
+    }
+    if (n == 0) r->comp_eof = 1;
+    r->comp_len += (size_t)n;
+    return FQ_OK;
+}
+
+/* Parse one BGZF member header at comp[pos]; returns total member size
+ * (header+payload+trailer) via *msize and the deflate payload span, or
+ * 0 meaning "not a BGZF member", or -1 meaning "need more bytes". */
+static int bg_parse_member(const unsigned char *p, size_t avail,
+                           size_t *msize, size_t *payload_off,
+                           size_t *payload_len, size_t *isize) {
+    if (avail < 18) return -1;
+    if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || (p[3] & 4) == 0)
+        return 0;
+    size_t xlen = (size_t)p[10] | ((size_t)p[11] << 8);
+    if (avail < 12 + xlen) return -1;
+    /* Scan extra subfields for the BC (block size) field. */
+    size_t q = 12, bsize = 0;
+    int found = 0;
+    while (q + 4 <= 12 + xlen) {
+        size_t slen = (size_t)p[q + 2] | ((size_t)p[q + 3] << 8);
+        if (p[q] == 'B' && p[q + 1] == 'C' && slen == 2) {
+            bsize = ((size_t)p[q + 4] | ((size_t)p[q + 5] << 8)) + 1;
+            found = 1;
+        }
+        q += 4 + slen;
+    }
+    if (!found) return 0;
+    if (avail < bsize) return -1;
+    *msize = bsize;
+    *payload_off = 12 + xlen;
+    *payload_len = bsize - (12 + xlen) - 8;
+    *isize = (size_t)p[bsize - 4] | ((size_t)p[bsize - 3] << 8) |
+             ((size_t)p[bsize - 2] << 16) | ((size_t)p[bsize - 1] << 24);
+    return 1;
+}
+
+typedef struct {
+    const unsigned char *comp;
+    unsigned char *out;
+    const BgzfBlock *blocks;
+    int nblocks;
+    int stride, first;
+    int failed;
+} BgzfWork;
+
+static void *bg_worker(void *arg) {
+    BgzfWork *w = (BgzfWork *)arg;
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) {
+        w->failed = 1;
+        return NULL;
+    }
+    for (int i = w->first; i < w->nblocks; i += w->stride) {
+        const BgzfBlock *b = &w->blocks[i];
+        zs.next_in = (unsigned char *)w->comp + b->comp_off;
+        zs.avail_in = (uInt)b->comp_len;
+        zs.next_out = w->out + b->out_off;
+        zs.avail_out = (uInt)b->isize;
+        int rc = inflate(&zs, Z_FINISH);
+        if (rc != Z_STREAM_END || zs.avail_out != 0) {
+            w->failed = 1;
+            break;
+        }
+        inflateReset2(&zs, -15);
+    }
+    inflateEnd(&zs);
+    return NULL;
+}
+
+/* Append one batch of inflated BGZF blocks (or tail-stream bytes) to
+ * r->buf.  Sets r->eof when the compressed stream is exhausted. */
+static int bg_append(FqReader *r) {
+    BgzfBlock blocks[BGZF_BATCH];
+    int nblocks = 0;
+    size_t total_out = 0;
+
+    while (!r->tail_plain && nblocks < BGZF_BATCH) {
+        size_t msize, poff, plen, isize;
+        int st = bg_parse_member(r->comp + r->comp_pos,
+                                 r->comp_len - r->comp_pos,
+                                 &msize, &poff, &plen, &isize);
+        if (st == -1) {
+            if (r->comp_eof) {
+                if (r->comp_len - r->comp_pos == 0) break;
+                snprintf(r->error, sizeof(r->error),
+                         "truncated BGZF block");
+                return FQ_ERR_FORMAT;
+            }
+            if (nblocks) break;  /* inflate what we have; refill later */
+            int rc = bg_refill_comp(r);
+            if (rc != FQ_OK) return rc;
+            continue;
+        }
+        if (st == 0) {
+            /* Non-BGZF member (e.g. plain gzip appended after blocks):
+             * finish queued blocks, then stream the remainder. */
+            if (nblocks) break;
+            r->tail_plain = 1;
+            break;
+        }
+        if (isize > 0) {
+            blocks[nblocks].comp_off = r->comp_pos + poff;
+            blocks[nblocks].comp_len = plen;
+            blocks[nblocks].out_off = total_out;
+            blocks[nblocks].isize = isize;
+            nblocks++;
+            total_out += isize;
+        }
+        r->comp_pos += msize;
+    }
+
+    if (nblocks > 0) {
+        while (r->buf_len + total_out > r->buf_cap) {
+            size_t nc = r->buf_cap * 2;
+            unsigned char *nb = (unsigned char *)realloc(r->buf, nc);
+            if (!nb) return FQ_ERR_NOMEM;
+            r->buf = nb;
+            r->buf_cap = nc;
+        }
+        int nthreads = nblocks < BGZF_THREADS ? nblocks : BGZF_THREADS;
+        BgzfWork works[BGZF_THREADS];
+        pthread_t tids[BGZF_THREADS];
+        for (int t = 0; t < nthreads; t++) {
+            works[t].comp = r->comp;
+            works[t].out = r->buf + r->buf_len;
+            works[t].blocks = blocks;
+            works[t].nblocks = nblocks;
+            works[t].stride = nthreads;
+            works[t].first = t;
+            works[t].failed = 0;
+        }
+        for (int t = 1; t < nthreads; t++)
+            pthread_create(&tids[t], NULL, bg_worker, &works[t]);
+        bg_worker(&works[0]);
+        for (int t = 1; t < nthreads; t++)
+            pthread_join(tids[t], NULL);
+        for (int t = 0; t < nthreads; t++) {
+            if (works[t].failed) {
+                snprintf(r->error, sizeof(r->error),
+                         "corrupt BGZF block");
+                return FQ_ERR_FORMAT;
+            }
+        }
+        r->buf_len += total_out;
+        return FQ_OK;
+    }
+
+    if (r->tail_plain) {
+        /* Stream-inflate the non-BGZF remainder (concatenated members
+         * handled by inflateReset on Z_STREAM_END). */
+        if (!r->tail_active) {
+            memset(&r->tail_zs, 0, sizeof(r->tail_zs));
+            if (inflateInit2(&r->tail_zs, 15 + 32) != Z_OK)
+                return FQ_ERR_NOMEM;
+            r->tail_active = 1;
+        }
+        for (;;) {
+            if (r->comp_len - r->comp_pos == 0 && !r->comp_eof) {
+                int rc = bg_refill_comp(r);
+                if (rc != FQ_OK) return rc;
+            }
+            if (r->comp_len - r->comp_pos == 0) {
+                r->eof = 1;
+                return FQ_OK;
+            }
+            if (r->buf_len == r->buf_cap) {
+                size_t nc = r->buf_cap * 2;
+                unsigned char *nb =
+                    (unsigned char *)realloc(r->buf, nc);
+                if (!nb) return FQ_ERR_NOMEM;
+                r->buf = nb;
+                r->buf_cap = nc;
+            }
+            r->tail_zs.next_in = r->comp + r->comp_pos;
+            r->tail_zs.avail_in = (uInt)(r->comp_len - r->comp_pos);
+            r->tail_zs.next_out = r->buf + r->buf_len;
+            r->tail_zs.avail_out = (uInt)(r->buf_cap - r->buf_len);
+            int rc = inflate(&r->tail_zs, Z_NO_FLUSH);
+            size_t consumed = (r->comp_len - r->comp_pos) -
+                r->tail_zs.avail_in;
+            size_t produced = (r->buf_cap - r->buf_len) -
+                r->tail_zs.avail_out;
+            r->comp_pos += consumed;
+            r->buf_len += produced;
+            if (rc == Z_STREAM_END) {
+                inflateReset(&r->tail_zs);
+                if (produced) return FQ_OK;
+                continue;
+            }
+            if (rc != Z_OK && rc != Z_BUF_ERROR) {
+                snprintf(r->error, sizeof(r->error),
+                         "corrupt gzip tail stream");
+                return FQ_ERR_FORMAT;
+            }
+            if (produced) return FQ_OK;
+        }
+    }
+
+    /* No blocks, no tail: end of compressed stream. */
+    r->eof = 1;
+    return FQ_OK;
+}
+
 static int fq_fill(FqReader *r) {
-    /* Compact unread bytes to the front and refill from gz. */
+    /* Compact unread bytes to the front and refill. */
     if (r->buf_pos > 0) {
         memmove(r->buf, r->buf + r->buf_pos, r->buf_len - r->buf_pos);
         r->buf_len -= r->buf_pos;
         r->buf_pos = 0;
     }
+    if (r->bgzf)
+        return bg_append(r);
     if (r->buf_len == r->buf_cap) {
         size_t new_cap = r->buf_cap * 2;
         unsigned char *nb = (unsigned char *)realloc(r->buf, new_cap);
@@ -104,6 +362,51 @@ static int fq_next_line(FqReader *r, unsigned char **out, size_t *len) {
 FqReader *fq_open(const char *path) {
     FqReader *r = (FqReader *)calloc(1, sizeof(FqReader));
     if (!r) return NULL;
+    r->error_line = -1;
+    /* Sniff for BGZF: gzip magic + FEXTRA + a BC subfield in the first
+     * member.  BGZF files take the fd-based parallel-inflate path;
+     * everything else (plain gzip, uncompressed) uses zlib's gzFile. */
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) {
+        free(r);
+        return NULL;
+    }
+    unsigned char head[64];
+    ssize_t got = read(fd, head, sizeof(head));
+    int is_bgzf = 0;
+    if (got >= 18 && head[0] == 0x1f && head[1] == 0x8b &&
+        head[2] == 8 && (head[3] & 4) != 0) {
+        size_t xlen = (size_t)head[10] | ((size_t)head[11] << 8);
+        size_t q = 12;
+        while (q + 4 <= 12 + xlen && (ssize_t)(q + 4) <= got) {
+            size_t slen = (size_t)head[q + 2] | ((size_t)head[q + 3] << 8);
+            if (head[q] == 'B' && head[q + 1] == 'C' && slen == 2)
+                is_bgzf = 1;
+            q += 4 + slen;
+        }
+    }
+    if (is_bgzf) {
+        if (lseek(fd, 0, SEEK_SET) != 0) {
+            close(fd);
+            free(r);
+            return NULL;
+        }
+        r->bgzf = 1;
+        r->fd = fd;
+        r->comp_cap = READ_BUF_SIZE;
+        r->comp = (unsigned char *)malloc(r->comp_cap);
+        r->buf_cap = READ_BUF_SIZE * 4;
+        r->buf = (unsigned char *)malloc(r->buf_cap);
+        if (!r->comp || !r->buf) {
+            close(fd);
+            free(r->comp);
+            free(r->buf);
+            free(r);
+            return NULL;
+        }
+        return r;
+    }
+    close(fd);
     r->gz = gzopen(path, "rb");
     if (!r->gz) {
         free(r);
@@ -117,13 +420,15 @@ FqReader *fq_open(const char *path) {
         free(r);
         return NULL;
     }
-    r->error_line = -1;
     return r;
 }
 
 void fq_close(FqReader *r) {
     if (!r) return;
     if (r->gz) gzclose(r->gz);
+    if (r->bgzf) close(r->fd);
+    if (r->tail_active) inflateEnd(&r->tail_zs);
+    free(r->comp);
     free(r->buf);
     free(r->pend_head);
     free(r->pend_seq);

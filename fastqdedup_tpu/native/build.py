@@ -20,8 +20,8 @@ def library_path() -> str:
             os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
     cc = sysconfig.get_config_var("CC") or os.environ.get("CC") or "cc"
-    cmd = cc.split() + ["-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp",
-                        _SRC, "-lz"]
+    cmd = cc.split() + ["-O3", "-pthread", "-shared", "-fPIC", "-o",
+                        _LIB + ".tmp", _SRC, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:

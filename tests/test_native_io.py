@@ -245,3 +245,61 @@ def test_key_accumulator_growth_stress():
         assert counts[i] == cnt, k
         assert first_pos[i] == pos, k
     acc.close()
+
+
+def test_bgzf_parallel_parse_matches_plain_gzip(tmp_path):
+    """A BGZF-blocked file must parse to the identical record stream as
+    the same data in plain gzip (the parallel-inflate path) — including
+    multi-block files, a trailing partial block, and gzip-reader
+    compatibility of the BGZF output itself."""
+    import gzip
+    import random
+
+    import numpy as np
+
+    from fastqdedup_tpu.io.bgzf import BgzfWriter
+    from fastqdedup_tpu.native.loader import read_fastq_chunks_native
+
+    rng = random.Random(5)
+    records = []
+    for i in range(20_000):
+        seq = "".join(rng.choice("ACGT") for _ in range(40))
+        records.append(f"@r{i} x\n{seq}\n+\n{'I' * 40}\n")
+    payload = "".join(records).encode()
+
+    plain = tmp_path / "plain.fastq.gz"
+    with gzip.open(plain, "wb") as f:
+        f.write(payload)
+    blocked = tmp_path / "blocked.fastq.gz"
+    with BgzfWriter(str(blocked)) as f:
+        # Uneven write sizes exercise block buffering.
+        for start in range(0, len(payload), 37_111):
+            f.write(payload[start:start + 37_111])
+
+    # BGZF output is itself valid gzip.
+    assert gzip.open(blocked, "rb").read() == payload
+
+    def collect(path):
+        seqs, heads = [], []
+        for c in read_fastq_chunks_native(str(path), 512):
+            seqs.append(c.sequences.tobytes())
+            heads.append(c.headers.tobytes())
+        return b"".join(seqs), b"".join(heads)
+
+    assert collect(plain) == collect(blocked)
+
+
+def test_bgzf_corrupt_block_raises(tmp_path):
+    from fastqdedup_tpu.io.bgzf import BgzfWriter
+    from fastqdedup_tpu.native.loader import read_fastq_chunks_native
+
+    path = tmp_path / "bad.fastq.gz"
+    with BgzfWriter(str(path)) as f:
+        f.write(b"@r0 x\nACGT\n+\nIIII\n" * 10_000)
+    data = bytearray(open(path, "rb").read())
+    data[len(data) // 2] ^= 0xFF  # flip a payload byte mid-file
+    open(path, "wb").write(bytes(data))
+    import pytest
+    with pytest.raises(Exception):
+        for _ in read_fastq_chunks_native(str(path), 512):
+            pass
