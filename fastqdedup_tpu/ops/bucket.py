@@ -125,10 +125,43 @@ def _bucketed_within(batch: np.ndarray, alphabet_size: int,
 
 # Bucket size classes: exactly these S values exist on device, and the
 # batch dimension K is fixed per class, so the whole bucketed path runs
-# through SIX device programs per (Lp, Ap) geometry.  Loading a program
+# through THREE device programs per (Lp, Ap) geometry.  Loading a program
 # onto a (remote) TPU costs far more than the <=4x padded compute of a
 # coarse class — MXU cycles are free next to tunnel round trips.
-SIZE_CLASSES = (2, 8, 32, 128, 512, 2048)
+SIZE_CLASSES = (128, 512, 2048)
+
+# Buckets at or below this size are compared on the HOST: a size-s
+# bucket holds only s(s-1)/2 pairs for s*L key bytes of device transfer,
+# so tiny buckets (the overwhelming majority at production key counts)
+# cost more in dispatch round trips and H2D than a vectorized numpy
+# compare costs outright — and tens of millions of keys mean thousands
+# of batched launches through a tunneled chip.
+HOST_BUCKET_LIMIT = 32
+
+
+def _host_small_bucket_pairs(matrix: np.ndarray, order: np.ndarray,
+                             starts: np.ndarray,
+                             selected: np.ndarray, size: int,
+                             max_distance: int,
+                             batch_pairs: int = 1 << 21):
+    """Yield (gi, gj) within-distance pairs for all selected buckets of
+    exactly ``size`` members — fully vectorized on host.
+
+    Member lists gather into a [K, size] index matrix, pair templates
+    (triu) expand it to flat (i, j) candidates, and one uint8 row compare
+    per batch verifies the real Hamming distance.
+    """
+    ii_t, jj_t = np.triu_indices(size, k=1)
+    members = order[starts[selected][:, None] +
+                    np.arange(size, dtype=np.int64)[None, :]]
+    gi_all = members[:, ii_t].ravel()
+    gj_all = members[:, jj_t].ravel()
+    for start in range(0, len(gi_all), batch_pairs):
+        gi = gi_all[start:start + batch_pairs]
+        gj = gj_all[start:start + batch_pairs]
+        mism = np.count_nonzero(matrix[gi] != matrix[gj], axis=1)
+        keep = mism <= max_distance
+        yield gi[keep], gj[keep]
 
 
 def _buckets_per_call(size_class: int) -> int:
@@ -261,9 +294,18 @@ def hamming_neighbor_pairs_bucketed(
         sizes = ends - starts
         owned = bucket_owner_mask(
             np.arange(len(starts), dtype=np.int64), seg_index, pid, nproc)
+        host_cap = min(HOST_BUCKET_LIMIT, large_bucket_threshold)
+        small = (sizes > 1) & (sizes <= host_cap) & owned
+        for s in np.unique(sizes[small]):
+            selected = np.flatnonzero(small & (sizes == s))
+            for gi, gj in _host_small_bucket_pairs(
+                    matrix, order, starts, selected, int(s),
+                    max_distance):
+                pair_codes.append(np.minimum(gi, gj) * n +
+                                  np.maximum(gi, gj))
         classes = [c for c in SIZE_CLASSES
-                   if c <= large_bucket_threshold] or [SIZE_CLASSES[0]]
-        lower = 1
+                   if host_cap < c <= large_bucket_threshold]
+        lower = host_cap
         for size_class in classes:
             in_class = (sizes > lower) & (sizes <= size_class) & owned
             lower = size_class
@@ -277,7 +319,8 @@ def hamming_neighbor_pairs_bucketed(
                     inflight += item[2]
                     if inflight > MAX_INFLIGHT_BYTES:
                         drain(MAX_INFLIGHT_BYTES // 2)
-        for b in np.flatnonzero((sizes > classes[-1]) & owned):
+        over_cutoff = classes[-1] if classes else host_cap
+        for b in np.flatnonzero((sizes > over_cutoff) & owned):
             oversized.append(order[starts[b]:ends[b]])
     drain(0)
     # Oversized buckets: dedicated all-pairs sweep per bucket.
