@@ -957,3 +957,37 @@ int64_t fq_render_records(const unsigned char *seq, const unsigned char *qual,
     }
     return (int64_t)(p - out);
 }
+
+/* ================= Union-find over an edge list ========================
+ *
+ * Connected components of the within-distance pair graph (the reference's
+ * pop_cluster partition, _triemodule.c:778-897).  Union by min-index root
+ * with path halving: the returned label of every node is the smallest
+ * node index in its component — matching the numpy min-label propagation
+ * it replaces, at ~100M edges/s instead of multi-second scatter sweeps.
+ */
+
+static int64_t uf_find(int64_t *parent, int64_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];
+        x = parent[x];
+    }
+    return x;
+}
+
+int uf_components(int64_t n, const int64_t *ei, const int64_t *ej,
+                  int64_t e, int64_t *labels_out) {
+    int64_t *parent = labels_out;  /* in-place scratch */
+    for (int64_t i = 0; i < n; i++) parent[i] = i;
+    for (int64_t k = 0; k < e; k++) {
+        int64_t a = uf_find(parent, ei[k]);
+        int64_t b = uf_find(parent, ej[k]);
+        if (a == b) continue;
+        /* Attach the larger-index root beneath the smaller, so the root
+         * of every component is its minimum member. */
+        if (a < b) parent[b] = a;
+        else parent[a] = b;
+    }
+    for (int64_t i = 0; i < n; i++) labels_out[i] = uf_find(parent, i);
+    return FQ_OK;
+}

@@ -56,6 +56,10 @@ _lib.acc_key_bytes.argtypes = [ctypes.c_void_p]
 _lib.acc_export.restype = None
 _lib.acc_export.argtypes = [ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p]
 
+_lib.uf_components.restype = ctypes.c_int
+_lib.uf_components.argtypes = [ctypes.c_int64, _i64p, _i64p,
+                               ctypes.c_int64, _i64p]
+
 _lib.fq_render_records.restype = ctypes.c_int64
 _lib.fq_render_records.argtypes = [_u8p, _u8p, _i64p, _u8p, _i64p,
                                    _i64p, ctypes.c_int64, _u8p]
@@ -287,3 +291,15 @@ def render_records_native(seq: np.ndarray, qual: np.ndarray,
         rows, len(rows), out)
     assert written == total, "renderer wrote unexpected byte count"
     return out
+
+
+def union_find_native(n: int, pairs_i: np.ndarray,
+                      pairs_j: np.ndarray) -> np.ndarray:
+    """int64 [n] min-index component labels (C union-find, GIL-free)."""
+    labels = np.empty(n, dtype=np.int64)
+    _lib.uf_components(
+        int(n),
+        np.ascontiguousarray(pairs_i, dtype=np.int64),
+        np.ascontiguousarray(pairs_j, dtype=np.int64),
+        len(pairs_i), labels)
+    return labels

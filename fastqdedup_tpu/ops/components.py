@@ -24,14 +24,19 @@ def connected_components_host(n: int, pairs_i: np.ndarray,
                               pairs_j: np.ndarray) -> np.ndarray:
     """Component label (smallest member index) per node, int64 [n].
 
-    Vectorized min-label propagation with pointer doubling: each sweep is
-    a handful of O(E)/O(N) numpy ops and the label graph's depth halves
-    every round, so convergence takes O(log N) sweeps — no per-edge or
-    per-node Python.
+    Native C union-find (path halving, min-index roots; ~100M edges/s,
+    GIL-free) when the native library is available; otherwise vectorized
+    min-label propagation with pointer doubling — each sweep is a
+    handful of O(E)/O(N) numpy ops, O(log N) sweeps.
     """
     labels = np.arange(n, dtype=np.int64)
     if not len(pairs_i):
         return labels
+    try:
+        from ..native.loader import union_find_native
+        return union_find_native(n, pairs_i, pairs_j)
+    except ImportError:
+        pass
     while True:
         prev = labels
         m = labels.copy()
