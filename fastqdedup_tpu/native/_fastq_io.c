@@ -991,3 +991,29 @@ int uf_components(int64_t n, const int64_t *ei, const int64_t *ej,
     for (int64_t i = 0; i < n; i++) labels_out[i] = uf_find(parent, i);
     return FQ_OK;
 }
+
+/* Batched query: out[i] = stored first_pos of key i, or -1 if absent.
+ * With keys inserted at base 0 in a single acc_add call, first_pos IS
+ * the insertion row id — which makes this a perfect-hash index lookup
+ * for pass 3's kept-key membership (pipeline._filter_and_write). */
+void acc_lookup(const KeyAcc *a, const unsigned char *key_data,
+                const int64_t *key_offsets, int64_t n, int64_t *out) {
+    size_t mask = a->cap - 1;
+    for (int64_t i = 0; i < n; i++) {
+        const unsigned char *key = key_data + key_offsets[i];
+        size_t len = (size_t)(key_offsets[i + 1] - key_offsets[i]);
+        uint64_t h = acc_hash(key, len);
+        size_t j = (size_t)h & mask;
+        out[i] = -1;
+        for (;;) {
+            const AccEntry *e = &a->slots[j];
+            if (e->key_off < 0) break;
+            if (e->hash == h && (size_t)e->key_len == len &&
+                memcmp(a->arena + e->key_off, key, len) == 0) {
+                out[i] = e->first_pos;
+                break;
+            }
+            j = (j + 1) & mask;
+        }
+    }
+}

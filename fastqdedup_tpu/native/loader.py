@@ -56,6 +56,10 @@ _lib.acc_key_bytes.argtypes = [ctypes.c_void_p]
 _lib.acc_export.restype = None
 _lib.acc_export.argtypes = [ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p]
 
+_lib.acc_lookup.restype = None
+_lib.acc_lookup.argtypes = [ctypes.c_void_p, _u8p, _i64p,
+                            ctypes.c_int64, _i64p]
+
 _lib.uf_components.restype = ctypes.c_int
 _lib.uf_components.argtypes = [ctypes.c_int64, _i64p, _i64p,
                                ctypes.c_int64, _i64p]
@@ -244,6 +248,22 @@ class KeyAccumulator:
                           n, int(base))
         if rc != _FQ_OK:
             raise MemoryError("key accumulator allocation failure")
+
+    def lookup(self, key_data: np.ndarray,
+               key_offsets: np.ndarray) -> np.ndarray:
+        """int64 [n]: stored first_pos per queried key, -1 where absent.
+
+        Insert keys with ``base=0`` in one ``add`` call and first_pos is
+        the insertion row id — i.e. this doubles as an exact index map.
+        """
+        n = len(key_offsets) - 1
+        out = np.empty(n, dtype=np.int64)
+        _lib.acc_lookup(
+            self._handle,
+            np.ascontiguousarray(key_data, dtype=np.uint8),
+            np.ascontiguousarray(key_offsets, dtype=np.int64),
+            n, out)
+        return out
 
     def export(self):
         """-> (key_data, key_offsets, counts, first_pos) in table order."""

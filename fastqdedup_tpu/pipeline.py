@@ -836,6 +836,38 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
         if kept_mask[g].any():
             lookup[length] = (groups.voids[g], kept_mask[g],
                               groups.first_pos[g])
+    # Fast path: one C hash table over the KEPT keys only (all lengths in
+    # one table; stored value = row id into kept_fp).  Membership becomes
+    # a single batched lookup per chunk instead of a per-length binary
+    # search over the full unique-key arrays — at tens of millions of
+    # keys the searchsorted memcmps alone cost minutes.
+    kept_lookup = None
+    kept_fp = np.empty(0, dtype=np.int64)
+    try:
+        from .native.loader import KeyAccumulator as _NativeAcc
+        datas: List[np.ndarray] = []
+        lens_list: List[np.ndarray] = []
+        fps: List[np.ndarray] = []
+        for g, length in enumerate(groups.lengths):
+            rows = np.flatnonzero(kept_mask[g])
+            if not len(rows):
+                continue
+            if length:
+                datas.append(np.ascontiguousarray(
+                    groups.voids[g][rows]).view(np.uint8).reshape(-1))
+            lens_list.append(np.full(len(rows), length, dtype=np.int64))
+            fps.append(groups.first_pos[g][rows])
+        if fps:
+            lens_all = np.concatenate(lens_list)
+            offs = np.zeros(len(lens_all) + 1, dtype=np.int64)
+            np.cumsum(lens_all, out=offs[1:])
+            data_all = np.concatenate(datas) if datas \
+                else np.empty(0, dtype=np.uint8)
+            kept_fp = np.concatenate(fps)
+            kept_lookup = _NativeAcc(expected=len(kept_fp))
+            kept_lookup.add(data_all, offs, None, 0)
+    except ImportError:
+        kept_lookup = None
     # Sharded-input mode: this host's files are wholly its own — plain
     # single-host writing (no parts, no merge); only the global record
     # base carries the shard offset.
@@ -885,32 +917,40 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
             base = shard_base + chunk_index * chunk_records
             key_data, key_offsets, _, _ = _chunk_keys(
                 chunks, check_slices, use_qualities=False)
-            emit_parts: List[np.ndarray] = []
-            for length, rows in group_rows_by_length(key_offsets):
-                if length == 0:
-                    if empty_first_pos >= 0:
-                        hit = rows[base + rows == empty_first_pos]
-                        if len(hit):
-                            emit_parts.append(hit.astype(np.int64))
-                    continue
-                entry = lookup.get(length)
-                if entry is None:
-                    continue
-                table, kept_g, firstpos_g = entry
-                void = rows_as_void(key_data, key_offsets, rows, length)
-                # table is the pass-1 sorted unique array: membership via
-                # searchsorted, representative-ness via kept_mask, and
-                # first-wins via the first_pos equality.
-                pos = np.searchsorted(table, void)
-                pos[pos == len(table)] = 0
-                emit = (table[pos] == void) & kept_g[pos] & \
-                    (base + rows == firstpos_g[pos])
-                if emit.any():
-                    emit_parts.append(rows[emit])
-            if emit_parts:
-                emit_rows = np.sort(np.concatenate(emit_parts))
+            if kept_lookup is not None:
+                idx = kept_lookup.lookup(key_data, key_offsets)
+                hit = idx >= 0
+                positions = base + np.arange(len(idx), dtype=np.int64)
+                emit_rows = np.flatnonzero(
+                    hit & (kept_fp[np.maximum(idx, 0)] == positions))
             else:
-                emit_rows = np.empty(0, dtype=np.int64)
+                emit_parts: List[np.ndarray] = []
+                for length, rows in group_rows_by_length(key_offsets):
+                    if length == 0:
+                        if empty_first_pos >= 0:
+                            hit0 = rows[base + rows == empty_first_pos]
+                            if len(hit0):
+                                emit_parts.append(hit0.astype(np.int64))
+                        continue
+                    entry = lookup.get(length)
+                    if entry is None:
+                        continue
+                    table, kept_g, firstpos_g = entry
+                    void = rows_as_void(key_data, key_offsets, rows,
+                                        length)
+                    # table is the pass-1 sorted unique array: membership
+                    # via searchsorted, representative-ness via kept_mask,
+                    # first-wins via the first_pos equality.
+                    pos = np.searchsorted(table, void)
+                    pos[pos == len(table)] = 0
+                    emit = (table[pos] == void) & kept_g[pos] & \
+                        (base + rows == firstpos_g[pos])
+                    if emit.any():
+                        emit_parts.append(rows[emit])
+                if emit_parts:
+                    emit_rows = np.sort(np.concatenate(emit_parts))
+                else:
+                    emit_rows = np.empty(0, dtype=np.int64)
             # Vectorized serialization, one compressor call per chunk.
             for index, chunk in enumerate(chunks):
                 payload = render_fastq_records(chunk, emit_rows)

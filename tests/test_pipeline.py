@@ -251,5 +251,7 @@ def test_numpy_fallback_accumulator_and_renderer(tmp_path, monkeypatch):
     monkeypatch.setattr(pl, "_make_key_accumulator",
                         lambda expected=0: pl._NumpyKeyAccumulator(expected))
     monkeypatch.delattr("fastqdedup_tpu.native.loader.render_records_native")
+    # Also force pass 3's searchsorted membership path (no C hash lookup).
+    monkeypatch.delattr("fastqdedup_tpu.native.loader.KeyAccumulator")
     deduplicate_cluster(inputs, fallback_out, None, 1, 0.001)
     assert _read_out(native_out[0]) == _read_out(fallback_out[0])
