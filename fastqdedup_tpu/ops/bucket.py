@@ -45,6 +45,30 @@ def _row_group_ids(rows: np.ndarray) -> np.ndarray:
     return inverse.astype(np.int64)
 
 
+def _bucket_slices(window: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(order, starts, ends) of equal-content buckets of ``window`` rows.
+
+    One u64 content-hash argsort replaces the np.unique + dense-id +
+    second-argsort sequence (which sorted the same data twice).  Member
+    order within a bucket is irrelevant — pair sets are order-free and
+    globally deduped — and bucket ids (run index in hash order) stay
+    deterministic across hosts for the ownership partition.
+    """
+    n = len(window)
+    if window.shape[1] == 0 or n == 0:
+        return (np.arange(n, dtype=np.int64),
+                np.zeros(1, dtype=np.int64),
+                np.full(1, n, dtype=np.int64))
+    hashes = _hash_window_rows(window, window.shape[1], strong=False)
+    order = np.argsort(hashes)
+    sh = hashes[order]
+    boundaries = np.flatnonzero(sh[1:] != sh[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [n]])
+    return order, starts, ends
+
+
 def segment_bounds(length: int, num_segments: int) -> List[Tuple[int, int]]:
     """Split [0, length) into ``num_segments`` near-equal contiguous spans."""
     bounds = []
@@ -289,8 +313,7 @@ def hamming_neighbor_pairs_bucketed(
     # [K,S,S] outputs onto the device.
     for seg_index, (seg_start, seg_end) in enumerate(
             segment_bounds(length, max_distance + 1)):
-        group_ids = _row_group_ids(matrix[:, seg_start:seg_end])
-        order, starts, ends = _iter_bucket_slices(group_ids)
+        order, starts, ends = _bucket_slices(matrix[:, seg_start:seg_end])
         sizes = ends - starts
         owned = bucket_owner_mask(
             np.arange(len(starts), dtype=np.int64), seg_index, pid, nproc)
@@ -348,12 +371,23 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _hash_window_rows(window: np.ndarray, salt: int) -> np.ndarray:
+def _hash_window_rows(window: np.ndarray, salt: int,
+                      strong: bool = True) -> np.ndarray:
     """uint64 [n] content hashes of the rows of a [n, w] uint8 window.
+
+    ``strong=False`` drops the per-column avalanche to one multiply+shift
+    (2.5x fewer memory passes) — right for bucket grouping, where a
+    collision only merges candidate groups that exact verification
+    splits again; keep ``strong=True`` where collisions must stay at the
+    2^-64 level (e.g. the dual-hash key ordering).
 
     Deterministic, so equal contents always collide (no false negatives);
     unequal contents collide with ~2^-64 probability and any such false
     candidate is discarded by the exact DP verification downstream.
+
+    Hot at production scale (tens of millions of 50-100 byte rows, twice
+    per segment pass): columns are transposed to contiguous memory once
+    and the mix runs with in-place ufuncs (zero per-column temporaries).
     """
     n, w = window.shape
     w8 = -(-w // 8) * 8
@@ -362,12 +396,38 @@ def _hash_window_rows(window: np.ndarray, salt: int) -> np.ndarray:
         padded[:, :w] = window
     else:
         padded = np.ascontiguousarray(window)
-    cols = padded.view(np.uint64).reshape(n, w8 // 8)
+    # Column-major copy: each uint64 column is then a contiguous read.
+    cols = np.asfortranarray(padded.view(np.uint64).reshape(n, w8 // 8))
     h = np.full(n, (0x9E3779B97F4A7C15 * (salt + 0x10001) + 0x85EBCA6B)
                 & _MASK64, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    c33 = np.uint64(33)
+    m1 = np.uint64(0xFF51AFD7ED558CCD)
+    m2 = np.uint64(0xC4CEB9FE1A85EC53)
+    m3 = np.uint64(0x2545F4914F6CDD1D)
+
+    def mix_inplace(x: np.ndarray) -> None:
+        np.right_shift(x, c33, out=tmp)
+        np.bitwise_xor(x, tmp, out=x)
+        np.multiply(x, m1, out=x)
+        np.right_shift(x, c33, out=tmp)
+        np.bitwise_xor(x, tmp, out=x)
+        np.multiply(x, m2, out=x)
+        np.right_shift(x, c33, out=tmp)
+        np.bitwise_xor(x, tmp, out=x)
+
+    c29 = np.uint64(29)
     for c in range(cols.shape[1]):
-        h = _mix64(h ^ cols[:, c]) * np.uint64(0x2545F4914F6CDD1D)
-    return _mix64(h)
+        np.bitwise_xor(h, cols[:, c], out=h)
+        if strong:
+            mix_inplace(h)
+            np.multiply(h, m3, out=h)
+        else:
+            np.multiply(h, m3, out=h)
+            np.right_shift(h, c29, out=tmp)
+            np.bitwise_xor(h, tmp, out=h)
+    mix_inplace(h)
+    return h
 
 
 def edit_candidate_pairs(matrices: List[np.ndarray],

@@ -40,9 +40,14 @@ class EncodeTable:
         return index
 
     def extend_from(self, data: np.ndarray) -> None:
-        """Register any bytes present in ``data`` that are still unmapped."""
-        present = np.unique(data)
-        for byte in present:
+        """Register any bytes present in ``data`` that are still unmapped.
+
+        Presence is collected with a 256-slot scatter, not np.unique —
+        np.unique SORTS its input, which at a 3 GB key matrix costs
+        minutes; the scatter is one linear pass."""
+        seen = np.zeros(256, dtype=bool)
+        seen[data.reshape(-1)] = True
+        for byte in np.flatnonzero(seen):
             if self.table[byte] == UNASSIGNED:
                 index = len(self.chars)
                 if index >= 254:

@@ -411,14 +411,29 @@ def _make_key_accumulator(expected: int = 1 << 20):
 def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
                      counts: np.ndarray, first_pos: np.ndarray
                      ) -> KeyGroups:
-    """Accumulator dump -> per-length lexicographically sorted KeyGroups.
+    """Accumulator dump -> per-length deterministically ordered KeyGroups.
 
     Tolerates duplicate keys (a key seen by several hosts appears once per
     host in the gathered table): duplicates collapse by summing counts and
     taking the minimum first position.  Keys whose merged count is zero
     (every occurrence was quality-filtered) are then dropped: they can
     never be cluster members or representatives — the reference never
-    inserted them into the trie (__init__.py:247-252)."""
+    inserted them into the trie (__init__.py:247-252).
+
+    Within-group order: content-HASH order (two independent 64-bit hashes
+    as sort keys — equal keys are always adjacent, unequal keys colliding
+    in both hashes is a 2^-128 event) when the native layer is present,
+    since every consumer there resolves keys through hash lookups or
+    index maps; LEXICOGRAPHIC order otherwise, which the fallback
+    searchsorted membership paths require.  Both orders are deterministic
+    and identical across hosts.  A 31M-key void-dtype lexsort costs ~77 s
+    (memcmp comparisons); the dual u64 lexsort costs ~15 s."""
+    try:
+        from .native.loader import KeyAccumulator as _acc_probe  # noqa
+        use_hash_order = True
+    except ImportError:
+        use_hash_order = False
+    from .ops.bucket import _hash_window_rows
     lengths_all = np.diff(key_offsets)
     lengths_list: List[int] = []
     voids: List[np.ndarray] = []
@@ -429,7 +444,13 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
     for length in np.unique(lengths_all):
         sel = np.flatnonzero(lengths_all == length)
         void = rows_as_void(key_data, key_offsets, sel, int(length))
-        order = np.argsort(void, kind="stable")
+        if use_hash_order and length > 0 and len(sel) > 1:
+            raw = void.view(np.uint8).reshape(len(sel), int(length))
+            h1 = _hash_window_rows(raw, int(length))
+            h2 = _hash_window_rows(raw, int(length) + 65537)
+            order = np.lexsort((h2, h1))
+        else:
+            order = np.argsort(void, kind="stable")
         sv = void[order]
         sc = counts[sel][order]
         sp = first_pos[sel][order]
@@ -650,17 +671,39 @@ def deduplicate_cluster(
                                    np.arange(groups.n, dtype=np.int64),
                                    side="right") - 1
 
+    def member_bytes(members: np.ndarray) -> np.ndarray:
+        """Raw key bytes of ``members`` as a zero-padded uint8 matrix —
+        zero-padding makes row-wise lexicographic comparison match Python
+        str order across mixed lengths (shorter prefix sorts first)."""
+        g = group_of_key[members]
+        rows = members - groups.starts[g]
+        width = max(max((groups.lengths[int(gi)]
+                         for gi in np.unique(g)), default=1), 1)
+        padded = np.zeros((len(members), width), dtype=np.uint8)
+        for gi in np.unique(g):
+            length = groups.lengths[int(gi)]
+            sel = np.flatnonzero(g == gi)
+            if length:
+                raw = groups.voids[int(gi)][rows[sel]].view(np.uint8)
+                padded[sel, :length] = raw.reshape(len(sel), length)
+        return padded
+
     def mark_indices(idx: np.ndarray) -> None:
         g = group_of_key[idx]
         rows = idx - groups.starts[g]
         for gi in np.unique(g):
             kept_mask[gi][rows[g == gi]] = True
 
+    key_row_maps: Dict[int, Dict[bytes, int]] = {}
+
     def mark_key_bytes(key: bytes) -> None:
         # A user-supplied dissection strategy may yield a string that is
         # not one of the cluster's keys; the reference tolerated that
         # (unknown hashes simply never matched in pass 3,
         # __init__.py:203-206), so unknown keys are skipped, not marked.
+        # Lookup goes through a lazily built per-group dict (group order
+        # may be hash-based, so binary search does not apply); this path
+        # serves only custom dissection strategies.
         g = groups.group_index_of_length(len(key))
         if g is None:
             logger.debug("dissection yielded unknown key of length "
@@ -670,10 +713,15 @@ def deduplicate_cluster(
             if len(kept_mask[g]):
                 kept_mask[g][0] = True
             return
-        void = np.frombuffer(key, dtype=np.uint8).view(
-            np.dtype((np.void, len(key))))
-        row = int(np.searchsorted(groups.voids[g], void[0]))
-        if row >= len(groups.voids[g]) or groups.voids[g][row] != void[0]:
+        rows_map = key_row_maps.get(g)
+        if rows_map is None:
+            raw = groups.voids[g].tobytes()
+            length = groups.lengths[g]
+            rows_map = {raw[i * length:(i + 1) * length]: i
+                        for i in range(len(groups.counts[g]))}
+            key_row_maps[g] = rows_map
+        row = rows_map.get(key)
+        if row is None:
             logger.debug("dissection yielded unknown key; ignored")
             return
         kept_mask[g][row] = True
@@ -696,10 +744,19 @@ def deduplicate_cluster(
         hi_idx = np.where(ca > cb, a_idx, b_idx)
         lo_idx = np.where(ca > cb, b_idx, a_idx)
         ties = np.flatnonzero(ca == cb)
-        for t in ties:
-            if groups.key_bytes(int(a_idx[t])) > \
-                    groups.key_bytes(int(b_idx[t])):
-                hi_idx[t], lo_idx[t] = a_idx[t], b_idx[t]
+        if len(ties):
+            # Count ties are the COMMON case (two count-1 variants), so
+            # the string tie-break is vectorized: first differing byte
+            # decides (keys are distinct, so one always exists).
+            av = member_bytes(a_idx[ties])
+            bv = member_bytes(b_idx[ties])
+            neq = av != bv
+            first = np.argmax(neq, axis=1)
+            sel = np.arange(len(ties))
+            a_wins = av[sel, first] > bv[sel, first]
+            swap = ties[a_wins]
+            hi_idx[swap] = a_idx[swap]
+            lo_idx[swap] = b_idx[swap]
         mark_indices(hi_idx)
         if method_name == "directional":
             hi_c = counts_arr[hi_idx]
@@ -722,19 +779,9 @@ def deduplicate_cluster(
             """int64 [m] ascending lexicographic rank of the members' raw
             key strings (shorter-prefix-first across mixed lengths, i.e.
             Python str order, via zero-padded byte rows)."""
-            g = group_of_key[members]
-            rows = members - groups.starts[g]
-            width = max(max((groups.lengths[int(gi)]
-                             for gi in np.unique(g)), default=1), 1)
-            padded = np.zeros((len(members), width), dtype=np.uint8)
-            for gi in np.unique(g):
-                length = groups.lengths[int(gi)]
-                sel = np.flatnonzero(g == gi)
-                if length:
-                    raw = groups.voids[int(gi)][rows[sel]].view(np.uint8)
-                    padded[sel, :length] = raw.reshape(len(sel), length)
+            padded = member_bytes(members)
             void = np.ascontiguousarray(padded).view(
-                np.dtype((np.void, width))).ravel()
+                np.dtype((np.void, padded.shape[1]))).ravel()
             rank = np.empty(len(members), dtype=np.int64)
             rank[np.argsort(void, kind="stable")] = \
                 np.arange(len(members), dtype=np.int64)
