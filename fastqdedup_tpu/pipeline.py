@@ -32,6 +32,7 @@ from .dissect import (
     ClusterDissectionFunc,
     cluster_dissection_directional,
     dissect_indices,
+    dissect_indices_batched,
 )
 from .engine import KeyGroups, build_partition_groups
 from .io.fastq import FastqChunk, FastqFormatError, read_fastq_chunks
@@ -794,9 +795,51 @@ def deduplicate_cluster(
         # is already a documented requirement for it.
         distribute = nproc > 1 and method_name is not None
         kept_local: List[np.ndarray] = []
-        for k, (c, es, ee) in enumerate(zip(big, span_starts, span_ends)):
-            if distribute and k % nproc != pid:
-                continue
+
+        def concat_spans(span_s: np.ndarray, lens: np.ndarray
+                         ) -> np.ndarray:
+            total = int(lens.sum())
+            offs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            return np.repeat(span_s - offs, lens) + \
+                np.arange(total, dtype=np.int64)
+
+        big_sizes = part.ends[big] - part.starts[big]
+        owned = np.arange(len(big)) % nproc == pid if distribute \
+            else np.ones(len(big), dtype=bool)
+        # Clusters up to 64 members dissect TOGETHER in one lockstep
+        # vectorized pass (dissect_indices_batched): at production scale
+        # there are ~a million of them and per-cluster Python setup alone
+        # costs minutes.  Larger clusters use the per-cluster CSR path.
+        batch_mask = owned & (big_sizes <= 64) \
+            if method_name is not None else np.zeros(len(big), dtype=bool)
+        bsel = np.flatnonzero(batch_mask)
+        if len(bsel):
+            cl = big[bsel]
+            lens = big_sizes[bsel]
+            members_b = part.order[concat_spans(part.starts[cl], lens)]
+            elens = span_ends[bsel] - span_starts[bsel]
+            epos = concat_spans(span_starts[bsel], elens)
+            moffs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=moffs[1:])
+            eoff = np.repeat(moffs, elens)
+            padded = member_bytes(members_b)
+            void_b = np.ascontiguousarray(padded).view(
+                np.dtype((np.void, padded.shape[1]))).ravel()
+            rank_b = np.empty(len(members_b), dtype=np.int64)
+            rank_b[np.argsort(void_b, kind="stable")] = \
+                np.arange(len(members_b), dtype=np.int64)
+            kept_b = dissect_indices_batched(
+                method_name, counts_arr[members_b], rank_b, lens,
+                el_i[epos] + eoff, el_j[epos] + eoff)
+            kept_idx = members_b[kept_b]
+            if distribute:
+                kept_local.append(kept_idx)
+            else:
+                mark_indices(kept_idx)
+        for k in np.flatnonzero(owned & ~batch_mask):
+            c = big[k]
+            es, ee = span_starts[k], span_ends[k]
             members = part.order[part.starts[c]:part.ends[c]]
             if method_name is not None:
                 # Index-based vectorized dissection: no per-member Python

@@ -235,3 +235,67 @@ def test_giant_low_complexity_cluster_completes(tmp_path):
     deduplicate_cluster([str(src)], [str(got)], None, 1, 1.0)
     oracle_dedup([str(src)], [str(exp)], None, 1, 1.0)
     assert gzip.open(got, "rb").read() == gzip.open(exp, "rb").read()
+
+
+def test_batched_dissection_matches_per_cluster():
+    """dissect_indices_batched over many concatenated clusters must agree
+    with dissect_indices run per cluster, for all methods, including
+    count ties and multi-round absorption."""
+    import random
+
+    import numpy as np
+
+    from fastqdedup_tpu.dissect import dissect_indices, dissect_indices_batched
+
+    rng = random.Random(321)
+    for trial in range(20):
+        n_clusters = rng.randrange(1, 30)
+        counts_parts, rank_parts, sizes = [], [], []
+        eis, ejs = [], []
+        offset = 0
+        expected = set()
+        for _ in range(n_clusters):
+            m = rng.randrange(3, 12)
+            counts = np.asarray([rng.randrange(1, 6) for _ in range(m)],
+                                dtype=np.int64)
+            rank = np.asarray(rng.sample(range(m), m), dtype=np.int64)
+            edges = set()
+            # random connected-ish edges
+            for i in range(1, m):
+                j = rng.randrange(i)
+                edges.add((j, i))
+            for _ in range(m):
+                a, b = rng.randrange(m), rng.randrange(m)
+                if a != b:
+                    edges.add((min(a, b), max(a, b)))
+            ei = np.asarray([e[0] for e in edges], dtype=np.int64)
+            ej = np.asarray([e[1] for e in edges], dtype=np.int64)
+            for method in ("highest_count", "adjacency", "directional"):
+                pass  # per-method below
+            counts_parts.append(counts)
+            rank_parts.append(rank)
+            sizes.append(m)
+            eis.append(ei + offset)
+            ejs.append(ej + offset)
+            offset += m
+        all_counts = np.concatenate(counts_parts)
+        all_rank = np.concatenate(rank_parts)
+        sizes_arr = np.asarray(sizes, dtype=np.int64)
+        bei = np.concatenate(eis)
+        bej = np.concatenate(ejs)
+        for method in ("highest_count", "adjacency", "directional"):
+            kept_b = dissect_indices_batched(
+                method, all_counts, all_rank, sizes_arr, bei, bej)
+            # per-cluster reference
+            expected = np.zeros(offset, dtype=bool)
+            start = 0
+            for ci, m in enumerate(sizes):
+                sel = slice(start, start + m)
+                local_e = np.flatnonzero((bei >= start) &
+                                         (bei < start + m))
+                kept_local = dissect_indices(
+                    method, all_counts[sel], all_rank[sel],
+                    bei[local_e] - start, bej[local_e] - start)
+                expected[start + kept_local] = True
+                start += m
+            assert (kept_b == expected).all(), (trial, method)
