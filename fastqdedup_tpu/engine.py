@@ -405,6 +405,19 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
     lists all-gather and dedupe before union-find, so every host derives
     the identical partition.
     """
+    import logging
+    import time as _time
+    _logger = logging.getLogger("fastqdedup")
+    _debug = _logger.isEnabledFor(logging.DEBUG)
+    _t0 = _time.perf_counter()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _debug:
+            now = _time.perf_counter()
+            _logger.debug(f"partition/{label}: {now - _t0:.1f}s")
+            _t0 = now
+
     if table is None:
         table = EncodeTable("ACGTN")
     n = groups.n
@@ -426,6 +439,7 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
             raw = groups.voids[g].view(np.uint8).reshape(size, length)
             matrix = table.encode(raw)
         entries.append((length, matrix, idx))
+    _mark("encode")
     pid, nproc = shard
     if use_edit_distance:
         if n <= HOST_LIMIT:
@@ -439,6 +453,7 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
     else:
         ei, ej = _hamming_edges_entries(entries, table, max_distance,
                                         shard)
+    _mark("edges")
     if nproc > 1:
         from .parallel.distributed import allgather_int64_pairs
         ei, ej = allgather_int64_pairs(ei, ej)
@@ -449,6 +464,7 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
                               np.maximum(ei, ej))
             ei, ej = codes // n, codes % n
     labels = _component_labels(n, ei, ej)
+    _mark("labels")
     order = np.argsort(labels, kind="stable")
     sorted_labels = labels[order]
     boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1

@@ -640,8 +640,15 @@ def deduplicate_cluster(
     # In multi-host runs each host contributes its partial key table; one
     # padded all-gather merges them and the finalize step collapses keys
     # seen by several hosts (summing counts, min-ing first positions).
+    phase_timer = Timer()
+
+    def debug_phase(name: str) -> None:
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(f"pass2/{name}: {phase_timer.get_difference()}")
+
     groups = _finalize_groups(*allgather_key_tables(*accumulator.export()))
     accumulator.close()
+    debug_phase("finalize-key-tables")
     if logger.isEnabledFor(logging.DEBUG):
         # Analog of the reference's DEBUG trie stats during pass 1
         # (__init__.py:260-264): per-length unique-key table sizes.
@@ -659,6 +666,7 @@ def deduplicate_cluster(
 
     part = build_partition_groups(groups, max_distance, use_edit_distance,
                                   shard=(pid, nproc))
+    debug_phase("partition")
     counts_arr = groups.counts_concat()
     sizes = part.sizes()
     method_name = _method_name_for(cluster_dissection_func)
@@ -729,6 +737,7 @@ def deduplicate_cluster(
 
     # Singleton components (the bulk): kept wholesale, no dissection.
     mark_indices(part.order[part.starts[sizes == 1]])
+    debug_phase("singletons")
 
     if method_name is not None:
         # Two-member components, closed form: connectivity implies the
@@ -764,6 +773,7 @@ def deduplicate_cluster(
             lo_c = counts_arr[lo_idx]
             mark_indices(lo_idx[2 * lo_c - 1 > hi_c])
         big = np.flatnonzero(sizes >= 3)
+        debug_phase("two-member-closed-form")
     else:
         big = np.flatnonzero(sizes >= 2)
 
@@ -771,6 +781,7 @@ def deduplicate_cluster(
         # Group the edge list by cluster once (sort + searchsorted spans).
         edge_cluster = part.cluster_of[part.edges_i]
         edge_order = np.argsort(edge_cluster, kind="stable")
+        debug_phase("edge-grouping")
         sorted_ec = edge_cluster[edge_order]
         el_i = part.local_index[part.edges_i[edge_order]]
         el_j = part.local_index[part.edges_j[edge_order]]
@@ -837,6 +848,8 @@ def deduplicate_cluster(
                 kept_local.append(kept_idx)
             else:
                 mark_indices(kept_idx)
+            debug_phase(f"batched-dissection ({len(bsel)} clusters, "
+                        f"{len(members_b)} members)")
         for k in np.flatnonzero(owned & ~batch_mask):
             c = big[k]
             es, ee = span_starts[k], span_ends[k]
@@ -870,6 +883,7 @@ def deduplicate_cluster(
             if len(kept_all):
                 mark_indices(kept_all)
 
+    debug_phase("large-cluster-loop")
     kept_total = int(sum(int(m.sum()) for m in kept_mask))
     logger.info(f"Found {kept_total} distinct reads "
                 f"in {number_of_clusters} clusters."
