@@ -56,6 +56,17 @@ _SHARD_STRIDE = 1 << 44
 logger = logging.getLogger("fastqdedup")
 
 
+def _total_ram_bytes() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 32 * 1024 ** 3
+
+
 def _method_name_for(func: ClusterDissectionFunc) -> Optional[str]:
     for name, known in CLUSTER_DISSECTION_METHODS.items():
         if func is known:
@@ -540,9 +551,11 @@ def deduplicate_cluster(
     # Pass-1 chunks are kept in RAM for the rewrite pass while they fit
     # the budget — the reference's own peak RSS is 45-110% of the input
     # (README.rst:35-38), so holding the parsed input is par; beyond the
-    # budget pass 3 re-streams from disk instead.
-    memory_budget = int(os.environ.get("FASTQDEDUP_MEMORY_LIMIT",
-                                       16 * 1024 ** 3))
+    # budget pass 3 re-streams from disk instead.  Default budget: half
+    # of physical RAM (floor 16 GiB) — re-parsing a 100M-read input costs
+    # minutes, spare RAM costs nothing.
+    memory_budget = int(os.environ.get("FASTQDEDUP_MEMORY_LIMIT", 0)) or \
+        max(16 * 1024 ** 3, _total_ram_bytes() // 2)
     cached_chunks: Optional[List[Tuple[int, Tuple[FastqChunk, ...]]]] = []
     cached_bytes = 0
 
