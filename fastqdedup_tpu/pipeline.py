@@ -341,7 +341,11 @@ class _NumpyKeyAccumulator:
     Per-chunk sort/unique per length group with quality-passing counts and
     first-occurrence positions; chunks merge lazily in :meth:`export`
     (replaces the trie's per-record count aggregation,
-    _triemodule.c:233-239)."""
+    _triemodule.c:233-239).  Unlike the native accumulator, ``export`` may
+    repeat a key once per chunk (``collapsed = False``): _finalize_groups
+    must still sort and merge duplicates."""
+
+    collapsed = False
 
     def __init__(self, expected: int = 0):
         self._pending: Dict[int, List[Tuple[np.ndarray, np.ndarray,
@@ -421,8 +425,8 @@ def _make_key_accumulator(expected: int = 1 << 20):
 
 
 def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
-                     counts: np.ndarray, first_pos: np.ndarray
-                     ) -> KeyGroups:
+                     counts: np.ndarray, first_pos: np.ndarray,
+                     single_table: bool = False) -> KeyGroups:
     """Accumulator dump -> per-length deterministically ordered KeyGroups.
 
     Tolerates duplicate keys (a key seen by several hosts appears once per
@@ -432,14 +436,20 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
     never be cluster members or representatives — the reference never
     inserted them into the trie (__init__.py:247-252).
 
-    Within-group order: content-HASH order (two independent 64-bit hashes
-    as sort keys — equal keys are always adjacent, unequal keys colliding
-    in both hashes is a 2^-128 event) when the native layer is present,
-    since every consumer there resolves keys through hash lookups or
-    index maps; LEXICOGRAPHIC order otherwise, which the fallback
-    searchsorted membership paths require.  Both orders are deterministic
-    and identical across hosts.  A 31M-key void-dtype lexsort costs ~77 s
-    (memcmp comparisons); the dual u64 lexsort costs ~15 s."""
+    Within-group order: when the native layer is present every consumer
+    resolves keys through hash lookups or index maps, so any fixed order
+    works.  ``single_table=True`` asserts the input is ONE host's native
+    accumulator export — already duplicate-free and in deterministic
+    table order — and skips sorting/collapsing entirely (for 31M x 100 bp
+    keys the avoided hash+sort+gather cost ~130 s; with the zero-copy
+    rows_as_void slice the whole finalize drops to the export cost).
+    Otherwise (multi-host allgather concatenation, or the numpy fallback
+    accumulator whose export repeats keys across chunks) keys are sorted
+    by content: two independent 64-bit hashes when the native layer is
+    present (equal keys adjacent; double collision is a 2^-128 event),
+    LEXICOGRAPHIC order otherwise, which the fallback searchsorted
+    membership paths require.  All orders are deterministic and identical
+    across hosts."""
     try:
         from .native.loader import KeyAccumulator as _acc_probe  # noqa
         use_hash_order = True
@@ -453,27 +463,39 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
     group_pos: List[np.ndarray] = []
     starts: List[int] = []
     n = 0
-    for length in np.unique(lengths_all):
+    if len(lengths_all) and int(lengths_all.max()) < (1 << 20):
+        # bincount beats np.unique's 31M-element sort for read lengths
+        unique_lengths = np.flatnonzero(np.bincount(lengths_all))
+    else:
+        unique_lengths = np.unique(lengths_all)
+    for length in unique_lengths:
         sel = np.flatnonzero(lengths_all == length)
         void = rows_as_void(key_data, key_offsets, sel, int(length))
-        if use_hash_order and length > 0 and len(sel) > 1:
-            raw = void.view(np.uint8).reshape(len(sel), int(length))
-            h1 = _hash_window_rows(raw, int(length))
-            h2 = _hash_window_rows(raw, int(length) + 65537)
-            order = np.lexsort((h2, h1))
+        if single_table and use_hash_order:
+            # Native accumulator export: unique keys, deterministic table
+            # order — no sort, no duplicate collapse.
+            sv = void
+            sc = counts[sel]
+            sp = first_pos[sel]
         else:
-            order = np.argsort(void, kind="stable")
-        sv = void[order]
-        sc = counts[sel][order]
-        sp = first_pos[sel][order]
-        if len(sv) > 1:
-            dup = sv[1:] == sv[:-1]
-            if dup.any():
-                run_starts = np.concatenate(
-                    [[0], np.flatnonzero(~dup) + 1])
-                sv = sv[run_starts]
-                sc = np.add.reduceat(sc, run_starts)
-                sp = np.minimum.reduceat(sp, run_starts)
+            if use_hash_order and length > 0 and len(sel) > 1:
+                raw = void.view(np.uint8).reshape(len(sel), int(length))
+                h1 = _hash_window_rows(raw, int(length))
+                h2 = _hash_window_rows(raw, int(length) + 65537)
+                order = np.lexsort((h2, h1))
+            else:
+                order = np.argsort(void, kind="stable")
+            sv = void[order]
+            sc = counts[sel][order]
+            sp = first_pos[sel][order]
+            if len(sv) > 1:
+                dup = sv[1:] == sv[:-1]
+                if dup.any():
+                    run_starts = np.concatenate(
+                        [[0], np.flatnonzero(~dup) + 1])
+                    sv = sv[run_starts]
+                    sc = np.add.reduceat(sc, run_starts)
+                    sp = np.minimum.reduceat(sp, run_starts)
         keep = sc > 0
         if not keep.all():
             sv, sc, sp = sv[keep], sc[keep], sp[keep]
@@ -659,7 +681,10 @@ def deduplicate_cluster(
         if logger.isEnabledFor(logging.DEBUG):
             logger.debug(f"pass2/{name}: {phase_timer.get_difference()}")
 
-    groups = _finalize_groups(*allgather_key_tables(*accumulator.export()))
+    groups = _finalize_groups(
+        *allgather_key_tables(*accumulator.export()),
+        single_table=(nproc == 1 and getattr(accumulator, "collapsed",
+                                             False)))
     accumulator.close()
     debug_phase("finalize-key-tables")
     if logger.isEnabledFor(logging.DEBUG):

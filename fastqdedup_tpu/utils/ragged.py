@@ -130,12 +130,21 @@ def rows_as_void(data: np.ndarray, offsets: np.ndarray,
     """View equal-length records as a 1-D void array (hashable rows)."""
     if length == 0:
         return np.zeros(len(rows), dtype=np.dtype((np.void, 1)))
+    if len(rows) == 0:
+        return np.empty(0, dtype=np.dtype((np.void, length)))
     b = len(offsets) - 1
     if offsets[0] == 0 and offsets[-1] == b * length and \
             len(data) == b * length and \
             bool((np.diff(offsets) == length).all()):
         # Uniform layout: row-select on the reshaped payload, no index math.
-        gathered = data.reshape(b, length)[rows]
+        r0, r1 = int(rows[0]), int(rows[-1])
+        if len(rows) == r1 - r0 + 1 and \
+                (len(rows) == 1 or bool((np.diff(rows) == 1).all())):
+            # Contiguous ascending run (e.g. flatnonzero over a single
+            # length class): zero-copy slice view instead of a gather.
+            gathered = data.reshape(b, length)[r0:r1 + 1]
+        else:
+            gathered = data.reshape(b, length)[rows]
     else:
         sel = np.arange(length, dtype=np.int64)
         gathered = data[offsets[rows][:, None] + sel[None, :]]
