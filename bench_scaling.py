@@ -1,0 +1,172 @@
+"""Multi-host scaling-efficiency benchmark (BASELINE.json north star #4).
+
+Strong scaling of the full dedup pipeline across P = 1, 2, 4 hosts in
+sharded-input mode (the production layout: each host owns its per-lane
+input shard, SURVEY §7 step 9).  Hosts are separate ``jax.distributed``
+processes on this machine, each pinned to ONE core with ``taskset`` so a
+P-host run uses exactly P cores — the closest honest model of P
+single-node hosts this 4-core machine can express.  JAX_PLATFORMS=cpu:
+the measurement targets the framework's distribution layer (per-host
+parse, bucket-hash pair ownership, key-table allgather, kept-key
+exchange), not chip kernels.
+
+Fixed total work: the same reads split into 4 BGZF shard files; a P-host
+run gives each host 4/P shards (byte-concatenation of BGZF files is
+valid BGZF, so shards merge losslessly for smaller P).  Efficiency =
+T(1) / (P * T(P)), with T = the slowest host's wall time measured from
+the post-``jax.distributed.initialize`` barrier (all hosts aligned) to
+pipeline completion.  Output parity is asserted every run: the
+concatenated per-host outputs must equal the 1-host output byte for
+byte.
+
+Prints one JSON line:
+    {"metric": "scaling_efficiency_4_hosts", "value": E, ...}
+
+Env knobs: SCALE_READS (default 2000000), SCALE_READ_LEN (100),
+SCALE_UMI_LEN (12), SCALE_PROCS (default "1,2,4").
+"""
+
+import gzip
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+import bench
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+_DRIVER = """
+import sys, time
+import jax
+
+nproc = int(sys.argv[1])
+pid = int(sys.argv[2])
+port = sys.argv[3]
+inputs = sys.argv[4].split(",")
+output = sys.argv[5]
+if nproc > 1:
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, "distributed init was a no-op"
+from fastqdedup_tpu.pipeline import deduplicate_cluster
+t0 = time.time()
+deduplicate_cluster(inputs, [output], None, 1, 0.001)
+print("HOSTWALL", time.time() - t0, flush=True)
+"""
+
+
+def run_config(nproc: int, shard_files, workdir: str,
+               repo: str) -> "tuple[float, list[str]]":
+    """Launch ``nproc`` pinned processes; return (max wall, output files)."""
+    port = str(_free_port())
+    driver = os.path.join(workdir, "driver.py")
+    with open(driver, "w") as f:
+        f.write(_DRIVER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["FASTQDEDUP_SHARDED_INPUT"] = "1"
+    env.pop("XLA_FLAGS", None)
+    # sitecustomize on this machine imports jax at startup, which would
+    # initialize backends before jax.distributed.initialize (see
+    # tests/test_distributed.py) — run with the repo only.
+    env["PYTHONPATH"] = repo
+    per_host = len(shard_files) // nproc
+    procs = []
+    outputs = []
+    for p in range(nproc):
+        mine = shard_files[p * per_host:(p + 1) * per_host]
+        if len(mine) > 1:
+            # BGZF byte-concatenation is valid BGZF: merge this host's
+            # shards into one input file.
+            merged = os.path.join(workdir, f"host{p}of{nproc}.fastq.gz")
+            with open(merged, "wb") as out:
+                for path in mine:
+                    with open(path, "rb") as src:
+                        out.write(src.read())
+            mine = [merged]
+        out_path = os.path.join(workdir, f"out{p}of{nproc}.fastq.gz")
+        outputs.append(out_path)
+        cmd = ["taskset", "-c", str(p), sys.executable, driver,
+               str(nproc), str(p), port, ",".join(mine), out_path]
+        procs.append(subprocess.Popen(cmd, env=env, cwd=workdir,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT))
+    walls = []
+    for p, proc in zip(range(nproc), procs):
+        out = proc.communicate(timeout=3600)[0].decode("utf-8", "replace")
+        if proc.returncode != 0:
+            raise RuntimeError(f"host {p}/{nproc} failed:\n{out[-3000:]}")
+        walls.append(float(
+            [ln for ln in out.splitlines()
+             if ln.startswith("HOSTWALL")][-1].split()[1]))
+    return max(walls), outputs
+
+
+def main() -> None:
+    n_reads = int(os.environ.get("SCALE_READS", 2_000_000))
+    read_len = int(os.environ.get("SCALE_READ_LEN", 100))
+    umi_len = int(os.environ.get("SCALE_UMI_LEN", 12))
+    proc_counts = [int(p) for p in
+                   os.environ.get("SCALE_PROCS", "1,2,4").split(",")]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    workdir = tempfile.mkdtemp(prefix="fastqdedup_scale_")
+
+    shards = []
+    per_shard = n_reads // 4
+    for s in range(4):
+        path = os.path.join(workdir, f"shard{s}.fastq.gz")
+        bench.generate_fastq(path, per_shard, read_len, umi_len,
+                             seed=1000 + s)
+        shards.append(path)
+    print(f"generated 4x{per_shard} reads in {workdir}", file=sys.stderr)
+
+    # Warm the persistent compile cache (shared across processes) so the
+    # timed runs measure the pipeline, not one-time XLA compiles.
+    warm_wall, _ = run_config(1, shards, workdir, repo)
+    print(f"warmup: {warm_wall:.1f}s", file=sys.stderr)
+
+    results = {}
+    reference_output = None
+    for nproc in proc_counts:
+        wall, outputs = run_config(nproc, shards, workdir, repo)
+        merged = b"".join(gzip.open(o, "rb").read() for o in outputs)
+        if reference_output is None:
+            reference_output = merged
+        elif merged != reference_output:
+            raise AssertionError(
+                f"{nproc}-host output differs from 1-host output")
+        results[nproc] = wall
+        print(f"P={nproc}: {wall:.1f}s  "
+              f"{n_reads / wall:,.0f} reads/s", file=sys.stderr)
+
+    base = min(p for p in results)
+    t_base = results[base]
+    for nproc in proc_counts:
+        if nproc == base:
+            continue
+        eff = t_base * base / (nproc * results[nproc])
+        print(f"scaling efficiency {base}->{nproc} hosts: {eff:.2f}",
+              file=sys.stderr)
+    top = max(p for p in results)
+    eff = t_base * base / (top * results[top])
+    print(json.dumps({
+        "metric": f"scaling_efficiency_{top}_hosts",
+        "value": round(eff, 3),
+        "unit": f"T({base})/({top}*T({top})) strong scaling, "
+                f"{n_reads} reads, 1 core/host",
+        "vs_baseline": round(eff / 0.8, 3),
+        "walls_s": {str(p): round(w, 1) for p, w in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
