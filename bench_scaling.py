@@ -45,7 +45,7 @@ def _free_port() -> int:
 
 
 _DRIVER = """
-import sys, time
+import logging, os, sys, time
 import jax
 
 nproc = int(sys.argv[1])
@@ -53,6 +53,10 @@ pid = int(sys.argv[2])
 port = sys.argv[3]
 inputs = sys.argv[4].split(",")
 output = sys.argv[5]
+if os.environ.get("SCALE_DEBUG") == "1":
+    logging.basicConfig(level=logging.DEBUG,
+                        format="%(relativeCreated)8.0fms %(message)s")
+    logging.getLogger("jax").setLevel(logging.WARNING)
 if nproc > 1:
     jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
                                num_processes=nproc, process_id=pid)
@@ -103,6 +107,10 @@ def run_config(nproc: int, shard_files, workdir: str,
     walls = []
     for p, proc in zip(range(nproc), procs):
         out = proc.communicate(timeout=3600)[0].decode("utf-8", "replace")
+        if os.environ.get("SCALE_DEBUG") == "1":
+            with open(os.path.join(workdir,
+                                   f"log_{nproc}_{p}.txt"), "w") as f:
+                f.write(out)
         if proc.returncode != 0:
             raise RuntimeError(f"host {p}/{nproc} failed:\n{out[-3000:]}")
         walls.append(float(
@@ -129,10 +137,14 @@ def main() -> None:
         shards.append(path)
     print(f"generated 4x{per_shard} reads in {workdir}", file=sys.stderr)
 
-    # Warm the persistent compile cache (shared across processes) so the
-    # timed runs measure the pipeline, not one-time XLA compiles.
-    warm_wall, _ = run_config(1, shards, workdir, repo)
-    print(f"warmup: {warm_wall:.1f}s", file=sys.stderr)
+    # Warm the persistent compile cache (shared across processes) at every
+    # process count: the collective programs are shape- and P-specific, so
+    # the timed runs measure the steady-state pipeline, not one-time XLA
+    # compiles (padded-allgather sizes are power-of-two size classes
+    # precisely so these cached programs get reused).
+    for nproc in proc_counts:
+        warm_wall, _ = run_config(nproc, shards, workdir, repo)
+        print(f"warmup P={nproc}: {warm_wall:.1f}s", file=sys.stderr)
 
     results = {}
     reference_output = None

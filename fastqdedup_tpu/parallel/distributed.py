@@ -136,47 +136,107 @@ def _pad_to(a: np.ndarray, size: int) -> np.ndarray:
     return out
 
 
+_GATHER_CHUNK = 8 << 20  # bytes per collective call (fixed shape)
+
+
+def _chunk_mult(size: int) -> int:
+    return max(_GATHER_CHUNK,
+               -(-size // _GATHER_CHUNK) * _GATHER_CHUNK)
+
+
+def _allgather_bytes_scatter(buf: np.ndarray, padded: int,
+                             dests: List[List[Tuple[np.ndarray, int]]]
+                             ) -> None:
+    """All-gather a uint8 buffer in fixed 8 MiB chunks, scattering each
+    host's stream straight into caller-provided destination views.
+
+    Two lessons are baked in (both measured on a 4-process CPU mesh):
+
+    * One monolithic gather of a large buffer costs ~1 s per CALL
+      through the transport regardless of warmth, while the same volume
+      as a sequence of fixed-shape 8 MiB chunks moves at ~1.7 GB/s and
+      compiles exactly one collective program for the whole run.
+    * This path runs once per pipeline run, so every intermediate
+      ``[H, padded]`` assembly buffer is freshly faulted-in memory
+      (first-touch costs seconds per GiB on virtualized hosts).
+      Scattering chunks directly into the final arrays touches each
+      payload byte once.
+
+    ``dests[h]`` is a list of ``(uint8_view, stream_start)`` segments
+    describing where host ``h``'s stream bytes land; ``padded`` must be
+    a _GATHER_CHUNK multiple and identical on every host."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    pbuf = _pad_to(buf.view(np.uint8), padded)
+    for i in range(0, padded, _GATHER_CHUNK):
+        g = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(pbuf[i:i + _GATHER_CHUNK])))
+        hi_chunk = i + _GATHER_CHUNK
+        for h, segs in enumerate(dests):
+            for view, start in segs:
+                lo = max(i, start)
+                hi = min(hi_chunk, start + len(view))
+                if lo < hi:
+                    view[lo - start:hi - start] = g[h, lo - i:hi - i]
+
+
 def allgather_key_tables(key_data: np.ndarray, key_offsets: np.ndarray,
-                         counts: np.ndarray, first_pos: np.ndarray
-                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                    np.ndarray]:
+                         counts: np.ndarray, first_pos: np.ndarray,
+                         *extra_cols: np.ndarray) -> Tuple[np.ndarray, ...]:
     """Concatenate per-host key-accumulator exports across all processes.
 
-    Three padded all-gathers (payload bytes, per-key lengths, count/pos
-    columns) — O(total table size) device traffic and zero per-key Python.
+    One size exchange plus one chunked byte all-gather carrying payload
+    bytes and every int64 column (lengths, counts, first_pos, extras) —
+    O(total table size) device traffic and zero per-key Python.
     The same key may appear in several hosts' tables; the caller's
     finalize step collapses duplicates (summing counts, min-ing
-    first_pos).  Single-process: returns the inputs unchanged.
+    first_pos).  ``extra_cols``: additional per-key int64/uint64 columns
+    to gather alongside (e.g. LOCALLY precomputed content hashes, so the
+    O(total bytes) hashing work shards across hosts instead of being
+    repeated on the gathered table by every host); each is returned
+    concatenated, in order, after the four table arrays.
+    Single-process: returns the inputs unchanged.
     """
     import jax
 
     if jax.process_count() == 1:
-        return key_data, key_offsets, counts, first_pos
+        return (key_data, key_offsets, counts, first_pos, *extra_cols)
     lengths = np.diff(key_offsets)
+    stack_cols = [lengths, counts, first_pos]
+    stack_cols += [c.view(np.int64) for c in extra_cols]
+    ncols = len(stack_cols)
     n, nbytes = len(counts), len(key_data)
     sizes = _allgather(np.asarray([n, nbytes], dtype=np.int64))
-    max_n = int(sizes[:, 0].max())
-    max_b = int(sizes[:, 1].max())
-    g_data = _allgather(_pad_to(key_data, max_b))
-    g_cols = _allgather(np.stack([
-        _pad_to(lengths, max_n),
-        _pad_to(counts, max_n),
-        _pad_to(first_pos, max_n)]))
-    datas: List[np.ndarray] = []
-    lens: List[np.ndarray] = []
-    cnts: List[np.ndarray] = []
-    poss: List[np.ndarray] = []
-    for h in range(len(sizes)):
+    nhosts = len(sizes)
+    local = np.concatenate(
+        [np.ascontiguousarray(key_data).view(np.uint8)] +
+        [np.ascontiguousarray(c).view(np.uint8) for c in stack_cols])
+    padded = _chunk_mult(int((sizes[:, 1] + 8 * ncols * sizes[:, 0]).max()))
+    total_n = int(sizes[:, 0].sum())
+    total_b = int(sizes[:, 1].sum())
+    out_data = np.empty(total_b, dtype=np.uint8)
+    out_cols = np.empty((ncols, total_n), dtype=np.int64)
+    dests: List[List[Tuple[np.ndarray, int]]] = []
+    n_off = b_off = 0
+    for h in range(nhosts):
         hn, hb = int(sizes[h, 0]), int(sizes[h, 1])
-        datas.append(g_data[h][:hb])
-        lens.append(g_cols[h][0][:hn])
-        cnts.append(g_cols[h][1][:hn])
-        poss.append(g_cols[h][2][:hn])
-    all_lens = np.concatenate(lens)
-    out_offsets = np.zeros(len(all_lens) + 1, dtype=np.int64)
-    np.cumsum(all_lens, out=out_offsets[1:])
-    return (np.concatenate(datas), out_offsets,
-            np.concatenate(cnts), np.concatenate(poss))
+        segs = [(out_data[b_off:b_off + hb], 0)]
+        pos = hb
+        for c in range(ncols):
+            segs.append((out_cols[c, n_off:n_off + hn].view(np.uint8), pos))
+            pos += 8 * hn
+        dests.append(segs)
+        n_off += hn
+        b_off += hb
+    _allgather_bytes_scatter(local, padded, dests)
+    out_offsets = np.zeros(total_n + 1, dtype=np.int64)
+    np.cumsum(out_cols[0], out=out_offsets[1:])
+    gathered_extras = tuple(
+        out_cols[3 + i].view(extra_cols[i].dtype)
+        for i in range(len(extra_cols)))
+    return (out_data, out_offsets, out_cols[1], out_cols[2],
+            *gathered_extras)
 
 
 def allgather_int64(vec: np.ndarray) -> np.ndarray:
@@ -186,10 +246,17 @@ def allgather_int64(vec: np.ndarray) -> np.ndarray:
     if jax.process_count() == 1:
         return vec
     sizes = _allgather(np.asarray([len(vec)], dtype=np.int64))[:, 0]
-    max_n = int(sizes.max())
-    gathered = _allgather(_pad_to(vec.astype(np.int64), max_n))
-    return np.concatenate([gathered[h][:int(sizes[h])]
-                           for h in range(len(sizes))])
+    padded = _chunk_mult(int(sizes.max()) * 8)
+    out = np.empty(int(sizes.sum()), dtype=np.int64)
+    dests: List[List[Tuple[np.ndarray, int]]] = []
+    off = 0
+    for h in range(len(sizes)):
+        hn = int(sizes[h])
+        dests.append([(out[off:off + hn].view(np.uint8), 0)])
+        off += hn
+    _allgather_bytes_scatter(
+        np.ascontiguousarray(vec.astype(np.int64)), padded, dests)
+    return out
 
 
 def allgather_int64_pairs(a: np.ndarray, b: np.ndarray

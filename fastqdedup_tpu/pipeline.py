@@ -424,9 +424,33 @@ def _make_key_accumulator(expected: int = 1 << 20):
         return _NumpyKeyAccumulator(expected)
 
 
+def _local_key_hashes(key_data: np.ndarray, key_offsets: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Dual per-key content hashes of a ragged key table (uint64 [n] x2).
+
+    Matches the (salt=length, salt=length+65537) hash pair
+    _finalize_groups sorts by.  Each host runs this over its OWN
+    accumulator export before the table allgather, sharding the
+    O(total key bytes) hashing across hosts."""
+    from .ops.bucket import _hash_window_rows
+    n = len(key_offsets) - 1
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    for length, rows in group_rows_by_length(key_offsets):
+        if length == 0 or not len(rows):
+            continue
+        raw = rows_as_void(key_data, key_offsets, rows, length) \
+            .view(np.uint8).reshape(len(rows), length)
+        h1[rows] = _hash_window_rows(raw, length)
+        h2[rows] = _hash_window_rows(raw, length + 65537)
+    return h1, h2
+
+
 def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
                      counts: np.ndarray, first_pos: np.ndarray,
-                     single_table: bool = False) -> KeyGroups:
+                     single_table: bool = False,
+                     hashes: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                     ) -> KeyGroups:
     """Accumulator dump -> per-length deterministically ordered KeyGroups.
 
     Tolerates duplicate keys (a key seen by several hosts appears once per
@@ -478,7 +502,10 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
             sc = counts[sel]
             sp = first_pos[sel]
         else:
-            if use_hash_order and length > 0 and len(sel) > 1:
+            if hashes is not None and length > 0 and len(sel) > 1:
+                # Hashes were computed shard-locally before the allgather.
+                order = np.lexsort((hashes[1][sel], hashes[0][sel]))
+            elif use_hash_order and length > 0 and len(sel) > 1:
                 raw = void.view(np.uint8).reshape(len(sel), int(length))
                 h1 = _hash_window_rows(raw, int(length))
                 h2 = _hash_window_rows(raw, int(length) + 65537)
@@ -681,10 +708,24 @@ def deduplicate_cluster(
         if logger.isEnabledFor(logging.DEBUG):
             logger.debug(f"pass2/{name}: {phase_timer.get_difference()}")
 
-    groups = _finalize_groups(
-        *allgather_key_tables(*accumulator.export()),
-        single_table=(nproc == 1 and getattr(accumulator, "collapsed",
-                                             False)))
+    collapsed = getattr(accumulator, "collapsed", False)
+    if nproc > 1 and collapsed:
+        # Hash each host's own table BEFORE the allgather: the O(bytes)
+        # hashing shards across hosts; only the lexsort+collapse of the
+        # gathered table is replicated.
+        exported = accumulator.export()
+        debug_phase("finalize/export")
+        local_hashes = _local_key_hashes(exported[0], exported[1])
+        debug_phase("finalize/local-hash")
+        kd, ko, kc, kp, gh1, gh2 = allgather_key_tables(
+            *exported, *local_hashes)
+        debug_phase("finalize/allgather")
+        groups = _finalize_groups(kd, ko, kc, kp, hashes=(gh1, gh2))
+        debug_phase("finalize/merge")
+    else:
+        groups = _finalize_groups(
+            *allgather_key_tables(*accumulator.export()),
+            single_table=(nproc == 1 and collapsed))
     accumulator.close()
     debug_phase("finalize-key-tables")
     if logger.isEnabledFor(logging.DEBUG):
