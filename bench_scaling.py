@@ -168,6 +168,9 @@ def main() -> None:
         eff = t_base * base / (nproc * results[nproc])
         print(f"scaling efficiency {base}->{nproc} hosts: {eff:.2f}",
               file=sys.stderr)
+    if os.environ.get("SCALE_DEBUG") != "1":
+        import shutil
+        shutil.rmtree(workdir, ignore_errors=True)
     top = max(p for p in results)
     eff = t_base * base / (top * results[top])
     print(json.dumps({

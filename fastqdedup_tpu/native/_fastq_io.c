@@ -969,6 +969,19 @@ void acc_export(const KeyAcc *a, unsigned char *key_out,
     offsets_out[a->used] = (int64_t)a->arena_len;
 }
 
+/* Per-key 64-bit content hashes (acc_hash of the key bytes, which salts
+ * on length), indexed by insertion order to line up with acc_export.
+ * The hashes already sit in the probe slots, so the export is one
+ * O(capacity) sweep.  Multi-host finalize orders the gathered global
+ * table by these (content-determined, so identical for the same key on
+ * every host) instead of re-hashing the whole table per host. */
+void acc_export_hashes(const KeyAcc *a, uint64_t *out) {
+    for (size_t i = 0; i < a->cap; i++) {
+        const AccSlot *e = &a->slots[i];
+        if (e->idx >= 0) out[e->idx] = e->hash;
+    }
+}
+
 /* ================= Ragged record rendering =============================
  *
  * Assemble selected FASTQ records ("@header\nseq\n+\nqual\n") straight

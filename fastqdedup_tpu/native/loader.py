@@ -55,6 +55,9 @@ _lib.acc_key_bytes.restype = ctypes.c_int64
 _lib.acc_key_bytes.argtypes = [ctypes.c_void_p]
 _lib.acc_export.restype = None
 _lib.acc_export.argtypes = [ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p]
+_u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+_lib.acc_export_hashes.restype = None
+_lib.acc_export_hashes.argtypes = [ctypes.c_void_p, _u64p]
 
 _lib.acc_lookup.restype = None
 _lib.acc_lookup.argtypes = [ctypes.c_void_p, _u8p, _i64p,
@@ -269,15 +272,24 @@ class KeyAccumulator:
 
     def export(self):
         """-> (key_data, key_offsets, counts, first_pos) in table order."""
+        from ..runtime import big_empty
         n = _lib.acc_size(self._handle)
         nbytes = _lib.acc_key_bytes(self._handle)
-        key_out = np.empty(nbytes, dtype=np.uint8)
-        offsets_out = np.empty(n + 1, dtype=np.int64)
-        counts_out = np.empty(n, dtype=np.int64)
-        firstpos_out = np.empty(n, dtype=np.int64)
+        key_out = big_empty(nbytes, dtype=np.uint8)
+        offsets_out = big_empty(n + 1, dtype=np.int64)
+        counts_out = big_empty(n, dtype=np.int64)
+        firstpos_out = big_empty(n, dtype=np.int64)
         _lib.acc_export(self._handle, key_out, offsets_out, counts_out,
                         firstpos_out)
         return key_out, offsets_out, counts_out, firstpos_out
+
+    def export_hashes(self) -> np.ndarray:
+        """uint64 [n]: per-key content hash, aligned with ``export``."""
+        from ..runtime import big_empty
+        n = _lib.acc_size(self._handle)
+        out = big_empty(n, dtype=np.uint64)
+        _lib.acc_export_hashes(self._handle, out)
+        return out
 
     def close(self) -> None:
         if self._handle:

@@ -65,6 +65,11 @@ class EncodeTable:
     def encode(self, data: np.ndarray) -> np.ndarray:
         """Map a uint8 byte array to index space, growing as needed."""
         self.extend_from(data)
+        if data.nbytes >= (16 << 20):
+            from ..runtime import big_empty
+            out = big_empty(data.shape, dtype=np.uint8)
+            np.take(self.table, data, out=out)
+            return out
         return self.table[data]
 
     def decode(self, indices: np.ndarray) -> np.ndarray:

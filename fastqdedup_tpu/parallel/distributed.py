@@ -213,10 +213,11 @@ def allgather_key_tables(key_data: np.ndarray, key_offsets: np.ndarray,
         [np.ascontiguousarray(key_data).view(np.uint8)] +
         [np.ascontiguousarray(c).view(np.uint8) for c in stack_cols])
     padded = _chunk_mult(int((sizes[:, 1] + 8 * ncols * sizes[:, 0]).max()))
+    from ..runtime import big_empty
     total_n = int(sizes[:, 0].sum())
     total_b = int(sizes[:, 1].sum())
-    out_data = np.empty(total_b, dtype=np.uint8)
-    out_cols = np.empty((ncols, total_n), dtype=np.int64)
+    out_data = big_empty(total_b, dtype=np.uint8)
+    out_cols = big_empty((ncols, total_n), dtype=np.int64)
     dests: List[List[Tuple[np.ndarray, int]]] = []
     n_off = b_off = 0
     for h in range(nhosts):

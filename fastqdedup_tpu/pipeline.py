@@ -424,33 +424,10 @@ def _make_key_accumulator(expected: int = 1 << 20):
         return _NumpyKeyAccumulator(expected)
 
 
-def _local_key_hashes(key_data: np.ndarray, key_offsets: np.ndarray
-                      ) -> Tuple[np.ndarray, np.ndarray]:
-    """Dual per-key content hashes of a ragged key table (uint64 [n] x2).
-
-    Matches the (salt=length, salt=length+65537) hash pair
-    _finalize_groups sorts by.  Each host runs this over its OWN
-    accumulator export before the table allgather, sharding the
-    O(total key bytes) hashing across hosts."""
-    from .ops.bucket import _hash_window_rows
-    n = len(key_offsets) - 1
-    h1 = np.zeros(n, dtype=np.uint64)
-    h2 = np.zeros(n, dtype=np.uint64)
-    for length, rows in group_rows_by_length(key_offsets):
-        if length == 0 or not len(rows):
-            continue
-        raw = rows_as_void(key_data, key_offsets, rows, length) \
-            .view(np.uint8).reshape(len(rows), length)
-        h1[rows] = _hash_window_rows(raw, length)
-        h2[rows] = _hash_window_rows(raw, length + 65537)
-    return h1, h2
-
-
 def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
                      counts: np.ndarray, first_pos: np.ndarray,
                      single_table: bool = False,
-                     hashes: Optional[Tuple[np.ndarray, np.ndarray]] = None
-                     ) -> KeyGroups:
+                     hashes: Optional[np.ndarray] = None) -> KeyGroups:
     """Accumulator dump -> per-length deterministically ordered KeyGroups.
 
     Tolerates duplicate keys (a key seen by several hosts appears once per
@@ -503,8 +480,20 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
             sp = first_pos[sel]
         else:
             if hashes is not None and length > 0 and len(sel) > 1:
-                # Hashes were computed shard-locally before the allgather.
-                order = np.lexsort((hashes[1][sel], hashes[0][sel]))
+                # Per-key hashes came out of the native accumulators
+                # (content-determined, so equal keys from different
+                # hosts hash equal).  A stable sort on one 64-bit hash
+                # puts equal keys adjacent UNLESS two distinct keys of
+                # this length collide AND interleave — detected below
+                # and repaired with an exact byte sort.
+                sh = hashes[sel]
+                order = np.argsort(sh, kind="stable")
+                collide = sh[order]
+                collide = collide[1:] == collide[:-1]
+                if collide.any():
+                    sv_probe = void[order]
+                    if ((sv_probe[1:] != sv_probe[:-1]) & collide).any():
+                        order = np.argsort(void, kind="stable")
             elif use_hash_order and length > 0 and len(sel) > 1:
                 raw = void.view(np.uint8).reshape(len(sel), int(length))
                 h1 = _hash_window_rows(raw, int(length))
@@ -512,7 +501,10 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
                 order = np.lexsort((h2, h1))
             else:
                 order = np.argsort(void, kind="stable")
-            sv = void[order]
+            from .runtime import big_empty
+            sv = big_empty(len(order) * void.dtype.itemsize) \
+                .view(void.dtype)
+            np.take(void, order, out=sv)
             sc = counts[sel][order]
             sp = first_pos[sel][order]
             if len(sv) > 1:
@@ -710,17 +702,19 @@ def deduplicate_cluster(
 
     collapsed = getattr(accumulator, "collapsed", False)
     if nproc > 1 and collapsed:
-        # Hash each host's own table BEFORE the allgather: the O(bytes)
-        # hashing shards across hosts; only the lexsort+collapse of the
-        # gathered table is replicated.
+        # The native accumulator already computed a content hash per
+        # key; exporting it (one O(capacity) sweep) and gathering it as
+        # an extra column means no host ever re-hashes the gathered
+        # table — the O(bytes) hashing happened shard-local, during
+        # pass 1.
         exported = accumulator.export()
         debug_phase("finalize/export")
-        local_hashes = _local_key_hashes(exported[0], exported[1])
+        local_hashes = accumulator.export_hashes()
         debug_phase("finalize/local-hash")
-        kd, ko, kc, kp, gh1, gh2 = allgather_key_tables(
-            *exported, *local_hashes)
+        kd, ko, kc, kp, gh = allgather_key_tables(
+            *exported, local_hashes)
         debug_phase("finalize/allgather")
-        groups = _finalize_groups(kd, ko, kc, kp, hashes=(gh1, gh2))
+        groups = _finalize_groups(kd, ko, kc, kp, hashes=gh)
         debug_phase("finalize/merge")
     else:
         groups = _finalize_groups(

@@ -8,8 +8,32 @@ of per run.  Disable with ``FASTQDEDUP_JAX_CACHE=0``.
 
 import os
 
+import numpy as np
+
 _configured = False
 _allocator_tuned = False
+
+def big_empty(shape, dtype=np.uint8) -> np.ndarray:
+    """``np.empty`` for large once-per-run buffers (one tuning point).
+
+    Deliberately plain — two measured dead ends documented so they are
+    not retried:
+
+    * Hand-mmapped backing (``np.frombuffer`` over ``mmap``) fails:
+      numpy routes ufuncs/``np.take`` writing into foreign-buffer
+      destinations through a buffered slow path that is 7-10x slower
+      than the owned-memory fast path, warm or cold.  Arrays must OWN
+      their memory.
+    * madvise(MADV_HUGEPAGE) backing fails: with ``defrag=madvise`` (a
+      common default) hugepage faults do synchronous compaction, which
+      under page-cache pressure measured 50+ s/GiB.
+
+    The allocation-speed problem these tried to solve (first-touch
+    faults on fresh brk-heap pages cost 5-18 s/GiB on virtualized
+    hosts) is handled in :func:`tune_host_allocator` instead: a 128 MiB
+    M_MMAP_THRESHOLD sends one-shot giants through glibc's own mmap
+    path (~3 s/GiB cold, numpy still owns the pointer)."""
+    return np.empty(shape, dtype=dtype)
 
 
 def tune_host_allocator() -> None:
@@ -34,9 +58,16 @@ def tune_host_allocator() -> None:
         import ctypes
 
         libc = ctypes.CDLL(None)
-        threshold = (1 << 31) - (1 << 12)  # mallopt takes int
-        libc.mallopt(-3, threshold)  # M_MMAP_THRESHOLD
-        libc.mallopt(-1, threshold)  # M_TRIM_THRESHOLD
+        # Two regimes, split at 128 MiB:
+        #  * below — per-chunk parse/render buffers: recycled through the
+        #    heap (huge trim threshold), so their first-touch cost is
+        #    paid once per size class, not once per chunk;
+        #  * above — one-shot giants (accumulator arena/slots, gathered
+        #    tables): served by mmap, whose fresh-page faults measure
+        #    ~0.8 s/GiB here versus 5-18 s/GiB for brk-grown heap pages,
+        #    and whose realloc growth is an mremap instead of a copy.
+        libc.mallopt(-3, 128 << 20)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, (1 << 31) - (1 << 12))  # M_TRIM_THRESHOLD
     except Exception:  # pragma: no cover - best-effort, non-glibc hosts
         pass
 
