@@ -26,7 +26,7 @@ import numpy as np
 
 from .ops.bucket import edit_candidate_pairs, hamming_neighbor_pairs_bucketed
 from .ops.components import connected_components_host
-from .ops.encode import EncodeTable, keys_to_matrix
+from .ops.encode import UNASSIGNED, EncodeTable, keys_to_matrix
 from .ops.hamming import neighbor_pairs
 
 # Below this group size brute-force tiling beats bucketing overhead
@@ -92,23 +92,58 @@ def _group_by_length(keys: Sequence[bytes]) -> Dict[int, np.ndarray]:
     return groups
 
 
-# Edge computation operates on "entries": (length, encoded uint8 matrix,
-# global key indices) per length group — shared by the bytes-key API
+# Edge computation operates on "entries": (length, uint8 matrix, global
+# key indices) per length group — shared by the bytes-key API
 # (build_partition) and the zero-copy grouped API (build_partition_groups).
+# Matrices hold RAW key bytes (zero-copy views of the key table) unless
+# byte 0xFF occurs in a key, in which case _encode_entries swaps in dense
+# index matrices for every group; device kernels translate raw rows via
+# the EncodeTable LUT at the gather boundary.
 Entries = List[Tuple[int, np.ndarray, np.ndarray]]
 
 
 def _entries_from_keys(keys: Sequence[bytes],
                        groups: Dict[int, np.ndarray],
                        table: EncodeTable) -> Entries:
-    return [(length, keys_to_matrix([keys[i] for i in idx], table)[0], idx)
-            for length, idx in sorted(groups.items())]
+    """Entries carry RAW byte matrices (see :func:`_encode_entries`)."""
+    entries: Entries = []
+    for length, idx in sorted(groups.items()):
+        raw = np.frombuffer(b"".join(keys[i] for i in idx),
+                            dtype=np.uint8).reshape(len(idx), length)
+        table.extend_from(raw)
+        entries.append((length, raw, idx))
+    return _encode_entries(entries, table)
+
+
+def _encode_entries(entries: Entries, table: EncodeTable) -> Entries:
+    """Re-encode raw entries only when raw bytes would be unsafe.
+
+    Entry matrices stay RAW key bytes: every host-side step (content
+    hashing, bucket grouping, row equality counts, the banded edit DP)
+    only tests byte equality, which any consistent representation
+    satisfies — so the matrices can be zero-copy views of the key table
+    and the per-key index translation moves to the device boundaries,
+    where only the gathered rows that actually reach a kernel pay it.
+    The single exception: the 0xFF padding sentinel (one-hot all-zero,
+    never equal to a real symbol) requires that no real key byte is
+    0xFF.  If one is, fall back to dense index matrices (indices cap at
+    253, below the sentinel) for ALL groups — cross-length edit
+    candidate hashing compares bytes across groups, so representation
+    must be uniform."""
+    if table.table[0xFF] == UNASSIGNED:
+        return entries
+    return [(length, table.encode(matrix), idx)
+            for length, matrix, idx in entries]
 
 
 def _hamming_edges_entries(entries: Entries, table: EncodeTable,
                            max_distance: int,
                            shard: Tuple[int, int] = (0, 1)
                            ) -> Tuple[np.ndarray, np.ndarray]:
+    # Raw-byte entries (the normal case, see _encode_entries) translate
+    # to alphabet indices only at the device boundaries below, via this
+    # LUT over the rows a kernel actually receives.
+    lut = table.table if table.table[0xFF] == UNASSIGNED else None
     pid, nproc = shard
     edges_i: List[np.ndarray] = []
     edges_j: List[np.ndarray] = []
@@ -123,11 +158,14 @@ def _hamming_edges_entries(entries: Entries, table: EncodeTable,
         elif len(idx) <= BRUTE_FORCE_LIMIT:
             if g % nproc != pid:
                 continue
-            li, lj = neighbor_pairs(matrix, table.size, max_distance)
+            li, lj = neighbor_pairs(
+                matrix if lut is None else lut[matrix],
+                table.size, max_distance)
         else:
             # Large groups split at bucket granularity across hosts.
             li, lj = hamming_neighbor_pairs_bucketed(
-                matrix, table.size, max_distance, shard=shard)
+                matrix, table.size, max_distance, shard=shard,
+                encode_lut=lut)
         edges_i.append(idx[li])
         edges_j.append(idx[lj])
     if not edges_i:
@@ -436,10 +474,13 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
         if length == 0:
             matrix = np.zeros((size, 0), dtype=np.uint8)
         else:
-            raw = groups.voids[g].view(np.uint8).reshape(size, length)
-            matrix = table.encode(raw)
+            # Zero-copy view of the key table; _encode_entries decides
+            # whether raw bytes are safe (they are unless 0xFF occurs).
+            matrix = groups.voids[g].view(np.uint8).reshape(size, length)
+            table.extend_from(matrix)
         entries.append((length, matrix, idx))
-    _mark("encode")
+    entries = _encode_entries(entries, table)
+    _mark("alphabet")
     pid, nproc = shard
     if use_edit_distance:
         if n <= HOST_LIMIT:

@@ -200,7 +200,8 @@ def _buckets_per_call(size_class: int) -> int:
 def _launch_bucket_batches(matrix: np.ndarray,
                            member_lists: List[np.ndarray],
                            size_class: int, alphabet_size: int,
-                           max_distance: int):
+                           max_distance: int,
+                           encode_lut: "np.ndarray | None" = None):
     """Enqueue within-bucket all-pairs kernels, yielding
     (members, future, device_bytes) as each batch is dispatched, so the
     caller can bound total in-flight device memory."""
@@ -219,6 +220,11 @@ def _launch_bucket_batches(matrix: np.ndarray,
         for b, idx in enumerate(chunk):
             members[b, :len(idx)] = idx
             batch[b, :len(idx)] = matrix[idx]
+        if encode_lut is not None:
+            # Raw-byte rows -> alphabet indices, gathered rows only.  The
+            # _PAD_INDEX fill survives: lut[0xFF] is UNASSIGNED == 0xFF
+            # whenever this path is active (see engine._encode_entries).
+            batch = encode_lut[batch]
         # Bucket batches are independent: round-robin them across the
         # local chips (data parallelism without collectives — the
         # host-side drain merges results).  device=None on a single chip.
@@ -256,7 +262,8 @@ def _drain_bucket_batches(launched):
 def hamming_neighbor_pairs_bucketed(
         matrix: np.ndarray, alphabet_size: int, max_distance: int,
         large_bucket_threshold: int = 2048,
-        shard: Tuple[int, int] = (0, 1)
+        shard: Tuple[int, int] = (0, 1),
+        encode_lut: "np.ndarray | None" = None
         ) -> Tuple[np.ndarray, np.ndarray]:
     """All pairs (i < j) of equal-length rows within Hamming max_distance,
     via pigeonhole bucketing.  Exact (complete) by the pigeonhole principle.
@@ -271,6 +278,12 @@ def hamming_neighbor_pairs_bucketed(
     mix of the bucket's dense content id (identical on every host because
     every host holds the same key table in the same order).  The union of
     all shards' outputs equals the unsharded output.
+
+    ``encode_lut``: when given, ``matrix`` holds RAW key bytes and this
+    uint8[256] byte->index table translates the rows gathered for a
+    device kernel (host-side hashing/grouping/equality is
+    representation-invariant, so only kernel-bound rows pay encoding).
+    When None, ``matrix`` already holds alphabet indices.
     """
     from ..parallel.distributed import bucket_owner_mask
     from .hamming import neighbor_pairs
@@ -337,7 +350,7 @@ def hamming_neighbor_pairs_bucketed(
                 member_lists = [order[starts[b]:ends[b]] for b in selected]
                 for item in _launch_bucket_batches(
                         matrix, member_lists, size_class, alphabet_size,
-                        max_distance):
+                        max_distance, encode_lut=encode_lut):
                     launched.append(item)
                     inflight += item[2]
                     if inflight > MAX_INFLIGHT_BYTES:
@@ -348,7 +361,10 @@ def hamming_neighbor_pairs_bucketed(
     drain(0)
     # Oversized buckets: dedicated all-pairs sweep per bucket.
     for idx in oversized:
-        li, lj = neighbor_pairs(matrix[idx], alphabet_size, max_distance)
+        rows = matrix[idx]
+        if encode_lut is not None:
+            rows = encode_lut[rows]
+        li, lj = neighbor_pairs(rows, alphabet_size, max_distance)
         gi, gj = idx[li], idx[lj]
         pair_codes.append(np.minimum(gi, gj) * n + np.maximum(gi, gj))
 

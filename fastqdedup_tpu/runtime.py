@@ -26,13 +26,14 @@ def big_empty(shape, dtype=np.uint8) -> np.ndarray:
       their memory.
     * madvise(MADV_HUGEPAGE) backing fails: with ``defrag=madvise`` (a
       common default) hugepage faults do synchronous compaction, which
-      under page-cache pressure measured 50+ s/GiB.
+      under page-cache pressure measured 50+ s/GiB.  numpy does this
+      madvise ITSELF on every >= 4 MiB allocation — which was the true
+      source of the "random" 5-50 s/GiB first-touch costs chased here;
+      :func:`tune_host_allocator` now turns it off process-wide.
 
-    The allocation-speed problem these tried to solve (first-touch
-    faults on fresh brk-heap pages cost 5-18 s/GiB on virtualized
-    hosts) is handled in :func:`tune_host_allocator` instead: a 128 MiB
-    M_MMAP_THRESHOLD sends one-shot giants through glibc's own mmap
-    path (~3 s/GiB cold, numpy still owns the pointer)."""
+    With the hugepage madvise off and a 128 MiB M_MMAP_THRESHOLD
+    (giants via glibc's own mmap path, numpy owning the pointer),
+    plain ``np.empty`` faults at ~1 s/GiB cold."""
     return np.empty(shape, dtype=dtype)
 
 
@@ -54,6 +55,20 @@ def tune_host_allocator() -> None:
     if _allocator_tuned or os.environ.get("FASTQDEDUP_MALLOC_TUNE") == "0":
         return
     _allocator_tuned = True
+    try:
+        # numpy madvises MADV_HUGEPAGE on every allocation >= 4 MiB.  With
+        # THP defrag=madvise (this machine's default) each hugepage fault
+        # then does SYNCHRONOUS compaction: a fresh 134 MB np.empty that
+        # np.take writes into measured 35-50 s when physical memory is
+        # fragmented, vs 1.1 s with the madvise off — and fragmentation
+        # builds up over a run, which is why the slowdown looked random.
+        # The lost TLB win is noise next to that.  Env override for child
+        # processes; the setter for this already-imported process.
+        os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+        from numpy._core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+    except Exception:  # pragma: no cover - numpy internals may move
+        pass
     try:
         import ctypes
 

@@ -113,6 +113,51 @@ def test_bucketed_handles_large_buckets():
     assert got == expected
 
 
+def test_bucketed_raw_bytes_with_lut_matches_encoded():
+    # Raw-byte matrix + encode_lut must yield the same pair set as the
+    # pre-encoded matrix: bucketing/hashing are representation-invariant
+    # and the LUT translates only kernel-bound rows.
+    rng = random.Random(99)
+    keys = list(dict.fromkeys(_random_keys(rng, 500, 10, mutate_from=[])))
+    table = EncodeTable("ACGTN")
+    encoded, _ = keys_to_matrix(keys, table)
+    raw = np.frombuffer(b"".join(keys), dtype=np.uint8) \
+        .reshape(len(keys), 10)
+    for threshold in (2048, 64):  # large: device classes; small: oversized
+        ref = hamming_neighbor_pairs_bucketed(
+            encoded, table.size, 2, large_bucket_threshold=threshold)
+        got = hamming_neighbor_pairs_bucketed(
+            raw, table.size, 2, large_bucket_threshold=threshold,
+            encode_lut=table.table)
+        assert set(zip(*map(np.ndarray.tolist, got))) == \
+            set(zip(*map(np.ndarray.tolist, ref)))
+
+
+def test_build_clusters_tolerates_0xff_key_bytes():
+    # Byte 0xFF collides with the padding sentinel; _encode_entries must
+    # fall back to index matrices and still match the scalar oracle.
+    rng = random.Random(3)
+    base = bytes(rng.choice(b"\x41\x43\x47\x54\xff") for _ in range(12))
+    keys = {base}
+    while len(keys) < 80:
+        k = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            k[rng.randrange(12)] = rng.choice(b"\x41\x43\x47\x54\xff")
+        keys.add(bytes(k))
+    keys = sorted(keys)
+    clusters = build_clusters(keys, [1] * len(keys), max_distance=1)
+    member_of = {}
+    for c in clusters:
+        for k in c.keys:
+            member_of[k] = c
+    for i, a in enumerate(keys):
+        for j in range(i + 1, len(keys)):
+            b = keys[j]
+            d = sum(x != y for x, y in zip(a, b))
+            if d <= 1:
+                assert member_of[a] is member_of[b], (a, b)
+
+
 @pytest.mark.parametrize("use_edit", [False, True])
 def test_build_clusters_matches_oracle(use_edit):
     rng = random.Random(13 + use_edit)
