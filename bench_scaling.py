@@ -146,19 +146,27 @@ def main() -> None:
         warm_wall, _ = run_config(nproc, shards, workdir, repo)
         print(f"warmup P={nproc}: {warm_wall:.1f}s", file=sys.stderr)
 
+    # Best-of-N per config: this VM's wall times swing with page-cache
+    # state and background load; the minimum is the honest steady-state.
+    repeats = int(os.environ.get("SCALE_REPEATS", 3))
     results = {}
     reference_output = None
     for nproc in proc_counts:
-        wall, outputs = run_config(nproc, shards, workdir, repo)
-        merged = b"".join(gzip.open(o, "rb").read() for o in outputs)
-        if reference_output is None:
-            reference_output = merged
-        elif merged != reference_output:
-            raise AssertionError(
-                f"{nproc}-host output differs from 1-host output")
-        results[nproc] = wall
-        print(f"P={nproc}: {wall:.1f}s  "
-              f"{n_reads / wall:,.0f} reads/s", file=sys.stderr)
+        walls = []
+        for _ in range(repeats):
+            wall, outputs = run_config(nproc, shards, workdir, repo)
+            walls.append(wall)
+            merged = b"".join(gzip.open(o, "rb").read() for o in outputs)
+            if reference_output is None:
+                reference_output = merged
+            elif merged != reference_output:
+                raise AssertionError(
+                    f"{nproc}-host output differs from 1-host output")
+        results[nproc] = min(walls)
+        print(f"P={nproc}: {min(walls):.1f}s  "
+              f"{n_reads / min(walls):,.0f} reads/s  "
+              f"(runs: {', '.join(f'{w:.1f}' for w in walls)})",
+              file=sys.stderr)
 
     base = min(p for p in results)
     t_base = results[base]

@@ -434,7 +434,9 @@ class KeyGroups:
 def build_partition_groups(groups: KeyGroups, max_distance: int,
                            use_edit_distance: bool = False,
                            table: Optional[EncodeTable] = None,
-                           shard: Tuple[int, int] = (0, 1)) -> Partition:
+                           shard: Tuple[int, int] = (0, 1),
+                           byte_presence: Optional[np.ndarray] = None
+                           ) -> Partition:
     """Like :func:`build_partition`, but over :class:`KeyGroups` — no
     per-key Python bytes objects are materialized on this path.
 
@@ -442,6 +444,12 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
     computes the within-distance pairs for the buckets it owns; the edge
     lists all-gather and dedupe before union-find, so every host derives
     the identical partition.
+
+    ``byte_presence``: optional bool[256] bitmap of byte values occurring
+    in the key table (collected during pass 1 by the native accumulator,
+    OR-ed across hosts).  When given, the alphabet registers from the
+    bitmap and the per-group key-table scans are skipped — at 31M x
+    100 bp keys that scan costs seconds per host, replicated.
     """
     import logging
     import time as _time
@@ -466,6 +474,8 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
         idx = np.arange(n, dtype=np.int64)
         return Partition(idx, idx, idx + 1, empty, empty, idx,
                          np.zeros(n, dtype=np.int64))
+    if byte_presence is not None:
+        table.extend_from_presence(byte_presence)
     entries: Entries = []
     for g, length in enumerate(groups.lengths):
         size = len(groups.counts[g])
@@ -477,7 +487,8 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
             # Zero-copy view of the key table; _encode_entries decides
             # whether raw bytes are safe (they are unless 0xFF occurs).
             matrix = groups.voids[g].view(np.uint8).reshape(size, length)
-            table.extend_from(matrix)
+            if byte_presence is None:
+                table.extend_from(matrix)
         entries.append((length, matrix, idx))
     entries = _encode_entries(entries, table)
     _mark("alphabet")

@@ -802,6 +802,10 @@ typedef struct {
     int64_t *first_pos;
     int64_t *key_off;
     size_t meta_cap;
+    /* Byte-presence bitmap over all inserted key bytes: lets the
+     * partition builder derive the alphabet without rescanning the
+     * (possibly multi-gigabyte) merged key table on every host. */
+    unsigned char present[256];
 } KeyAcc;
 
 static inline int64_t acc_entry_len(const KeyAcc *a, int64_t idx) {
@@ -933,6 +937,7 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
                 if (acc_meta_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
             }
             memcpy(a->arena + a->arena_len, key, len);
+            for (size_t b = 0; b < len; b++) a->present[key[b]] = 1;
             idx = (int64_t)a->used;
             a->slots[j].hash = h;
             a->slots[j].idx = idx;
@@ -953,6 +958,10 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
 
 int64_t acc_size(const KeyAcc *a) { return (int64_t)a->used; }
 int64_t acc_key_bytes(const KeyAcc *a) { return (int64_t)a->arena_len; }
+
+void acc_byte_presence(const KeyAcc *a, unsigned char *out256) {
+    memcpy(out256, a->present, 256);
+}
 
 /* Dump every entry in INSERTION (first-seen) order — a deterministic
  * function of the input stream.  Keys are contiguous in the arena in

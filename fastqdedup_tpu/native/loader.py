@@ -58,6 +58,8 @@ _lib.acc_export.argtypes = [ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p]
 _u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
 _lib.acc_export_hashes.restype = None
 _lib.acc_export_hashes.argtypes = [ctypes.c_void_p, _u64p]
+_lib.acc_byte_presence.restype = None
+_lib.acc_byte_presence.argtypes = [ctypes.c_void_p, _u8p]
 
 _lib.acc_lookup.restype = None
 _lib.acc_lookup.argtypes = [ctypes.c_void_p, _u8p, _i64p,
@@ -290,6 +292,14 @@ class KeyAccumulator:
         out = big_empty(n, dtype=np.uint64)
         _lib.acc_export_hashes(self._handle, out)
         return out
+
+    def byte_presence(self) -> np.ndarray:
+        """bool [256]: which byte values occur in any stored key —
+        collected at insertion, so deriving the alphabet needs no rescan
+        of the (multi-gigabyte) key table."""
+        out = np.zeros(256, dtype=np.uint8)
+        _lib.acc_byte_presence(self._handle, out)
+        return out.astype(bool)
 
     def close(self) -> None:
         if self._handle:

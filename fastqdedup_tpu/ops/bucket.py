@@ -61,6 +61,13 @@ def _bucket_slices(window: np.ndarray
                 np.zeros(1, dtype=np.int64),
                 np.full(1, n, dtype=np.int64))
     hashes = _hash_window_rows(window, window.shape[1], strong=False)
+    return _bucket_slices_of_hashes(hashes)
+
+
+def _bucket_slices_of_hashes(hashes: np.ndarray
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(order, starts, ends) of equal-hash runs."""
+    n = len(hashes)
     order = np.argsort(hashes)
     sh = hashes[order]
     boundaries = np.flatnonzero(sh[1:] != sh[:-1]) + 1
@@ -326,10 +333,24 @@ def hamming_neighbor_pairs_bucketed(
     # [K,S,S] outputs onto the device.
     for seg_index, (seg_start, seg_end) in enumerate(
             segment_bounds(length, max_distance + 1)):
-        order, starts, ends = _bucket_slices(matrix[:, seg_start:seg_end])
+        window = matrix[:, seg_start:seg_end]
+        if nproc > 1:
+            # Ownership is a salted mix of the segment-content hash, so
+            # it is computable PER ROW before any grouping: every member
+            # of a bucket shares the hash, hence the owner.  Each host
+            # then groups only its ~N/P owned rows — the argsort (the
+            # expensive part of grouping) shards instead of being
+            # replicated on every host.
+            hashes = _hash_window_rows(window, window.shape[1],
+                                       strong=False)
+            mine = np.flatnonzero(
+                bucket_owner_mask(hashes, seg_index, pid, nproc))
+            order, starts, ends = _bucket_slices_of_hashes(hashes[mine])
+            order = mine[order]
+        else:
+            order, starts, ends = _bucket_slices(window)
         sizes = ends - starts
-        owned = bucket_owner_mask(
-            np.arange(len(starts), dtype=np.int64), seg_index, pid, nproc)
+        owned = np.ones(len(starts), dtype=bool)
         host_cap = min(HOST_BUCKET_LIMIT, large_bucket_threshold)
         small = (sizes > 1) & (sizes <= host_cap) & owned
         for s in np.unique(sizes[small]):

@@ -47,6 +47,13 @@ class EncodeTable:
         minutes; the scatter is one linear pass."""
         seen = np.zeros(256, dtype=bool)
         seen[data.reshape(-1)] = True
+        self.extend_from_presence(seen)
+
+    def extend_from_presence(self, seen: np.ndarray) -> None:
+        """Register the byte values flagged in a 256-slot presence bitmap
+        (ascending byte order).  Used when presence was collected during
+        pass 1 (native accumulator) so the merged key table never needs
+        rescanning."""
         for byte in np.flatnonzero(seen):
             if self.table[byte] == UNASSIGNED:
                 index = len(self.chars)

@@ -93,11 +93,13 @@ def bucket_owner_mask(bucket_ids: np.ndarray, salt: int,
                       process_id: int, num_processes: int) -> np.ndarray:
     """bool mask: which buckets this host computes pairs for.
 
-    ``bucket_ids`` are dense per-segment bucket ids, identical on every
-    host (all hosts hold the same merged key table in the same order), so
-    a salted integer mix gives a stable, balanced partition with zero
-    communication.  Buckets are the unit of distribution — a bucket's
-    pairs never cross hosts (SURVEY.md §7 step 9).
+    ``bucket_ids`` are per-segment bucket CONTENT hashes (identical on
+    every host because they are functions of key bytes alone), so a
+    salted integer mix gives a stable, balanced partition with zero
+    communication — and because every member row of a bucket shares the
+    hash, ownership is decidable per row before any grouping happens.
+    Buckets are the unit of distribution — a bucket's pairs never cross
+    hosts (SURVEY.md §7 step 9).
     """
     if num_processes <= 1:
         return np.ones(len(bucket_ids), dtype=bool)
@@ -238,6 +240,15 @@ def allgather_key_tables(key_data: np.ndarray, key_offsets: np.ndarray,
         for i in range(len(extra_cols)))
     return (out_data, out_offsets, out_cols[1], out_cols[2],
             *gathered_extras)
+
+
+def or_byte_presence(presence: np.ndarray) -> np.ndarray:
+    """bool[256] union of every host's key-byte presence bitmap."""
+    import jax
+    if jax.process_count() == 1:
+        return presence
+    gathered = _allgather(presence.astype(np.uint8))
+    return gathered.any(axis=0)
 
 
 def allgather_int64(vec: np.ndarray) -> np.ndarray:

@@ -701,6 +701,14 @@ def deduplicate_cluster(
             logger.debug(f"pass2/{name}: {phase_timer.get_difference()}")
 
     collapsed = getattr(accumulator, "collapsed", False)
+    byte_presence: Optional[np.ndarray] = None
+    if collapsed and hasattr(accumulator, "byte_presence"):
+        # Collected at insertion during pass 1; saves every host the
+        # alphabet rescan of the merged key table.
+        byte_presence = accumulator.byte_presence()
+        if nproc > 1:
+            from .parallel.distributed import or_byte_presence
+            byte_presence = or_byte_presence(byte_presence)
     if nproc > 1 and collapsed:
         # The native accumulator already computed a content hash per
         # key; exporting it (one O(capacity) sweep) and gathering it as
@@ -738,7 +746,8 @@ def deduplicate_cluster(
         prewarm_thread.join()
 
     part = build_partition_groups(groups, max_distance, use_edit_distance,
-                                  shard=(pid, nproc))
+                                  shard=(pid, nproc),
+                                  byte_presence=byte_presence)
     debug_phase("partition")
     counts_arr = groups.counts_concat()
     sizes = part.sizes()
@@ -996,6 +1005,17 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     """
     import queue
     import threading
+    import time as _time
+
+    _debug = logger.isEnabledFor(logging.DEBUG)
+    _t0 = _time.perf_counter()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _debug:
+            now = _time.perf_counter()
+            logger.debug(f"pass3/{label}: {now - _t0:.2f}s")
+            _t0 = now
 
     # Membership tables ARE the per-length sorted unique arrays from
     # pass 1; kept_mask marks representatives and first_pos (the global
@@ -1018,7 +1038,25 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     # a single batched lookup per chunk instead of a per-length binary
     # search over the full unique-key arrays — at tens of millions of
     # keys the searchsorted memcmps alone cost minutes.
+    #
+    # Multi-host: first-wins makes emittable-key ownership exact — a
+    # record emits only when its global index equals its key's first
+    # occurrence, and every global index this host renders lies in the
+    # chunks it owns.  Kept keys whose first occurrence belongs to
+    # another host can never match here, so the hash table covers only
+    # this host's ~1/P share instead of being replicated.
+    if nproc > 1:
+        if sharded_input:
+            def _owned_fp(fp: np.ndarray) -> np.ndarray:
+                return ((fp >= shard_base)
+                        & (fp < shard_base + _SHARD_STRIDE))
+        else:
+            def _owned_fp(fp: np.ndarray) -> np.ndarray:
+                return (fp // chunk_records) % nproc == pid
+    else:
+        _owned_fp = None
     kept_lookup = None
+    no_owned_kept = False
     kept_fp = np.empty(0, dtype=np.int64)
     try:
         from .native.loader import KeyAccumulator as _NativeAcc
@@ -1026,7 +1064,10 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
         lens_list: List[np.ndarray] = []
         fps: List[np.ndarray] = []
         for g, length in enumerate(groups.lengths):
-            rows = np.flatnonzero(kept_mask[g])
+            km = kept_mask[g]
+            if _owned_fp is not None and len(km):
+                km = km & _owned_fp(groups.first_pos[g])
+            rows = np.flatnonzero(km)
             if not len(rows):
                 continue
             if length:
@@ -1043,8 +1084,13 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
             kept_fp = np.concatenate(fps)
             kept_lookup = _NativeAcc(expected=len(kept_fp))
             kept_lookup.add(data_all, offs, None, 0)
+        elif _owned_fp is not None:
+            # Native layer present but no kept key's first occurrence is
+            # in this host's shard: nothing can emit.
+            no_owned_kept = True
     except ImportError:
         kept_lookup = None
+    _mark("kept-lookup-build")
     # Sharded-input mode: this host's files are wholly its own — plain
     # single-host writing (no parts, no merge); only the global record
     # base carries the shard offset.
@@ -1085,21 +1131,31 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
         source = ((i, c) for i, c in
                   enumerate(_zip_chunks(input_files, chunk_records))
                   if sharded_input or i % nproc == pid)
+    _acc = {"iter": 0.0, "keys": 0.0, "member": 0.0, "render": 0.0}
     try:
         from .io.fastq import render_fastq_records
+        _tl = _time.perf_counter()
         for chunk_index, chunks in source:
+            _now = _time.perf_counter()
+            _acc["iter"] += _now - _tl
+            _tl = _now
             # Chunks are exactly chunk_records long (final chunk aside;
             # _rechunk guarantees it), so the global index of a chunk's
             # first record is a product — no cross-chunk running state.
             base = shard_base + chunk_index * chunk_records
             key_data, key_offsets, _, _ = _chunk_keys(
                 chunks, check_slices, use_qualities=False)
+            _now = _time.perf_counter()
+            _acc["keys"] += _now - _tl
+            _tl = _now
             if kept_lookup is not None:
                 idx = kept_lookup.lookup(key_data, key_offsets)
                 hit = idx >= 0
                 positions = base + np.arange(len(idx), dtype=np.int64)
                 emit_rows = np.flatnonzero(
                     hit & (kept_fp[np.maximum(idx, 0)] == positions))
+            elif no_owned_kept:
+                emit_rows = np.empty(0, dtype=np.int64)
             else:
                 emit_parts: List[np.ndarray] = []
                 for length, rows in group_rows_by_length(key_offsets):
@@ -1128,6 +1184,9 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                     emit_rows = np.sort(np.concatenate(emit_parts))
                 else:
                     emit_rows = np.empty(0, dtype=np.int64)
+            _now = _time.perf_counter()
+            _acc["member"] += _now - _tl
+            _tl = _now
             # Vectorized serialization, one compressor call per chunk.
             for index, chunk in enumerate(chunks):
                 payload = render_fastq_records(chunk, emit_rows)
@@ -1137,11 +1196,19 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                             parts_dirs[index], f"{chunk_index:08d}.bin"))
                 elif len(payload):
                     write_queue.put((index, payload))
+            _now = _time.perf_counter()
+            _acc["render"] += _now - _tl
+            _tl = _now
     finally:
+        if _debug:
+            logger.debug("pass3/chunk-loop totals: " + ", ".join(
+                f"{k}={v:.2f}s" for k, v in _acc.items()))
+            _t0 = _time.perf_counter()
         write_queue.put(None)
         worker.join()
         for writer in writers:
             writer.close()
+        _mark("writer-drain")
         if write_error:
             raise write_error[0]
     if distributed:

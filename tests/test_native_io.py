@@ -247,6 +247,28 @@ def test_key_accumulator_growth_stress():
     acc.close()
 
 
+def test_key_accumulator_byte_presence():
+    """The insertion-time presence bitmap must flag exactly the byte
+    values occurring in stored keys (pass 2 derives the alphabet from it
+    instead of rescanning the merged key table)."""
+    import numpy as np
+
+    from fastqdedup_tpu.native.loader import KeyAccumulator
+
+    acc = KeyAccumulator(expected=4)
+    keys = [b"ACGT", b"ACGA", b"NNN", b"\x00\xffZ"]
+    data = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    offsets = np.cumsum([0] + [len(k) for k in keys]).astype(np.int64)
+    acc.add(data, offsets, None, 0)
+    # Duplicate insert must not change presence.
+    acc.add(data, offsets, None, len(keys))
+    presence = acc.byte_presence()
+    expected = np.zeros(256, dtype=bool)
+    expected[list(set(b"".join(keys)))] = True
+    np.testing.assert_array_equal(presence, expected)
+    acc.close()
+
+
 def test_bgzf_parallel_parse_matches_plain_gzip(tmp_path):
     """A BGZF-blocked file must parse to the identical record stream as
     the same data in plain gzip (the parallel-inflate path) — including
