@@ -13,8 +13,11 @@ This module provides the writer side in pure Python (zlib raw deflate +
 hand-built member framing); outputs are deterministic (no mtime).
 """
 
+import os
 import struct
 import zlib
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import IO, Union
 
 # Maximum uncompressed payload per block (matches bgzip: 65536 - 256
@@ -75,6 +78,74 @@ class BgzfWriter:
         self._file = None  # type: ignore[assignment]
 
     def __enter__(self) -> "BgzfWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class ParallelBgzfWriter:
+    """BGZF writer that compresses blocks on a thread pool.
+
+    Because the logical stream is sliced into the same fixed-size blocks
+    as :class:`BgzfWriter` and each block compresses independently at a
+    fixed level, the output bytes are identical to the serial writer's —
+    parallelism changes wall time, never content.  ``zlib`` releases the
+    GIL while deflating, so blocks compress genuinely concurrently;
+    completed blocks are written strictly in submission order.  This is
+    the output-side twin of the native parser's parallel BGZF inflate
+    (native/_fastq_io.c) — the reference leaned on external ``xopen``
+    threads for the same reason (README.rst dependency list).
+    """
+
+    def __init__(self, file: Union[str, IO[bytes]],
+                 compresslevel: int = 1, threads: int = 0):
+        if isinstance(file, str):
+            self._file: IO[bytes] = open(file, "wb")
+            self._owns = True
+        else:
+            self._file = file
+            self._owns = False
+        self._level = compresslevel
+        self._pending = bytearray()
+        workers = threads or min(4, os.cpu_count() or 1)
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._futures: deque = deque()
+        self._max_inflight = 8 * workers
+
+    def _drain(self, block: bool) -> None:
+        while self._futures and (block or self._futures[0].done()):
+            self._file.write(self._futures.popleft().result())
+            block = False  # only force out one when over the cap
+
+    def write(self, data) -> int:
+        self._pending += bytes(data)
+        while len(self._pending) >= BLOCK_SIZE:
+            chunk = bytes(self._pending[:BLOCK_SIZE])
+            del self._pending[:BLOCK_SIZE]
+            self._drain(block=len(self._futures) >= self._max_inflight)
+            self._futures.append(
+                self._pool.submit(compress_block, chunk, self._level))
+        return len(data)
+
+    def close(self) -> None:
+        if self._file is None:
+            return
+        try:
+            if self._pending:
+                self._futures.append(self._pool.submit(
+                    compress_block, bytes(self._pending), self._level))
+                self._pending.clear()
+            while self._futures:
+                self._file.write(self._futures.popleft().result())
+            self._file.write(BGZF_EOF)
+        finally:
+            self._pool.shutdown(wait=False)
+            if self._owns:
+                self._file.close()
+            self._file = None  # type: ignore[assignment]
+
+    def __enter__(self) -> "ParallelBgzfWriter":
         return self
 
     def __exit__(self, *exc) -> None:

@@ -4,8 +4,10 @@ Stands in for the reference's ``xopen`` dependency
 (/root/reference/src/fastqdedup/__init__.py:54-57, 197-198): files ending in
 ``.gz`` are opened through zlib-backed streams; everything else is plain
 binary.  Output compression defaults to level 1 like the reference's
-``xopen(..., compresslevel=1)``, and gzip headers are written with mtime=0 so
-outputs are deterministic byte-for-byte across runs.
+``xopen(..., compresslevel=1)``.  Writes produce BGZF (blocked gzip —
+readable by every gzip tool, block-parallel to produce and to re-ingest)
+with no mtime and fixed blocking, so outputs are deterministic
+byte-for-byte across runs and across single-/multi-host execution.
 """
 
 import gzip
@@ -33,12 +35,15 @@ def xopen(filename: str, mode: str = "rb", *,
     if "w" in mode or "a" in mode:
         if is_gz:
             if "a" not in mode:
-                try:  # native zlib writer (byte-identical output, no GIL)
-                    from ..native.loader import NativeGzWriter
-                    return NativeGzWriter(  # type: ignore[return-value]
-                        filename, compresslevel or 1)
-                except (ImportError, OSError):
-                    pass
+                # Blocked gzip (BGZF), compressed on a thread pool: valid
+                # input for any gzip reader, deterministic (fixed blocking,
+                # no mtime), and block-parallel to both write here and
+                # re-ingest later (the native parser inflates BGZF blocks
+                # concurrently).  Matches how production genomics data is
+                # stored (bgzip).
+                from .bgzf import ParallelBgzfWriter
+                return ParallelBgzfWriter(  # type: ignore[return-value]
+                    filename, compresslevel or 1)
             raw = open(filename, mode)
             return gzip.GzipFile(filename="", mode=mode, fileobj=raw,
                                  compresslevel=compresslevel or 1,
