@@ -1080,3 +1080,96 @@ void acc_lookup(const KeyAcc *a, const unsigned char *key_data,
         }
     }
 }
+
+/* ---- Row-content hashing ---------------------------------------------
+ *
+ * C twin of ops/bucket.py:_hash_window_rows: per-row 64-bit content
+ * hashes over a [n, width] uint8 window (row stride allowed, columns
+ * contiguous), bit-identical to the numpy implementation on the same
+ * machine (both consume native-endian 8-byte words; the final partial
+ * word is zero-extended).  The numpy version makes 2-5 full passes over
+ * the window (pad copy, Fortran transpose, per-column ufuncs); this one
+ * reads each row once, and rows split across pthreads — it feeds the
+ * pigeonhole bucket grouping (twice per segment pass, every host) and
+ * the edit-mode candidate join, both hot at tens of millions of keys. */
+
+static inline uint64_t hr_mix(uint64_t h) {
+    h ^= h >> 33;
+    h *= 0xFF51AFD7ED558CCDULL;
+    h ^= h >> 33;
+    h *= 0xC4CEB9FE1A85EC53ULL;
+    h ^= h >> 33;
+    return h;
+}
+
+typedef struct {
+    const unsigned char *base;
+    int64_t row_stride, width, lo, hi;
+    uint64_t seed;
+    int strong;
+    uint64_t *out;
+} HashRowsWork;
+
+static void *hash_rows_worker(void *arg) {
+    HashRowsWork *w = (HashRowsWork *)arg;
+    const int64_t nwords = w->width / 8;
+    const int64_t rem = w->width % 8;
+    for (int64_t i = w->lo; i < w->hi; i++) {
+        const unsigned char *p = w->base + i * w->row_stride;
+        uint64_t h = w->seed;
+        for (int64_t c = 0; c < nwords; c++) {
+            uint64_t word;
+            memcpy(&word, p + c * 8, 8);
+            h ^= word;
+            if (w->strong) {
+                h = hr_mix(h) * 0x2545F4914F6CDD1DULL;
+            } else {
+                h *= 0x2545F4914F6CDD1DULL;
+                h ^= h >> 29;
+            }
+        }
+        if (rem) {
+            uint64_t word = 0;
+            memcpy(&word, p + nwords * 8, (size_t)rem);
+            h ^= word;
+            if (w->strong) {
+                h = hr_mix(h) * 0x2545F4914F6CDD1DULL;
+            } else {
+                h *= 0x2545F4914F6CDD1DULL;
+                h ^= h >> 29;
+            }
+        }
+        w->out[i] = hr_mix(h);
+    }
+    return NULL;
+}
+
+#define HASH_ROWS_MAX_THREADS 8
+
+void fq_hash_rows(const unsigned char *base, int64_t n, int64_t row_stride,
+                  int64_t width, uint64_t seed, int strong, int nthreads,
+                  uint64_t *out) {
+    if (n <= 0) return;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > HASH_ROWS_MAX_THREADS) nthreads = HASH_ROWS_MAX_THREADS;
+    /* Thread spawn costs ~50us each; only worth it for real row counts. */
+    if (n < 65536) nthreads = 1;
+    HashRowsWork works[HASH_ROWS_MAX_THREADS];
+    pthread_t tids[HASH_ROWS_MAX_THREADS];
+    int64_t per = n / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        works[t].base = base;
+        works[t].row_stride = row_stride;
+        works[t].width = width;
+        works[t].lo = t * per;
+        works[t].hi = (t == nthreads - 1) ? n : (t + 1) * per;
+        works[t].seed = seed;
+        works[t].strong = strong;
+        works[t].out = out;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, hash_rows_worker, &works[t]);
+    hash_rows_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+}

@@ -69,6 +69,12 @@ _lib.uf_components.restype = ctypes.c_int
 _lib.uf_components.argtypes = [ctypes.c_int64, _i64p, _i64p,
                                ctypes.c_int64, _i64p]
 
+_lib.fq_hash_rows.restype = None
+_lib.fq_hash_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_uint64, ctypes.c_int,
+                              ctypes.c_int, _u64p]
+
 _lib.fq_render_records.restype = ctypes.c_int64
 _lib.fq_render_records.argtypes = [_u8p, _u8p, _i64p, _u8p, _i64p,
                                    _i64p, ctypes.c_int64, _u8p]
@@ -334,6 +340,36 @@ def render_records_native(seq: np.ndarray, qual: np.ndarray,
         np.ascontiguousarray(head_offsets, dtype=np.int64),
         rows, len(rows), out)
     assert written == total, "renderer wrote unexpected byte count"
+    return out
+
+
+def hash_rows_native(window: np.ndarray, seed: int, strong: bool = True,
+                     threads: int = 0) -> np.ndarray:
+    """uint64 [n] row-content hashes of a uint8 [n, w] matrix view.
+
+    Bit-identical C twin of ``ops.bucket._hash_window_rows`` (which
+    computes ``seed`` from its salt and finishes with the same
+    finalizer); accepts strided ROW views (e.g. ``matrix[:, a:b]``) as
+    long as columns are contiguous — one pass over the bytes instead of
+    numpy's pad-copy + transpose + per-column ufunc sweeps, with rows
+    split across pthreads.  Raises ValueError for layouts the C loop
+    cannot walk (callers fall back to the numpy path).
+    """
+    n, w = window.shape
+    if window.dtype != np.uint8:
+        raise ValueError("window must be uint8")
+    if n and w and (window.strides[1] != 1 or window.strides[0] < w):
+        raise ValueError("rows must be forward-strided, columns contiguous")
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    _lib.fq_hash_rows(
+        ctypes.c_void_p(window.__array_interface__["data"][0]),
+        n, window.strides[0] if w else 0, w,
+        ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
+        1 if strong else 0, threads, out)
     return out
 
 

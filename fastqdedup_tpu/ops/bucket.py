@@ -423,10 +423,20 @@ def _hash_window_rows(window: np.ndarray, salt: int,
     candidate is discarded by the exact DP verification downstream.
 
     Hot at production scale (tens of millions of 50-100 byte rows, twice
-    per segment pass): columns are transposed to contiguous memory once
-    and the mix runs with in-place ufuncs (zero per-column temporaries).
+    per segment pass): the native C path reads each row once with the
+    loop split across threads; the numpy fallback transposes columns to
+    contiguous memory once and runs the mix with in-place ufuncs (zero
+    per-column temporaries).  Both produce identical values
+    (tests/test_native_io.py pins the equivalence).
     """
     n, w = window.shape
+    seed = (0x9E3779B97F4A7C15 * (salt + 0x10001) + 0x85EBCA6B) & _MASK64
+    if n and w:
+        try:
+            from ..native.loader import hash_rows_native
+            return hash_rows_native(window, seed, strong=strong)
+        except (ImportError, ValueError):
+            pass
     w8 = -(-w // 8) * 8
     if w8 != w:
         padded = np.zeros((n, w8), dtype=np.uint8)
@@ -435,8 +445,7 @@ def _hash_window_rows(window: np.ndarray, salt: int,
         padded = np.ascontiguousarray(window)
     # Column-major copy: each uint64 column is then a contiguous read.
     cols = np.asfortranarray(padded.view(np.uint64).reshape(n, w8 // 8))
-    h = np.full(n, (0x9E3779B97F4A7C15 * (salt + 0x10001) + 0x85EBCA6B)
-                & _MASK64, dtype=np.uint64)
+    h = np.full(n, seed, dtype=np.uint64)
     tmp = np.empty(n, dtype=np.uint64)
     c33 = np.uint64(33)
     m1 = np.uint64(0xFF51AFD7ED558CCD)

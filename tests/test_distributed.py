@@ -277,3 +277,70 @@ deduplicate_cluster([shards[pid]], [outs[pid]], None, 1, 0.001,
         gzip.open(tmp_path / "out1.fastq.gz", "rb").read()
     assert merged == gzip.open(single_out, "rb").read()
     assert merged
+
+
+def test_merge_owned_rows_union_equals_full_merge():
+    """The per-host owned merges must union (over pid) to exactly the
+    full-table merge _finalize_groups performs — same keys, summed
+    counts, min first positions, zero-count keys dropped."""
+    from fastqdedup_tpu.pipeline import _finalize_groups, _merge_owned_rows
+    from fastqdedup_tpu.ops.bucket import _hash_window_rows
+
+    rng = np.random.default_rng(3)
+    # Simulate a gathered multi-host table: keys of two lengths, many
+    # repeated across "hosts", some with count 0 everywhere.
+    pool8 = [bytes(rng.integers(65, 69, size=8).astype(np.uint8))
+             for _ in range(40)]
+    pool5 = [bytes(rng.integers(65, 69, size=5).astype(np.uint8))
+             for _ in range(17)]
+    keys = [pool8[rng.integers(0, 40)] for _ in range(300)]
+    keys += [pool5[rng.integers(0, 17)] for _ in range(100)]
+    zero_key = b"ZZZZZZZZ"
+    keys += [zero_key, zero_key]
+    counts = rng.integers(1, 5, size=len(keys)).astype(np.int64)
+    counts[-2:] = 0  # quality-filtered everywhere -> must drop
+    first_pos = rng.integers(0, 1 << 40, size=len(keys)).astype(np.int64)
+    data = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(k) for k in keys), dtype=np.int64,
+                          count=len(keys)), out=offsets[1:])
+    # Per-key content hashes (equal keys -> equal hash), as the native
+    # accumulator would export them.
+    hashes = np.empty(len(keys), dtype=np.uint64)
+    for length in (5, 8):
+        sel = np.flatnonzero(np.diff(offsets) == length)
+        rows = np.stack([np.frombuffer(keys[i], dtype=np.uint8)
+                         for i in sel])
+        hashes[sel] = _hash_window_rows(rows, 12345)
+
+    nproc = 3
+    merged_parts = [_merge_owned_rows(data, offsets, counts, first_pos,
+                                      hashes, pid, nproc)
+                    for pid in range(nproc)]
+
+    def as_dict(groups):
+        out = {}
+        for g, length in enumerate(groups.lengths):
+            for row in range(len(groups.counts[g])):
+                key = groups.voids[g][row].tobytes() if length else b""
+                out[key] = (int(groups.counts[g][row]),
+                            int(groups.first_pos[g][row]))
+        return out
+
+    # Union of owned merges (simulating the second allgather: concat in
+    # pid order) -> pre-merged finalize.
+    datas = np.concatenate([m[0] for m in merged_parts])
+    lens = np.concatenate([np.diff(m[1]) for m in merged_parts])
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    cnts = np.concatenate([m[2] for m in merged_parts])
+    fps = np.concatenate([m[3] for m in merged_parts])
+    got = as_dict(_finalize_groups(datas, offs, cnts, fps,
+                                   pre_merged=True))
+    want = as_dict(_finalize_groups(data, offsets, counts, first_pos,
+                                    hashes=hashes))
+    assert got == want
+    assert zero_key not in got
+    # Ownership must be a complete, disjoint partition of the keys.
+    total_rows = sum(len(m[2]) for m in merged_parts)
+    assert total_rows == len(want)

@@ -325,3 +325,82 @@ def test_bgzf_corrupt_block_raises(tmp_path):
     with pytest.raises(Exception):
         for _ in read_fastq_chunks_native(str(path), 512):
             pass
+
+
+def test_native_hash_rows_matches_numpy_fallback():
+    """fq_hash_rows must be bit-identical to the numpy _hash_window_rows
+    path (the bucket grouping partitions work across hosts by these
+    values, so native/numpy hosts must agree)."""
+    from fastqdedup_tpu.native.loader import hash_rows_native
+    from fastqdedup_tpu.ops import bucket as b
+
+    def numpy_path(window, salt, strong):
+        n, w = window.shape
+        w8 = -(-w // 8) * 8
+        if w8 != w:
+            padded = np.zeros((n, w8), dtype=np.uint8)
+            padded[:, :w] = window
+        else:
+            padded = np.ascontiguousarray(window)
+        cols = np.asfortranarray(padded.view(np.uint64).reshape(n, w8 // 8))
+        seed = (0x9E3779B97F4A7C15 * (salt + 0x10001) + 0x85EBCA6B) \
+            & b._MASK64
+        h = np.full(n, seed, dtype=np.uint64)
+        tmp = np.empty(n, dtype=np.uint64)
+        c33, c29 = np.uint64(33), np.uint64(29)
+        m1 = np.uint64(0xFF51AFD7ED558CCD)
+        m2 = np.uint64(0xC4CEB9FE1A85EC53)
+        m3 = np.uint64(0x2545F4914F6CDD1D)
+
+        def mix(x):
+            np.right_shift(x, c33, out=tmp)
+            np.bitwise_xor(x, tmp, out=x)
+            np.multiply(x, m1, out=x)
+            np.right_shift(x, c33, out=tmp)
+            np.bitwise_xor(x, tmp, out=x)
+            np.multiply(x, m2, out=x)
+            np.right_shift(x, c33, out=tmp)
+            np.bitwise_xor(x, tmp, out=x)
+
+        with np.errstate(over="ignore"):
+            for c in range(cols.shape[1]):
+                np.bitwise_xor(h, cols[:, c], out=h)
+                if strong:
+                    mix(h)
+                    np.multiply(h, m3, out=h)
+                else:
+                    np.multiply(h, m3, out=h)
+                    np.right_shift(h, c29, out=tmp)
+                    np.bitwise_xor(h, tmp, out=h)
+            mix(h)
+        return h
+
+    rng = np.random.default_rng(42)
+    for n, w in [(1000, 50), (7, 1), (1, 8), (257, 100), (3, 17),
+                 (5, 64), (2, 7)]:
+        mat = rng.integers(0, 256, size=(n, w), dtype=np.uint8)
+        for salt in [0, 50 * 65536 + 25, 100 + 65537]:
+            for strong in [True, False]:
+                want = numpy_path(mat, salt, strong)
+                got = b._hash_window_rows(mat, salt, strong=strong)
+                assert (want == got).all(), (n, w, salt, strong)
+                seed = (0x9E3779B97F4A7C15 * (salt + 0x10001)
+                        + 0x85EBCA6B) & b._MASK64
+                direct = hash_rows_native(mat, seed, strong=strong)
+                assert (want == direct).all(), (n, w, salt, strong)
+        # Strided row views (window of a wider matrix) must also match.
+        big = rng.integers(0, 256, size=(n, w + 24), dtype=np.uint8)
+        view = big[:, 11:11 + w]
+        assert (numpy_path(view, 9, True)
+                == b._hash_window_rows(view, 9)).all()
+
+
+def test_native_hash_rows_rejects_bad_layouts():
+    from fastqdedup_tpu.native.loader import hash_rows_native
+    mat = np.zeros((8, 16), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        hash_rows_native(mat[:, ::2], 1)       # columns not contiguous
+    with pytest.raises(ValueError):
+        hash_rows_native(mat[::-1], 1)         # negative row stride
+    with pytest.raises(ValueError):
+        hash_rows_native(mat.astype(np.int16), 1)  # wrong dtype
