@@ -146,22 +146,28 @@ def main() -> None:
         warm_wall, _ = run_config(nproc, shards, workdir, repo)
         print(f"warmup P={nproc}: {warm_wall:.1f}s", file=sys.stderr)
 
-    # Best-of-N per config: this VM's wall times swing with page-cache
-    # state and background load; the minimum is the honest steady-state.
+    # Best-of-N per config, with configs INTERLEAVED round-robin: this
+    # VM's wall times swing ~2x with page-cache state and background
+    # load over minutes, so running all of one config's repeats before
+    # the next would compare different weather.  Interleaving puts every
+    # config's k-th repeat in the same window; the per-config minimum is
+    # the honest steady-state.
     repeats = int(os.environ.get("SCALE_REPEATS", 3))
-    results = {}
+    all_walls = {nproc: [] for nproc in proc_counts}
     reference_output = None
-    for nproc in proc_counts:
-        walls = []
-        for _ in range(repeats):
+    for _ in range(repeats):
+        for nproc in proc_counts:
             wall, outputs = run_config(nproc, shards, workdir, repo)
-            walls.append(wall)
+            all_walls[nproc].append(wall)
             merged = b"".join(gzip.open(o, "rb").read() for o in outputs)
             if reference_output is None:
                 reference_output = merged
             elif merged != reference_output:
                 raise AssertionError(
                     f"{nproc}-host output differs from 1-host output")
+    results = {}
+    for nproc in proc_counts:
+        walls = all_walls[nproc]
         results[nproc] = min(walls)
         print(f"P={nproc}: {min(walls):.1f}s  "
               f"{n_reads / min(walls):,.0f} reads/s  "

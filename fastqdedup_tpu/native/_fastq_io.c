@@ -1173,3 +1173,131 @@ void fq_hash_rows(const unsigned char *base, int64_t n, int64_t row_stride,
     for (int t = 1; t < nthreads; t++)
         pthread_join(tids[t], NULL);
 }
+
+/* Ragged variant: per-row width from an offsets vector (row i spans
+ * data[offsets[i]:offsets[i+1]]).  Same word algorithm as fq_hash_rows,
+ * so equal byte contents hash equal regardless of layout; used as the
+ * second, independent content hash of the multi-host key exchange
+ * (parallel/distributed.py) where key identity is (length, h1, h2). */
+
+typedef struct {
+    const unsigned char *data;
+    const int64_t *offsets;
+    int64_t lo, hi;
+    uint64_t seed;
+    int strong;
+    uint64_t *out;
+} HashRaggedWork;
+
+static void *hash_ragged_worker(void *arg) {
+    HashRaggedWork *w = (HashRaggedWork *)arg;
+    for (int64_t i = w->lo; i < w->hi; i++) {
+        const unsigned char *p = w->data + w->offsets[i];
+        int64_t width = w->offsets[i + 1] - w->offsets[i];
+        const int64_t nwords = width / 8;
+        const int64_t rem = width % 8;
+        uint64_t h = w->seed;
+        for (int64_t c = 0; c < nwords; c++) {
+            uint64_t word;
+            memcpy(&word, p + c * 8, 8);
+            h ^= word;
+            if (w->strong) {
+                h = hr_mix(h) * 0x2545F4914F6CDD1DULL;
+            } else {
+                h *= 0x2545F4914F6CDD1DULL;
+                h ^= h >> 29;
+            }
+        }
+        if (rem) {
+            uint64_t word = 0;
+            memcpy(&word, p + nwords * 8, (size_t)rem);
+            h ^= word;
+            if (w->strong) {
+                h = hr_mix(h) * 0x2545F4914F6CDD1DULL;
+            } else {
+                h *= 0x2545F4914F6CDD1DULL;
+                h ^= h >> 29;
+            }
+        }
+        w->out[i] = hr_mix(h);
+    }
+    return NULL;
+}
+
+void fq_hash_ragged(const unsigned char *data, const int64_t *offsets,
+                    int64_t n, uint64_t seed, int strong, int nthreads,
+                    uint64_t *out) {
+    if (n <= 0) return;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > HASH_ROWS_MAX_THREADS) nthreads = HASH_ROWS_MAX_THREADS;
+    if (n < 65536) nthreads = 1;
+    HashRaggedWork works[HASH_ROWS_MAX_THREADS];
+    pthread_t tids[HASH_ROWS_MAX_THREADS];
+    int64_t per = n / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        works[t].data = data;
+        works[t].offsets = offsets;
+        works[t].lo = t * per;
+        works[t].hi = (t == nthreads - 1) ? n : (t + 1) * per;
+        works[t].seed = seed;
+        works[t].strong = strong;
+        works[t].out = out;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, hash_ragged_worker, &works[t]);
+    hash_ragged_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+}
+
+/* Gather selected ragged rows into a packed output buffer:
+ * out[out_offsets[i]:out_offsets[i+1]] = row rows[i].  One memcpy per
+ * row, rows split across pthreads — the numpy equivalent materializes
+ * an int64 index per BYTE (8x the payload in scratch), whose first-touch
+ * faults cost minutes at multi-host table sizes. */
+
+typedef struct {
+    const unsigned char *data;
+    const int64_t *offsets;
+    const int64_t *rows;
+    const int64_t *out_offsets;
+    unsigned char *out;
+    int64_t lo, hi;
+} GatherWork;
+
+static void *gather_worker(void *arg) {
+    GatherWork *w = (GatherWork *)arg;
+    for (int64_t i = w->lo; i < w->hi; i++) {
+        int64_t r = w->rows[i];
+        memcpy(w->out + w->out_offsets[i], w->data + w->offsets[r],
+               (size_t)(w->offsets[r + 1] - w->offsets[r]));
+    }
+    return NULL;
+}
+
+void fq_gather_ragged(const unsigned char *data, const int64_t *offsets,
+                      const int64_t *rows, int64_t n,
+                      const int64_t *out_offsets, unsigned char *out,
+                      int nthreads) {
+    if (n <= 0) return;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > HASH_ROWS_MAX_THREADS) nthreads = HASH_ROWS_MAX_THREADS;
+    if (n < 65536) nthreads = 1;
+    GatherWork works[HASH_ROWS_MAX_THREADS];
+    pthread_t tids[HASH_ROWS_MAX_THREADS];
+    int64_t per = n / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        works[t].data = data;
+        works[t].offsets = offsets;
+        works[t].rows = rows;
+        works[t].out_offsets = out_offsets;
+        works[t].out = out;
+        works[t].lo = t * per;
+        works[t].hi = (t == nthreads - 1) ? n : (t + 1) * per;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, gather_worker, &works[t]);
+    gather_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+}

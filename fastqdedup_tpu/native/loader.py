@@ -75,6 +75,15 @@ _lib.fq_hash_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                               ctypes.c_uint64, ctypes.c_int,
                               ctypes.c_int, _u64p]
 
+_lib.fq_hash_ragged.restype = None
+_lib.fq_hash_ragged.argtypes = [_u8p, _i64p, ctypes.c_int64,
+                                ctypes.c_uint64, ctypes.c_int,
+                                ctypes.c_int, _u64p]
+
+_lib.fq_gather_ragged.restype = None
+_lib.fq_gather_ragged.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                  _i64p, _u8p, ctypes.c_int]
+
 _lib.fq_render_records.restype = ctypes.c_int64
 _lib.fq_render_records.argtypes = [_u8p, _u8p, _i64p, _u8p, _i64p,
                                    _i64p, ctypes.c_int64, _u8p]
@@ -370,6 +379,51 @@ def hash_rows_native(window: np.ndarray, seed: int, strong: bool = True,
         n, window.strides[0] if w else 0, w,
         ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
         1 if strong else 0, threads, out)
+    return out
+
+
+def hash_ragged_native(data: np.ndarray, offsets: np.ndarray,
+                       seed: int, strong: bool = True,
+                       threads: int = 0) -> np.ndarray:
+    """uint64 [n] content hashes of ragged rows (row i spans
+    ``data[offsets[i]:offsets[i+1]]``) — same word algorithm as
+    :func:`hash_rows_native`, so a ragged row and a fixed-width row with
+    equal bytes hash equal.  Serves as the second, independent content
+    hash of the multi-host key exchange."""
+    n = len(offsets) - 1
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    _lib.fq_hash_ragged(
+        np.ascontiguousarray(data, dtype=np.uint8),
+        np.ascontiguousarray(offsets, dtype=np.int64),
+        n, ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
+        1 if strong else 0, threads, out)
+    return out
+
+
+def gather_ragged_native(data: np.ndarray, offsets: np.ndarray,
+                         rows: np.ndarray,
+                         out_offsets: np.ndarray) -> np.ndarray:
+    """Packed bytes of the selected ragged rows, in ``rows`` order.
+
+    ``out_offsets`` must be the cumulative lengths of the selected rows
+    (``out_offsets[i+1] - out_offsets[i] == len(row rows[i])``); one C
+    memcpy per row, thread-parallel.
+    """
+    from ..runtime import big_empty
+    n = len(rows)
+    out = big_empty(int(out_offsets[-1]) if n else 0, dtype=np.uint8)
+    if n == 0:
+        return out
+    _lib.fq_gather_ragged(
+        np.ascontiguousarray(data, dtype=np.uint8),
+        np.ascontiguousarray(offsets, dtype=np.int64),
+        np.ascontiguousarray(rows, dtype=np.int64), n,
+        np.ascontiguousarray(out_offsets, dtype=np.int64), out,
+        min(8, os.cpu_count() or 1))
     return out
 
 

@@ -166,7 +166,13 @@ def _allgather_bytes_scatter(buf: np.ndarray, padded: int,
 
     ``dests[h]`` is a list of ``(uint8_view, stream_start)`` segments
     describing where host ``h``'s stream bytes land; ``padded`` must be
-    a _GATHER_CHUNK multiple and identical on every host."""
+    a _GATHER_CHUNK multiple and identical on every host.
+
+    (A measured dead end, documented so it is not retried: pre-faulting
+    the destination pages on a helper thread one chunk ahead HURTS —
+    the Gloo CPU transport spin-polls, so the core is never idle during
+    the collective call and the toucher thread only adds contention on
+    single-core-per-host deployments.)"""
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
 
@@ -240,6 +246,249 @@ def allgather_key_tables(key_data: np.ndarray, key_offsets: np.ndarray,
         for i in range(len(extra_cols)))
     return (out_data, out_offsets, out_cols[1], out_cols[2],
             *gathered_extras)
+
+
+def allgather_int64_cols(cols: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate a ``[k, n]`` int64 column block across processes.
+
+    Returns ``([k, total], sizes[H])`` — each column concatenated in
+    process order, plus the per-host row counts.  Single-process:
+    returns the input and ``[n]``.
+    """
+    import jax
+
+    k, n = cols.shape
+    if jax.process_count() == 1:
+        return cols, np.asarray([n], dtype=np.int64)
+    sizes = _allgather(np.asarray([n], dtype=np.int64))[:, 0]
+    from ..runtime import big_empty
+    total = int(sizes.sum())
+    out = big_empty((k, total), dtype=np.int64)
+    dests: List[List[Tuple[np.ndarray, int]]] = []
+    n_off = 0
+    for hn in sizes:
+        hn = int(hn)
+        segs = []
+        pos = 0
+        for c in range(k):
+            segs.append((out[c, n_off:n_off + hn].view(np.uint8), pos))
+            pos += 8 * hn
+        dests.append(segs)
+        n_off += hn
+    local = np.ascontiguousarray(cols, dtype=np.int64) \
+        .view(np.uint8).reshape(-1)
+    padded = _chunk_mult(8 * k * int(sizes.max()))
+    _allgather_bytes_scatter(local, padded, dests)
+    return out, sizes
+
+
+def allgather_uint8(buf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate a variable-length uint8 buffer across processes.
+
+    Returns ``(data, sizes[H])``.  Single-process passthrough.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return buf, np.asarray([len(buf)], dtype=np.int64)
+    sizes = _allgather(np.asarray([len(buf)], dtype=np.int64))[:, 0]
+    from ..runtime import big_empty
+    out = big_empty(int(sizes.sum()), dtype=np.uint8)
+    dests: List[List[Tuple[np.ndarray, int]]] = []
+    off = 0
+    for hn in sizes:
+        hn = int(hn)
+        dests.append([(out[off:off + hn], 0)])
+        off += hn
+    padded = _chunk_mult(int(sizes.max()))
+    _allgather_bytes_scatter(np.ascontiguousarray(buf, dtype=np.uint8),
+                             padded, dests)
+    return out, sizes
+
+
+def _owned_meta_merge(g_len: np.ndarray, g_h1: np.ndarray,
+                      g_h2: np.ndarray, g_cnt: np.ndarray,
+                      g_fp: np.ndarray, pid: int, nproc: int,
+                      host_starts: Optional[np.ndarray] = None
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
+    """Merge the gathered-metadata rows this host owns — no key bytes.
+
+    Ownership is ``h1 mod nproc``; key identity is the triple
+    ``(length, h1, h2)`` of two independent 64-bit content hashes (a
+    false merge needs a simultaneous collision in both — a 2^-128
+    event, far below the reference's own 64-bit ``hash()`` kept-set,
+    __init__.py:270-276).  Returns ``(rep_gidx, counts, first_pos,
+    lengths)`` of the merged keys: summed counts, min first positions,
+    zero-count keys dropped.  ``rep_gidx`` is ONE gathered row holding
+    each key — its host contributes the payload bytes downstream.  With
+    ``host_starts`` (the gathered segment boundaries) the representative
+    is drawn pseudo-uniformly among the hosts holding the key (a salted
+    hash-mix tournament), balancing payload work; in strided ingest the
+    lowest pid saw almost every key, so "smallest row" would put ~all
+    payload on host 0.  Deterministic given the gathered arrays, which
+    are identical on every host.
+    """
+    owner = g_h1.view(np.uint64) % np.uint64(nproc)
+    sel = np.flatnonzero(owner == np.uint64(pid))
+    if not len(sel):
+        e64 = np.empty(0, dtype=np.int64)
+        return e64, e64.copy(), e64.copy(), e64.copy()
+    order = np.lexsort((g_h2[sel].view(np.uint64),
+                        g_h1[sel].view(np.uint64), g_len[sel]))
+    s = sel[order]
+    same = (g_len[s][1:] == g_len[s][:-1]) & \
+        (g_h1[s][1:] == g_h1[s][:-1]) & (g_h2[s][1:] == g_h2[s][:-1])
+    run_starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+    counts = np.add.reduceat(g_cnt[s], run_starts)
+    first_pos = np.minimum.reduceat(g_fp[s], run_starts)
+    if host_starts is None or len(host_starts) <= 2:
+        # lexsort is stable and sel ascends, so the first row of each
+        # run is the smallest gathered index of that key.
+        rep_gidx = s[run_starts]
+    else:
+        # Tournament: each row's priority mixes the key hash with its
+        # host id; the run minimum wins.  Every host holding the key is
+        # equally likely, spreading the payload contribution evenly.
+        host_of = np.searchsorted(host_starts, s, side="right") - 1
+        prio = _mix64(g_h1[s].view(np.uint64)
+                      ^ ((host_of.astype(np.uint64) + np.uint64(1))
+                         * np.uint64(0x9E3779B97F4A7C15)))
+        run_lens = np.diff(np.concatenate([run_starts, [len(s)]]))
+        run_of = np.repeat(np.arange(len(run_starts)), run_lens)
+        prio_min = np.minimum.reduceat(prio, run_starts)
+        is_min = prio == prio_min[run_of]
+        cand = np.where(is_min, s, np.iinfo(np.int64).max)
+        rep_gidx = np.minimum.reduceat(cand, run_starts)
+    lengths = g_len[rep_gidx]
+    keep = counts > 0
+    if not keep.all():
+        rep_gidx, counts, first_pos, lengths = \
+            rep_gidx[keep], counts[keep], first_pos[keep], lengths[keep]
+    return rep_gidx, counts, first_pos, lengths
+
+
+def _ragged_take(data: np.ndarray, offsets: np.ndarray,
+                 rows: np.ndarray) -> np.ndarray:
+    """Concatenated bytes of the selected ragged rows, in ``rows`` order.
+
+    Native path: one C memcpy per row.  Numpy fallback gathers per
+    distinct row length (a [k, L] index matrix per group) — never an
+    index per byte, whose fresh-page faults cost minutes at multi-host
+    table sizes.
+    """
+    lens = offsets[rows + 1] - offsets[rows]
+    out_offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    if not total:
+        return np.empty(0, dtype=np.uint8)
+    try:
+        from ..native.loader import gather_ragged_native
+        return gather_ragged_native(data, offsets, rows, out_offsets)
+    except ImportError:
+        pass
+    out = np.empty(total, dtype=np.uint8)
+    for length in np.unique(lens):
+        if length == 0:
+            continue
+        sel = np.flatnonzero(lens == length)
+        span = np.arange(int(length), dtype=np.int64)
+        gathered = data[offsets[rows[sel]][:, None] + span[None, :]]
+        out_idx = out_offsets[sel][:, None] + span[None, :]
+        out[out_idx.ravel()] = gathered.ravel()
+    return out
+
+
+def exchange_merge_key_tables(key_data: np.ndarray,
+                              key_offsets: np.ndarray,
+                              counts: np.ndarray, first_pos: np.ndarray,
+                              h1: np.ndarray, h2: np.ndarray,
+                              progress=None
+                              ) -> Tuple[np.ndarray, np.ndarray,
+                                         np.ndarray, np.ndarray]:
+    """Merge per-host key tables into one global deduplicated table.
+
+    Metadata-first exchange — three all-gathers, each host merges only
+    the keys it owns, and every key's payload bytes cross the wire
+    exactly ONCE (from the host holding its smallest gathered row):
+
+    1. gather 40 B/row of metadata (length, h1, h2, count, first_pos);
+    2. each host collapses its owned share from metadata alone
+       (:func:`_owned_meta_merge`) and the merged columns gather back
+       (≈32 B per unique key);
+    3. each host contributes payload bytes for the representative rows
+       it holds, in ascending gathered-row order — the concatenation of
+       those streams IS the final table payload, so assembly is a pure
+       int64-column permutation, no byte rearrangement.
+
+    Compared to gathering every host's full table (payload repeated
+    once per host that saw the key) this moves ~2x fewer bytes at
+    typical cross-host duplication and shards all merge work.  Returns
+    ``(data, offsets, counts, first_pos)`` — identical on every host,
+    ordered by ascending gathered row index of the representative
+    (deterministic).  ``counts`` must already be per-host partials;
+    zero-total keys are dropped (quality-filtered everywhere).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        keep = counts > 0
+        if keep.all():
+            return key_data, key_offsets, counts, first_pos
+        rows = np.flatnonzero(keep)
+        data = _ragged_take(key_data, key_offsets, rows)
+        lens = key_offsets[rows + 1] - key_offsets[rows]
+        offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        return data, offsets, counts[rows], first_pos[rows]
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    lengths_local = np.diff(key_offsets)
+    meta = np.empty((5, len(counts)), dtype=np.int64)
+    meta[0] = lengths_local
+    meta[1] = h1.view(np.int64)
+    meta[2] = h2.view(np.int64)
+    meta[3] = counts
+    meta[4] = first_pos
+    gathered, sizes = allgather_int64_cols(meta)
+    if progress:
+        progress("meta-allgather")
+    host_starts = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=host_starts[1:])
+    rep_gidx, m_cnt, m_fp, m_len = _owned_meta_merge(
+        gathered[0], gathered[1].view(np.uint64),
+        gathered[2].view(np.uint64), gathered[3], gathered[4],
+        pid, nproc, host_starts=host_starts)
+    if progress:
+        progress("owned-merge")
+    owned_cols = np.empty((4, len(rep_gidx)), dtype=np.int64)
+    owned_cols[0] = rep_gidx
+    owned_cols[1] = m_cnt
+    owned_cols[2] = m_fp
+    owned_cols[3] = m_len
+    merged, _ = allgather_int64_cols(owned_cols)
+    if progress:
+        progress("merged-allgather")
+    # Final order: ascending representative row index — which groups
+    # reps by host (host segments are contiguous index ranges), so the
+    # payload streams below concatenate directly into table order.
+    order = np.argsort(merged[0], kind="stable")
+    rep_all = merged[0][order]
+    cnt_all = merged[1][order]
+    fp_all = merged[2][order]
+    len_all = merged[3][order]
+    lo = int(np.searchsorted(rep_all, host_starts[pid]))
+    hi = int(np.searchsorted(rep_all, host_starts[pid + 1]))
+    my_rows = rep_all[lo:hi] - host_starts[pid]
+    my_payload = _ragged_take(key_data, key_offsets, my_rows)
+    data, _ = allgather_uint8(my_payload)
+    if progress:
+        progress("payload-allgather")
+    offsets = np.zeros(len(rep_all) + 1, dtype=np.int64)
+    np.cumsum(len_all, out=offsets[1:])
+    return data, offsets, cnt_all, fp_all
 
 
 def or_byte_presence(presence: np.ndarray) -> np.ndarray:

@@ -424,92 +424,6 @@ def _make_key_accumulator(expected: int = 1 << 20):
         return _NumpyKeyAccumulator(expected)
 
 
-def _merge_owned_rows(key_data: np.ndarray, key_offsets: np.ndarray,
-                      counts: np.ndarray, first_pos: np.ndarray,
-                      hashes: np.ndarray, pid: int, nproc: int
-                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                 np.ndarray, np.ndarray]:
-    """Collapse duplicate keys among the gathered rows this host OWNS.
-
-    The multi-host finalize merge, sharded: ownership is ``content hash
-    mod nproc`` (every copy of a key carries the same hash on every
-    host, so all duplicates of a key land on one owner).  Each host
-    sorts/collapses only its ~1/P share and gathers payload bytes only
-    for its representative rows, instead of every host re-merging the
-    whole gathered table.  Returns a compact duplicate-free
-    ``(data, offsets, counts, first_pos, hashes)`` table — ascending
-    length, hash-ordered within a length — whose per-host concatenation
-    (a second, deduplicated all-gather) is identical on every host.
-    Keys whose merged count is zero (every occurrence quality-filtered)
-    are dropped here, mirroring :func:`_finalize_groups`.
-    """
-    owner = hashes.view(np.uint64) % np.uint64(nproc)
-    sel = np.flatnonzero(owner == np.uint64(pid))
-    lengths_sel = np.diff(key_offsets)[sel]
-    datas: List[np.ndarray] = []
-    lens_out: List[np.ndarray] = []
-    counts_out: List[np.ndarray] = []
-    pos_out: List[np.ndarray] = []
-    hash_out: List[np.ndarray] = []
-    if len(lengths_sel) and int(lengths_sel.max()) < (1 << 20):
-        unique_lengths = np.flatnonzero(np.bincount(lengths_sel))
-    else:
-        unique_lengths = np.unique(lengths_sel)
-    for length in unique_lengths:
-        rows = sel[lengths_sel == length]
-        sh = hashes[rows]
-        order = np.argsort(sh.view(np.uint64), kind="stable")
-        sh_sorted = sh[order]
-        dup = sh_sorted[1:] == sh_sorted[:-1]
-        if dup.any():
-            void_all = rows_as_void(key_data, key_offsets, rows,
-                                    int(length))
-            vs = void_all[order]
-            if ((vs[1:] != vs[:-1]) & dup).any():
-                # True 64-bit collision between distinct keys: repair
-                # with an exact byte sort (keeps equal keys adjacent;
-                # order within the run stays deterministic).
-                order = np.argsort(void_all, kind="stable")
-                vs = void_all[order]
-                sh_sorted = sh[order]
-                dup = vs[1:] == vs[:-1]
-            run_starts = np.concatenate([[0], np.flatnonzero(~dup) + 1])
-            sv = vs[run_starts]
-            sc = np.add.reduceat(counts[rows][order], run_starts)
-            sp = np.minimum.reduceat(first_pos[rows][order], run_starts)
-            sh_reps = sh_sorted[run_starts]
-        else:
-            rep_rows = rows[order]
-            sv = rows_as_void(key_data, key_offsets, rep_rows,
-                              int(length))
-            sc = counts[rep_rows]
-            sp = first_pos[rep_rows]
-            sh_reps = sh_sorted
-        keep = sc > 0
-        if not keep.all():
-            sv, sc, sp, sh_reps = sv[keep], sc[keep], sp[keep], \
-                sh_reps[keep]
-        if not len(sv):
-            continue
-        if length:
-            datas.append(np.ascontiguousarray(sv).view(np.uint8)
-                         .reshape(-1))
-        lens_out.append(np.full(len(sv), length, dtype=np.int64))
-        counts_out.append(sc)
-        pos_out.append(sp)
-        hash_out.append(sh_reps)
-    if not lens_out:
-        return (np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64),
-                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=hashes.dtype))
-    offsets = np.zeros(sum(len(c) for c in counts_out) + 1,
-                       dtype=np.int64)
-    np.cumsum(np.concatenate(lens_out), out=offsets[1:])
-    data = np.concatenate(datas) if datas else np.empty(0, dtype=np.uint8)
-    return (data, offsets, np.concatenate(counts_out),
-            np.concatenate(pos_out), np.concatenate(hash_out))
-
-
 def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
                      counts: np.ndarray, first_pos: np.ndarray,
                      single_table: bool = False,
@@ -803,23 +717,22 @@ def deduplicate_cluster(
         # an extra column means no host ever re-hashes the gathered
         # table — the O(bytes) hashing happened shard-local, during
         # pass 1.
-        exported = accumulator.export()
+        kd, ko, kc, kp = accumulator.export()
         debug_phase("finalize/export")
-        local_hashes = accumulator.export_hashes()
+        h1 = accumulator.export_hashes()
+        from .native.loader import hash_ragged_native
+        h2 = hash_ragged_native(kd, ko, seed=0xA5B35705F1E2D3C4)
         debug_phase("finalize/local-hash")
-        kd, ko, kc, kp, gh = allgather_key_tables(
-            *exported, local_hashes)
-        debug_phase("finalize/allgather")
-        # Sharded merge: each host collapses only the keys it owns (by
-        # content hash), then a second, deduplicated all-gather rebuilds
-        # the identical global table everywhere — the merge work and the
-        # representative-payload gather scale 1/P instead of being
-        # replicated on every host.
-        merged = _merge_owned_rows(kd, ko, kc, kp, gh, pid, nproc)
-        del kd, ko, kc, kp, gh
-        debug_phase("finalize/owned-merge")
-        kd2, ko2, kc2, kp2, _ = allgather_key_tables(*merged)
-        debug_phase("finalize/merged-allgather")
+        # Metadata-first exchange: 40 B/row of metadata gathers, each
+        # host merges only the keys it owns, and every unique key's
+        # payload crosses the wire exactly once — ~2x less traffic than
+        # gathering every host's full table, with all merge work
+        # sharded 1/P (parallel/distributed.py).
+        from .parallel.distributed import exchange_merge_key_tables
+        kd2, ko2, kc2, kp2 = exchange_merge_key_tables(
+            kd, ko, kc, kp, h1, h2,
+            progress=lambda name: debug_phase(f"finalize/{name}"))
+        del kd, ko, kc, kp, h1, h2
         groups = _finalize_groups(kd2, ko2, kc2, kp2, pre_merged=True)
         debug_phase("finalize/group")
     else:

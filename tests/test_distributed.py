@@ -279,68 +279,133 @@ deduplicate_cluster([shards[pid]], [outs[pid]], None, 1, 0.001,
     assert merged
 
 
-def test_merge_owned_rows_union_equals_full_merge():
-    """The per-host owned merges must union (over pid) to exactly the
-    full-table merge _finalize_groups performs — same keys, summed
-    counts, min first positions, zero-count keys dropped."""
-    from fastqdedup_tpu.pipeline import _finalize_groups, _merge_owned_rows
-    from fastqdedup_tpu.ops.bucket import _hash_window_rows
+def test_owned_meta_merge_union_equals_full_merge():
+    """The per-host owned metadata merges must union (over pid) to the
+    full merge: every key once, summed counts, min first positions,
+    zero-count keys dropped, rep = smallest gathered row of the key."""
+    from fastqdedup_tpu.parallel.distributed import _owned_meta_merge
 
-    rng = np.random.default_rng(3)
-    # Simulate a gathered multi-host table: keys of two lengths, many
-    # repeated across "hosts", some with count 0 everywhere.
-    pool8 = [bytes(rng.integers(65, 69, size=8).astype(np.uint8))
-             for _ in range(40)]
-    pool5 = [bytes(rng.integers(65, 69, size=5).astype(np.uint8))
-             for _ in range(17)]
-    keys = [pool8[rng.integers(0, 40)] for _ in range(300)]
-    keys += [pool5[rng.integers(0, 17)] for _ in range(100)]
-    zero_key = b"ZZZZZZZZ"
-    keys += [zero_key, zero_key]
-    counts = rng.integers(1, 5, size=len(keys)).astype(np.int64)
-    counts[-2:] = 0  # quality-filtered everywhere -> must drop
-    first_pos = rng.integers(0, 1 << 40, size=len(keys)).astype(np.int64)
-    data = np.frombuffer(b"".join(keys), dtype=np.uint8)
-    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
-    np.cumsum(np.fromiter((len(k) for k in keys), dtype=np.int64,
-                          count=len(keys)), out=offsets[1:])
-    # Per-key content hashes (equal keys -> equal hash), as the native
-    # accumulator would export them.
-    hashes = np.empty(len(keys), dtype=np.uint64)
-    for length in (5, 8):
-        sel = np.flatnonzero(np.diff(offsets) == length)
-        rows = np.stack([np.frombuffer(keys[i], dtype=np.uint8)
-                         for i in sel])
-        hashes[sel] = _hash_window_rows(rows, 12345)
+    rng = np.random.default_rng(11)
+    n = 500
+    # 60 distinct "keys" as (length, h1, h2) triples, repeated.
+    triples = np.stack([rng.integers(5, 9, size=60),
+                        rng.integers(0, 1 << 62, size=60),
+                        rng.integers(0, 1 << 62, size=60)], axis=1)
+    pick = rng.integers(0, 60, size=n)
+    g_len = triples[pick, 0].astype(np.int64)
+    g_h1 = triples[pick, 1].astype(np.uint64)
+    g_h2 = triples[pick, 2].astype(np.uint64)
+    g_cnt = rng.integers(0, 4, size=n).astype(np.int64)
+    g_fp = rng.integers(0, 1 << 40, size=n).astype(np.int64)
 
     nproc = 3
-    merged_parts = [_merge_owned_rows(data, offsets, counts, first_pos,
-                                      hashes, pid, nproc)
-                    for pid in range(nproc)]
+    rep_all, cnt_all, fp_all, len_all = [], [], [], []
+    for pid in range(nproc):
+        rep, cnt, fp, ln = _owned_meta_merge(g_len, g_h1, g_h2, g_cnt,
+                                             g_fp, pid, nproc)
+        rep_all.append(rep)
+        cnt_all.append(cnt)
+        fp_all.append(fp)
+        len_all.append(ln)
+    rep = np.concatenate(rep_all)
+    cnt = np.concatenate(cnt_all)
+    fp = np.concatenate(fp_all)
+    ln = np.concatenate(len_all)
 
-    def as_dict(groups):
-        out = {}
-        for g, length in enumerate(groups.lengths):
-            for row in range(len(groups.counts[g])):
-                key = groups.voids[g][row].tobytes() if length else b""
-                out[key] = (int(groups.counts[g][row]),
-                            int(groups.first_pos[g][row]))
-        return out
-
-    # Union of owned merges (simulating the second allgather: concat in
-    # pid order) -> pre-merged finalize.
-    datas = np.concatenate([m[0] for m in merged_parts])
-    lens = np.concatenate([np.diff(m[1]) for m in merged_parts])
-    offs = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    cnts = np.concatenate([m[2] for m in merged_parts])
-    fps = np.concatenate([m[3] for m in merged_parts])
-    got = as_dict(_finalize_groups(datas, offs, cnts, fps,
-                                   pre_merged=True))
-    want = as_dict(_finalize_groups(data, offsets, counts, first_pos,
-                                    hashes=hashes))
+    want = {}
+    for i in range(n):
+        key = (int(g_len[i]), int(g_h1[i]), int(g_h2[i]))
+        c, f, r = want.get(key, (0, 1 << 62, 1 << 62))
+        want[key] = (c + int(g_cnt[i]), min(f, int(g_fp[i])),
+                     min(r, i))
+    want = {k: v for k, v in want.items() if v[0] > 0}
+    got = {(int(ln[i]), int(g_h1[rep[i]]), int(g_h2[rep[i]])):
+           (int(cnt[i]), int(fp[i]), int(rep[i]))
+           for i in range(len(rep))}
     assert got == want
-    assert zero_key not in got
-    # Ownership must be a complete, disjoint partition of the keys.
-    total_rows = sum(len(m[2]) for m in merged_parts)
-    assert total_rows == len(want)
+
+
+def test_ragged_take_and_exchange_single_process():
+    from fastqdedup_tpu.parallel.distributed import (
+        _ragged_take,
+        exchange_merge_key_tables,
+    )
+    keys = [b"ACGT", b"", b"TTTTTTT", b"AA"]
+    data = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum([len(k) for k in keys], out=offsets[1:])
+    taken = _ragged_take(data, offsets, np.asarray([2, 0], dtype=np.int64))
+    assert taken.tobytes() == b"TTTTTTTACGT"
+    # Single-process exchange drops zero-count keys, keeps the rest.
+    counts = np.asarray([2, 1, 0, 3], dtype=np.int64)
+    fp = np.asarray([5, 6, 7, 8], dtype=np.int64)
+    h1 = np.arange(4, dtype=np.uint64)
+    h2 = np.arange(4, dtype=np.uint64)
+    d2, o2, c2, f2 = exchange_merge_key_tables(
+        data, offsets, counts, fp, h1, h2)
+    got = [d2[o2[i]:o2[i + 1]].tobytes() for i in range(len(c2))]
+    assert got == [b"ACGT", b"", b"AA"]
+    assert c2.tolist() == [2, 1, 3] and f2.tolist() == [5, 6, 8]
+
+
+def test_hash_ragged_matches_fixed_width():
+    """Ragged and fixed-width hashing must agree on equal bytes (the
+    exchange compares h2 across hosts whose tables differ in layout)."""
+    import pytest
+    pytest.importorskip("fastqdedup_tpu.native.loader")
+    from fastqdedup_tpu.native.loader import (
+        hash_ragged_native,
+        hash_rows_native,
+    )
+    rng = np.random.default_rng(5)
+    for w in (1, 7, 8, 17, 100):
+        mat = rng.integers(0, 256, size=(50, w), dtype=np.uint8)
+        offsets = np.arange(51, dtype=np.int64) * w
+        a = hash_rows_native(mat, 12345, strong=True)
+        b = hash_ragged_native(mat.reshape(-1), offsets, 12345,
+                               strong=True)
+        assert (a == b).all()
+    # Mixed lengths in one table.
+    keys = [b"A", b"ACGTACGT", b"ACGTACGTA", b""]
+    data = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    offsets = np.zeros(5, dtype=np.int64)
+    np.cumsum([len(k) for k in keys], out=offsets[1:])
+    h = hash_ragged_native(data, offsets, 7)
+    # Equal contents hash equal; distinct contents distinct here.
+    assert len(set(h.tolist())) == 4
+
+
+def test_owned_meta_merge_tournament_rep_valid_and_balanced():
+    """With host segment boundaries, the representative row must still
+    belong to the key's duplicate run, the merge must stay identical,
+    and payload contributions must spread across hosts (not all land on
+    host 0 as the smallest-row rule would in strided ingest)."""
+    from fastqdedup_tpu.parallel.distributed import _owned_meta_merge
+
+    rng = np.random.default_rng(21)
+    nhosts = 4
+    n_keys = 4000
+    # Every host holds every key (worst case for smallest-row skew).
+    g_len = np.tile(np.full(n_keys, 20, dtype=np.int64), nhosts)
+    h1 = rng.integers(0, 1 << 62, size=n_keys).astype(np.uint64)
+    h2 = rng.integers(0, 1 << 62, size=n_keys).astype(np.uint64)
+    g_h1 = np.tile(h1, nhosts)
+    g_h2 = np.tile(h2, nhosts)
+    g_cnt = np.ones(nhosts * n_keys, dtype=np.int64)
+    g_fp = rng.integers(0, 1 << 30, size=nhosts * n_keys).astype(np.int64)
+    host_starts = np.arange(nhosts + 1, dtype=np.int64) * n_keys
+
+    reps, host_share = [], np.zeros(nhosts, dtype=np.int64)
+    for pid in range(nhosts):
+        rep, cnt, fp, ln = _owned_meta_merge(
+            g_len, g_h1, g_h2, g_cnt, g_fp, pid, nhosts,
+            host_starts=host_starts)
+        assert (cnt == nhosts).all()
+        # rep must be a row of the same key.
+        key_of_rep = rep % n_keys
+        assert (g_h1[rep] == h1[key_of_rep]).all()
+        reps.append(rep)
+        np.add.at(host_share, rep // n_keys, 1)
+    assert sum(len(r) for r in reps) == n_keys
+    # Tournament spreads reps across hosts: no host holds > 40% here.
+    assert host_share.max() < 0.4 * n_keys, host_share.tolist()
