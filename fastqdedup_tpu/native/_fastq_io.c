@@ -1301,3 +1301,66 @@ void fq_gather_ragged(const unsigned char *data, const int64_t *offsets,
     for (int t = 1; t < nthreads; t++)
         pthread_join(tids[t], NULL);
 }
+
+/* Thread-parallel batched lookup: the table is read-only during pass 3,
+ * so record ranges probe independently.  At 100M records x ~150 ns of
+ * hash+probe+memcmp per key, the single-thread walk is a visible slice
+ * of the rewrite pass; threads split it across host cores. */
+
+typedef struct {
+    const KeyAcc *a;
+    const unsigned char *key_data;
+    const int64_t *key_offsets;
+    int64_t lo, hi;
+    int64_t *out;
+} LookupWork;
+
+static void *lookup_worker(void *arg) {
+    LookupWork *w = (LookupWork *)arg;
+    const KeyAcc *a = w->a;
+    size_t mask = a->cap - 1;
+    for (int64_t i = w->lo; i < w->hi; i++) {
+        const unsigned char *key = w->key_data + w->key_offsets[i];
+        size_t len = (size_t)(w->key_offsets[i + 1] - w->key_offsets[i]);
+        uint64_t h = acc_hash(key, len);
+        size_t j = (size_t)h & mask;
+        w->out[i] = -1;
+        for (;;) {
+            const AccSlot *e = &a->slots[j];
+            if (e->idx < 0) break;
+            if (e->hash == h &&
+                acc_entry_len(a, e->idx) == (int64_t)len &&
+                memcmp(a->arena + a->key_off[e->idx], key, len) == 0) {
+                w->out[i] = a->first_pos[e->idx];
+                break;
+            }
+            j = (j + 1) & mask;
+        }
+    }
+    return NULL;
+}
+
+void acc_lookup_mt(const KeyAcc *a, const unsigned char *key_data,
+                   const int64_t *key_offsets, int64_t n, int64_t *out,
+                   int nthreads) {
+    if (n <= 0) return;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > HASH_ROWS_MAX_THREADS) nthreads = HASH_ROWS_MAX_THREADS;
+    if (n < 16384) nthreads = 1;
+    LookupWork works[HASH_ROWS_MAX_THREADS];
+    pthread_t tids[HASH_ROWS_MAX_THREADS];
+    int64_t per = n / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        works[t].a = a;
+        works[t].key_data = key_data;
+        works[t].key_offsets = key_offsets;
+        works[t].lo = t * per;
+        works[t].hi = (t == nthreads - 1) ? n : (t + 1) * per;
+        works[t].out = out;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, lookup_worker, &works[t]);
+    lookup_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+}

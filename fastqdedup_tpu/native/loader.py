@@ -64,6 +64,9 @@ _lib.acc_byte_presence.argtypes = [ctypes.c_void_p, _u8p]
 _lib.acc_lookup.restype = None
 _lib.acc_lookup.argtypes = [ctypes.c_void_p, _u8p, _i64p,
                             ctypes.c_int64, _i64p]
+_lib.acc_lookup_mt.restype = None
+_lib.acc_lookup_mt.argtypes = [ctypes.c_void_p, _u8p, _i64p,
+                               ctypes.c_int64, _i64p, ctypes.c_int]
 
 _lib.uf_components.restype = ctypes.c_int
 _lib.uf_components.argtypes = [ctypes.c_int64, _i64p, _i64p,
@@ -280,11 +283,11 @@ class KeyAccumulator:
         """
         n = len(key_offsets) - 1
         out = np.empty(n, dtype=np.int64)
-        _lib.acc_lookup(
+        _lib.acc_lookup_mt(
             self._handle,
             np.ascontiguousarray(key_data, dtype=np.uint8),
             np.ascontiguousarray(key_offsets, dtype=np.int64),
-            n, out)
+            n, out, min(8, os.cpu_count() or 1))
         return out
 
     def export(self):
