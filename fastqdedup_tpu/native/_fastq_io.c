@@ -968,13 +968,61 @@ void acc_byte_presence(const KeyAcc *a, unsigned char *out256) {
  * exactly this order, so the whole export is sequential memcpy.
  * Caller allocates: key_out[arena_len], offsets_out[used+1],
  * counts_out[used], firstpos_out[used]. */
+/* Parallel memcpy: at 31M x 100 bp keys the export moves ~4 GB into
+ * freshly allocated numpy buffers; splitting each copy across threads
+ * parallelizes both the copy and the destination page faults. */
+
+#define COPY_MAX_THREADS 8
+
+typedef struct {
+    const char *src;
+    char *dst;
+    size_t lo, hi;
+} CopyWork;
+
+static void *copy_worker(void *arg) {
+    CopyWork *w = (CopyWork *)arg;
+    memcpy(w->dst + w->lo, w->src + w->lo, w->hi - w->lo);
+    return NULL;
+}
+
+static void par_memcpy(void *dst, const void *src, size_t n,
+                       int nthreads) {
+    if (n < (8 << 20) || nthreads <= 1) {
+        memcpy(dst, src, n);
+        return;
+    }
+    if (nthreads > COPY_MAX_THREADS) nthreads = COPY_MAX_THREADS;
+    CopyWork works[COPY_MAX_THREADS];
+    pthread_t tids[COPY_MAX_THREADS];
+    size_t per = (n / (size_t)nthreads + 4095) & ~(size_t)4095;
+    int used = 0;
+    for (int t = 0; t < nthreads; t++) {
+        size_t lo = (size_t)t * per;
+        if (lo >= n) break;
+        size_t hi = lo + per;
+        if (hi > n) hi = n;
+        works[used].src = (const char *)src;
+        works[used].dst = (char *)dst;
+        works[used].lo = lo;
+        works[used].hi = hi;
+        used++;
+    }
+    for (int t = 1; t < used; t++)
+        pthread_create(&tids[t], NULL, copy_worker, &works[t]);
+    copy_worker(&works[0]);
+    for (int t = 1; t < used; t++)
+        pthread_join(tids[t], NULL);
+}
+
 void acc_export(const KeyAcc *a, unsigned char *key_out,
                 int64_t *offsets_out, int64_t *counts_out,
                 int64_t *firstpos_out) {
-    memcpy(key_out, a->arena, a->arena_len);
-    memcpy(counts_out, a->count, a->used * sizeof(int64_t));
-    memcpy(firstpos_out, a->first_pos, a->used * sizeof(int64_t));
-    memcpy(offsets_out, a->key_off, a->used * sizeof(int64_t));
+    int nt = 8;
+    par_memcpy(key_out, a->arena, a->arena_len, nt);
+    par_memcpy(counts_out, a->count, a->used * sizeof(int64_t), nt);
+    par_memcpy(firstpos_out, a->first_pos, a->used * sizeof(int64_t), nt);
+    par_memcpy(offsets_out, a->key_off, a->used * sizeof(int64_t), nt);
     offsets_out[a->used] = (int64_t)a->arena_len;
 }
 

@@ -292,8 +292,24 @@ def hamming_neighbor_pairs_bucketed(
     representation-invariant, so only kernel-bound rows pay encoding).
     When None, ``matrix`` already holds alphabet indices.
     """
+    import logging
+    import time as _time
+
     from ..parallel.distributed import bucket_owner_mask
     from .hamming import neighbor_pairs
+
+    _logger = logging.getLogger("fastqdedup")
+    _debug = _logger.isEnabledFor(logging.DEBUG)
+    _times = {"hash": 0.0, "group": 0.0, "host-pairs": 0.0,
+              "launch": 0.0, "drain": 0.0, "oversized": 0.0,
+              "dedup": 0.0}
+    _t0 = [_time.perf_counter()]
+
+    def _mark(key: str) -> None:
+        if _debug:
+            now = _time.perf_counter()
+            _times[key] += now - _t0[0]
+            _t0[0] = now
 
     pid, nproc = shard
     n, length = matrix.shape
@@ -317,6 +333,7 @@ def hamming_neighbor_pairs_bucketed(
         # device compute and D2H of the still-queued batches overlap the
         # host pair extraction here.
         nonlocal launched, inflight
+        _mark("launch")
         while launched and inflight > down_to:
             take = 0
             while take < len(launched) and inflight > down_to:
@@ -326,6 +343,7 @@ def hamming_neighbor_pairs_bucketed(
             for gi, gj in _drain_bucket_batches(head):
                 pair_codes.append(np.minimum(gi, gj) * n +
                                   np.maximum(gi, gj))
+        _mark("drain")
 
     # Enqueue bucket batches (async device dispatch), draining the oldest
     # whenever total in-flight device memory would exceed the budget —
@@ -333,6 +351,7 @@ def hamming_neighbor_pairs_bucketed(
     # [K,S,S] outputs onto the device.
     for seg_index, (seg_start, seg_end) in enumerate(
             segment_bounds(length, max_distance + 1)):
+        _t0[0] = _time.perf_counter()
         window = matrix[:, seg_start:seg_end]
         if nproc > 1:
             # Ownership is a salted mix of the segment-content hash, so
@@ -345,10 +364,15 @@ def hamming_neighbor_pairs_bucketed(
                                        strong=False)
             mine = np.flatnonzero(
                 bucket_owner_mask(hashes, seg_index, pid, nproc))
+            _mark("hash")
             order, starts, ends = _bucket_slices_of_hashes(hashes[mine])
             order = mine[order]
         else:
-            order, starts, ends = _bucket_slices(window)
+            hashes = _hash_window_rows(window, window.shape[1],
+                                       strong=False)
+            _mark("hash")
+            order, starts, ends = _bucket_slices_of_hashes(hashes)
+        _mark("group")
         sizes = ends - starts
         owned = np.ones(len(starts), dtype=bool)
         host_cap = min(HOST_BUCKET_LIMIT, large_bucket_threshold)
@@ -360,6 +384,7 @@ def hamming_neighbor_pairs_bucketed(
                     max_distance):
                 pair_codes.append(np.minimum(gi, gj) * n +
                                   np.maximum(gi, gj))
+        _mark("host-pairs")
         classes = [c for c in SIZE_CLASSES
                    if host_cap < c <= large_bucket_threshold]
         lower = host_cap
@@ -377,10 +402,12 @@ def hamming_neighbor_pairs_bucketed(
                     if inflight > MAX_INFLIGHT_BYTES:
                         drain(MAX_INFLIGHT_BYTES // 2)
         over_cutoff = classes[-1] if classes else host_cap
+        _mark("launch")
         for b in np.flatnonzero((sizes > over_cutoff) & owned):
             oversized.append(order[starts[b]:ends[b]])
     drain(0)
     # Oversized buckets: dedicated all-pairs sweep per bucket.
+    _t0[0] = _time.perf_counter()
     for idx in oversized:
         rows = matrix[idx]
         if encode_lut is not None:
@@ -388,10 +415,16 @@ def hamming_neighbor_pairs_bucketed(
         li, lj = neighbor_pairs(rows, alphabet_size, max_distance)
         gi, gj = idx[li], idx[lj]
         pair_codes.append(np.minimum(gi, gj) * n + np.maximum(gi, gj))
+    _mark("oversized")
 
     if not pair_codes:
         return (np.empty(0, dtype=np.int64),) * 2
     codes = np.unique(np.concatenate(pair_codes))
+    _mark("dedup")
+    if _debug:
+        _logger.debug("bucketed-pairs[L=%d,n=%d]: %s", length, n,
+                      ", ".join(f"{k}={v:.1f}s" for k, v in _times.items()
+                                if v >= 0.05))
     return codes // n, codes % n
 
 

@@ -41,7 +41,6 @@ from .quality import ragged_average_error_rate
 from .utils.ragged import (
     apply_slice,
     concat_ragged,
-    group_rows_by_length,
     rows_as_void,
 )
 from .utils.timing import Timer
@@ -1028,80 +1027,37 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
             logger.debug(f"pass3/{label}: {now - _t0:.2f}s")
             _t0 = now
 
-    # Membership tables ARE the per-length sorted unique arrays from
-    # pass 1; kept_mask marks representatives and first_pos (the global
-    # index of each key's first occurrence, tracked during pass 1) makes
-    # the reference's first-wins rule (__init__.py:203-206) a stateless
-    # equality test — no cross-chunk claim state, so chunks can be
-    # rewritten in parallel and on independent hosts.
-    lookup: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    empty_first_pos = -1
-    for g, length in enumerate(groups.lengths):
-        if length == 0:
-            if len(kept_mask[g]) and kept_mask[g][0] and groups.first_pos:
-                empty_first_pos = int(groups.first_pos[g][0])
-            continue
-        if kept_mask[g].any():
-            lookup[length] = (groups.voids[g], kept_mask[g],
-                              groups.first_pos[g])
-    # Fast path: one C hash table over the KEPT keys only (all lengths in
-    # one table; stored value = row id into kept_fp).  Membership becomes
-    # a single batched lookup per chunk instead of a per-length binary
-    # search over the full unique-key arrays — at tens of millions of
-    # keys the searchsorted memcmps alone cost minutes.
-    #
-    # Multi-host: first-wins makes emittable-key ownership exact — a
-    # record emits only when its global index equals its key's first
-    # occurrence, and every global index this host renders lies in the
-    # chunks it owns.  Kept keys whose first occurrence belongs to
-    # another host can never match here, so the hash table covers only
-    # this host's ~1/P share instead of being replicated.
-    if nproc > 1:
-        if sharded_input:
-            def _owned_fp(fp: np.ndarray) -> np.ndarray:
-                return ((fp >= shard_base)
-                        & (fp < shard_base + _SHARD_STRIDE))
-        else:
-            def _owned_fp(fp: np.ndarray) -> np.ndarray:
-                return (fp // chunk_records) % nproc == pid
-    else:
-        _owned_fp = None
-    kept_lookup = None
-    no_owned_kept = False
-    kept_fp = np.empty(0, dtype=np.int64)
-    try:
-        from .native.loader import KeyAccumulator as _NativeAcc
-        datas: List[np.ndarray] = []
-        lens_list: List[np.ndarray] = []
-        fps: List[np.ndarray] = []
-        for g, length in enumerate(groups.lengths):
-            km = kept_mask[g]
-            if _owned_fp is not None and len(km):
-                km = km & _owned_fp(groups.first_pos[g])
-            rows = np.flatnonzero(km)
-            if not len(rows):
-                continue
-            if length:
-                datas.append(np.ascontiguousarray(
-                    groups.voids[g][rows]).view(np.uint8).reshape(-1))
-            lens_list.append(np.full(len(rows), length, dtype=np.int64))
-            fps.append(groups.first_pos[g][rows])
-        if fps:
-            lens_all = np.concatenate(lens_list)
-            offs = np.zeros(len(lens_all) + 1, dtype=np.int64)
-            np.cumsum(lens_all, out=offs[1:])
-            data_all = np.concatenate(datas) if datas \
-                else np.empty(0, dtype=np.uint8)
-            kept_fp = np.concatenate(fps)
-            kept_lookup = _NativeAcc(expected=len(kept_fp))
-            kept_lookup.add(data_all, offs, None, 0)
-        elif _owned_fp is not None:
-            # Native layer present but no kept key's first occurrence is
-            # in this host's shard: nothing can emit.
-            no_owned_kept = True
-    except ImportError:
-        kept_lookup = None
-    _mark("kept-lookup-build")
+    # The emit set IS a set of record POSITIONS: a record emits iff its
+    # key is kept AND its global index equals the key's recorded first
+    # occurrence (first-wins, reference __init__.py:203-206) — and every
+    # first_pos is by construction a position OF that key, so the emit
+    # set is exactly {first_pos(k) : k kept}.  Pass 3 therefore needs no
+    # key recomputation and no lookup structure at all: scatter the kept
+    # first positions into a byte mask over this host's record range and
+    # read one mask window per chunk.  (An earlier design rebuilt a hash
+    # table over kept key BYTES and probed it per record — minutes at
+    # 100M reads; the position identity makes it O(kept) setup.)
+    assert groups.first_pos is not None, \
+        "pass 3 requires first-occurrence positions from pass 1"
+    fps_parts: List[np.ndarray] = []
+    for g in range(len(groups.lengths)):
+        km = kept_mask[g]
+        if len(km) and km.any():
+            fps_parts.append(groups.first_pos[g][km])
+    kept_fps = np.concatenate(fps_parts) if fps_parts \
+        else np.empty(0, dtype=np.int64)
+    # Keep the mask local: this host renders only positions in
+    # [shard_base, shard_base + _SHARD_STRIDE); kept keys first seen by
+    # another shard can never emit here.  (Strided multi-host mode has
+    # shard_base 0 and a global mask — positions in chunks this host
+    # does not render are simply never read.)
+    local_fps = kept_fps[(kept_fps >= shard_base)
+                         & (kept_fps < shard_base + _SHARD_STRIDE)]
+    local_fps = local_fps - shard_base
+    mask_size = int(local_fps.max()) + 1 if len(local_fps) else 0
+    emit_mask = np.zeros(mask_size, dtype=bool)
+    emit_mask[local_fps] = True
+    _mark("emit-set-build")
     # Sharded-input mode: this host's files are wholly its own — plain
     # single-host writing (no parts, no merge); only the global record
     # base carries the shard offset.
@@ -1142,7 +1098,7 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
         source = ((i, c) for i, c in
                   enumerate(_zip_chunks(input_files, chunk_records))
                   if sharded_input or i % nproc == pid)
-    _acc = {"iter": 0.0, "keys": 0.0, "member": 0.0, "render": 0.0}
+    _acc = {"iter": 0.0, "member": 0.0, "render": 0.0}
     try:
         from .io.fastq import render_fastq_records
         _tl = _time.perf_counter()
@@ -1151,50 +1107,12 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
             _acc["iter"] += _now - _tl
             _tl = _now
             # Chunks are exactly chunk_records long (final chunk aside;
-            # _rechunk guarantees it), so the global index of a chunk's
+            # _rechunk guarantees it), so the local index of a chunk's
             # first record is a product — no cross-chunk running state.
-            base = shard_base + chunk_index * chunk_records
-            key_data, key_offsets, _, _ = _chunk_keys(
-                chunks, check_slices, use_qualities=False)
-            _now = _time.perf_counter()
-            _acc["keys"] += _now - _tl
-            _tl = _now
-            if kept_lookup is not None:
-                idx = kept_lookup.lookup(key_data, key_offsets)
-                hit = idx >= 0
-                positions = base + np.arange(len(idx), dtype=np.int64)
-                emit_rows = np.flatnonzero(
-                    hit & (kept_fp[np.maximum(idx, 0)] == positions))
-            elif no_owned_kept:
-                emit_rows = np.empty(0, dtype=np.int64)
-            else:
-                emit_parts: List[np.ndarray] = []
-                for length, rows in group_rows_by_length(key_offsets):
-                    if length == 0:
-                        if empty_first_pos >= 0:
-                            hit0 = rows[base + rows == empty_first_pos]
-                            if len(hit0):
-                                emit_parts.append(hit0.astype(np.int64))
-                        continue
-                    entry = lookup.get(length)
-                    if entry is None:
-                        continue
-                    table, kept_g, firstpos_g = entry
-                    void = rows_as_void(key_data, key_offsets, rows,
-                                        length)
-                    # table is the pass-1 sorted unique array: membership
-                    # via searchsorted, representative-ness via kept_mask,
-                    # first-wins via the first_pos equality.
-                    pos = np.searchsorted(table, void)
-                    pos[pos == len(table)] = 0
-                    emit = (table[pos] == void) & kept_g[pos] & \
-                        (base + rows == firstpos_g[pos])
-                    if emit.any():
-                        emit_parts.append(rows[emit])
-                if emit_parts:
-                    emit_rows = np.sort(np.concatenate(emit_parts))
-                else:
-                    emit_rows = np.empty(0, dtype=np.int64)
+            local_base = chunk_index * chunk_records
+            lo = min(local_base, mask_size)
+            hi = min(local_base + chunks[0].count, mask_size)
+            emit_rows = np.flatnonzero(emit_mask[lo:hi])
             _now = _time.perf_counter()
             _acc["member"] += _now - _tl
             _tl = _now
