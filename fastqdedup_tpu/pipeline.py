@@ -23,6 +23,7 @@ batch execution:
 
 import logging
 import os
+import time as _time
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -611,14 +612,25 @@ def deduplicate_cluster(
     accumulate_futures = []
     prewarm_started = False
     global_base = 0
-    for chunk_index, chunks in enumerate(
-            _zip_chunks(input_files, chunk_records)):
+    _p1 = {"iter": 0.0, "cache": 0.0, "keys": 0.0, "quality": 0.0,
+           "submit": 0.0}
+    _p1_debug = logger.isEnabledFor(logging.DEBUG)
+    _chunk_iter = iter(_zip_chunks(input_files, chunk_records))
+    chunk_index = -1
+    while True:
+        _t = _time.perf_counter()
+        chunks = next(_chunk_iter, None)
+        _p1["iter"] += _time.perf_counter() - _t
+        if chunks is None:
+            break
+        chunk_index += 1
         base = shard_base + global_base
         global_base += chunks[0].count
         if not sharded_input and chunk_index % nproc != pid:
             continue  # another host owns this chunk (strided partition)
         if len(chunks) > 1:
             _validate_mates(chunks)
+        _t = _time.perf_counter()
         if cached_chunks is not None:
             cached_bytes += sum(
                 len(c.sequences) + len(c.qualities) + len(c.headers)
@@ -633,8 +645,12 @@ def deduplicate_cluster(
                     _compact_chunk(c) for c in chunks)))
             else:
                 cached_chunks = None
+        _now = _time.perf_counter()
+        _p1["cache"] += _now - _t
+        _t = _now
         key_data, key_offsets, qual_data, qual_offsets = _chunk_keys(
             chunks, check_slices, use_qualities=filter_on_quality)
+        _p1["keys"] += _time.perf_counter() - _t
         if not prewarm_started and max_distance > 0 \
                 and global_base >= 100_000:
             # Load the device programs pass 2 will need while pass 1 is
@@ -650,6 +666,7 @@ def deduplicate_cluster(
                 use_edit_distance=use_edit_distance)
         b = chunks[0].count
         total_records += b
+        _t = _time.perf_counter()
         if filter_on_quality:
             if os.environ.get("FASTQDEDUP_DEVICE_QUALITY") == "1":
                 # Opt-in device path: f32 LUT gather + masked mean on the
@@ -673,12 +690,21 @@ def deduplicate_cluster(
         else:
             total_kept += b
             counted = None
+        _now = _time.perf_counter()
+        _p1["quality"] += _now - _t
+        _t = _now
         accumulate_futures.append(accumulate_pool.submit(
             accumulator.add, key_data, key_offsets, counted, base))
+        _p1["submit"] += _time.perf_counter() - _t
 
+    _t = _time.perf_counter()
     for future in accumulate_futures:
         future.result()  # propagate any accumulation error
     accumulate_pool.shutdown()
+    if _p1_debug:
+        _p1["acc-wait"] = _time.perf_counter() - _t
+        logger.debug("pass1 totals: " + ", ".join(
+            f"{k}={v:.2f}s" for k, v in _p1.items()))
 
     if nproc > 1:
         total_records, total_kept, discarded_records = sum_scalars(
