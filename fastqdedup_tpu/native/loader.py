@@ -91,6 +91,11 @@ _lib.fq_render_records.restype = ctypes.c_int64
 _lib.fq_render_records.argtypes = [_u8p, _u8p, _i64p, _u8p, _i64p,
                                    _i64p, ctypes.c_int64, _u8p]
 
+_lib.fq_render_records_mt.restype = None
+_lib.fq_render_records_mt.argtypes = [_u8p, _u8p, _i64p, _u8p, _i64p,
+                                      _i64p, ctypes.c_int64, _i64p, _u8p,
+                                      ctypes.c_int]
+
 _lib.fqw_open.restype = ctypes.c_void_p
 _lib.fqw_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
 _lib.fqw_write.restype = ctypes.c_int
@@ -335,23 +340,33 @@ def render_records_native(seq: np.ndarray, qual: np.ndarray,
                           offsets: np.ndarray, head: np.ndarray,
                           head_offsets: np.ndarray,
                           rows: np.ndarray) -> np.ndarray:
-    """Serialize selected FASTQ records to one uint8 buffer (C memcpy)."""
+    """Serialize selected FASTQ records to one uint8 buffer (C memcpy).
+
+    Each row's output offset is the cumsum of rendered record sizes, so
+    rows render independently — split across pthreads for large batches.
+    """
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     s0 = offsets[rows]
     sl = offsets[rows + 1] - s0
     hl = head_offsets[rows + 1] - head_offsets[rows]
-    total = int((1 + hl + 1 + sl + 3 + sl + 1).sum()) if len(rows) else 0
+    if not len(rows):
+        return np.empty(0, dtype=np.uint8)
+    sizes = 1 + hl + 1 + sl + 3 + sl + 1
+    out_offsets = np.empty(len(rows), dtype=np.int64)
+    out_offsets[0] = 0
+    np.cumsum(sizes[:-1], out=out_offsets[1:])
+    total = int(out_offsets[-1] + sizes[-1])
     out = np.empty(total, dtype=np.uint8)
     if not total:
         return out
-    written = _lib.fq_render_records(
+    nthreads = min(8, os.cpu_count() or 1) if len(rows) >= 4096 else 1
+    _lib.fq_render_records_mt(
         np.ascontiguousarray(seq, dtype=np.uint8),
         np.ascontiguousarray(qual, dtype=np.uint8),
         np.ascontiguousarray(offsets, dtype=np.int64),
         np.ascontiguousarray(head, dtype=np.uint8),
         np.ascontiguousarray(head_offsets, dtype=np.int64),
-        rows, len(rows), out)
-    assert written == total, "renderer wrote unexpected byte count"
+        rows, len(rows), out_offsets, out, nthreads)
     return out
 
 

@@ -533,6 +533,40 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
                      first_pos=group_pos)
 
 
+def _filter_and_accumulate(accumulator, key_data, key_offsets, qual_data,
+                           qual_offsets, b, base, filter_on_quality,
+                           max_average_error_rate):
+    """Quality-filter one chunk and add its keys to the accumulator.
+
+    Runs on the single accumulate worker (FIFO order preserves
+    first-position semantics), keeping the quality reduction off the
+    chunk-drain thread.  Returns (records_in, records_kept).
+    """
+    if filter_on_quality:
+        if os.environ.get("FASTQDEDUP_DEVICE_QUALITY") == "1":
+            # Opt-in device path: f32 LUT gather + masked mean on the
+            # accelerator (ops/phred.py).  Trades the host path's
+            # bit-exact float64 rounding and strict character-range
+            # validation for throughput when the host CPU is the
+            # bottleneck.
+            from .ops.phred import quality_filter_mask
+            from .utils.ragged import pad_to_matrix
+            matrix, lens = pad_to_matrix(qual_data, qual_offsets, fill=33)
+            keep = np.asarray(quality_filter_mask(
+                matrix, lens.astype(np.int32),
+                np.float32(max_average_error_rate)))
+        else:
+            rates = ragged_average_error_rate(qual_data, qual_offsets)
+            keep = ~(rates > max_average_error_rate)
+        kept = int(keep.sum())
+        counted: Optional[np.ndarray] = keep.astype(np.uint8)
+    else:
+        kept = b
+        counted = None
+    accumulator.add(key_data, key_offsets, counted, base)
+    return b, kept
+
+
 def deduplicate_cluster(
     input_files: List[str],
     output_files: List[str],
@@ -612,8 +646,7 @@ def deduplicate_cluster(
     accumulate_futures = []
     prewarm_started = False
     global_base = 0
-    _p1 = {"iter": 0.0, "cache": 0.0, "keys": 0.0, "quality": 0.0,
-           "submit": 0.0}
+    _p1 = {"iter": 0.0, "cache": 0.0, "keys": 0.0, "submit": 0.0}
     _p1_debug = logger.isEnabledFor(logging.DEBUG)
     _chunk_iter = iter(_zip_chunks(input_files, chunk_records))
     chunk_index = -1
@@ -667,39 +700,17 @@ def deduplicate_cluster(
         b = chunks[0].count
         total_records += b
         _t = _time.perf_counter()
-        if filter_on_quality:
-            if os.environ.get("FASTQDEDUP_DEVICE_QUALITY") == "1":
-                # Opt-in device path: f32 LUT gather + masked mean on the
-                # accelerator (ops/phred.py).  Trades the host path's
-                # bit-exact float64 rounding and strict character-range
-                # validation for throughput when the host CPU is the
-                # bottleneck.
-                from .ops.phred import quality_filter_mask
-                from .utils.ragged import pad_to_matrix
-                matrix, lens = pad_to_matrix(qual_data, qual_offsets,
-                                             fill=33)
-                keep = np.asarray(quality_filter_mask(
-                    matrix, lens.astype(np.int32),
-                    np.float32(max_average_error_rate)))
-            else:
-                rates = ragged_average_error_rate(qual_data, qual_offsets)
-                keep = ~(rates > max_average_error_rate)
-            discarded_records += int(b - keep.sum())
-            total_kept += int(keep.sum())
-            counted: Optional[np.ndarray] = keep.astype(np.uint8)
-        else:
-            total_kept += b
-            counted = None
-        _now = _time.perf_counter()
-        _p1["quality"] += _now - _t
-        _t = _now
         accumulate_futures.append(accumulate_pool.submit(
-            accumulator.add, key_data, key_offsets, counted, base))
+            _filter_and_accumulate, accumulator, key_data, key_offsets,
+            qual_data, qual_offsets, b, base, filter_on_quality,
+            max_average_error_rate))
         _p1["submit"] += _time.perf_counter() - _t
 
     _t = _time.perf_counter()
     for future in accumulate_futures:
-        future.result()  # propagate any accumulation error
+        b, kept = future.result()  # propagate any accumulation error
+        total_kept += kept
+        discarded_records += b - kept
     accumulate_pool.shutdown()
     if _p1_debug:
         _p1["acc-wait"] = _time.perf_counter() - _t
