@@ -13,8 +13,10 @@ This module provides the writer side in pure Python (zlib raw deflate +
 hand-built member framing); outputs are deterministic (no mtime).
 """
 
+import ctypes
 import os
 import struct
+import threading
 import zlib
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
@@ -30,16 +32,73 @@ BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 
+# libdeflate (when installed) deflates FASTQ-like data ~1.8x faster than
+# zlib at the same level with a slightly better ratio; loaded lazily with
+# zlib as the fallback.  Compressor handles are not thread-safe, so each
+# writer-pool thread gets its own via thread-local storage.
+_LD_LIB = None
+_LD_TRIED = False
+_ld_tls = threading.local()
+
+
+def _libdeflate():
+    global _LD_LIB, _LD_TRIED
+    if not _LD_TRIED:
+        _LD_TRIED = True
+        if os.environ.get("FASTQDEDUP_LIBDEFLATE") != "0":
+            try:
+                lib = ctypes.CDLL("libdeflate.so.0")
+                lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+                lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
+                lib.libdeflate_deflate_compress.restype = ctypes.c_size_t
+                lib.libdeflate_deflate_compress.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_char_p, ctypes.c_size_t]
+                lib.libdeflate_crc32.restype = ctypes.c_uint32
+                lib.libdeflate_crc32.argtypes = [
+                    ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t]
+                _LD_LIB = lib
+            except OSError:
+                _LD_LIB = None
+    return _LD_LIB
+
+
+def _ld_compress(data: bytes, level: int):
+    """(raw_deflate_payload, crc32) via libdeflate, or None to fall back."""
+    lib = _libdeflate()
+    if lib is None:
+        return None
+    comp = getattr(_ld_tls, "comp", None)
+    if comp is None or _ld_tls.level != level:
+        handle = lib.libdeflate_alloc_compressor(level)
+        if not handle:
+            return None
+        _ld_tls.comp = comp = handle
+        _ld_tls.level = level
+        _ld_tls.buf = ctypes.create_string_buffer(2 * BLOCK_SIZE + 1024)
+    buf = _ld_tls.buf
+    n = lib.libdeflate_deflate_compress(comp, data, len(data),
+                                        buf, len(buf))
+    if n == 0:
+        return None
+    return buf.raw[:n], lib.libdeflate_crc32(0, data, len(data))
+
+
 def compress_block(data: bytes, compresslevel: int = 1) -> bytes:
     """One BGZF member containing ``data`` (<= BLOCK_SIZE bytes)."""
-    co = zlib.compressobj(compresslevel, zlib.DEFLATED, -15)
-    payload = co.compress(data) + co.flush()
+    ld = _ld_compress(data, compresslevel)
+    if ld is not None:
+        payload, crc = ld
+    else:
+        co = zlib.compressobj(compresslevel, zlib.DEFLATED, -15)
+        payload = co.compress(data) + co.flush()
+        crc = zlib.crc32(data)
     bsize = 18 + len(payload) + 8 - 1
     if bsize >= 1 << 16:
         raise ValueError("incompressible block exceeds BGZF frame size")
     header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"  # no mtime
               b"\x06\x00BC\x02\x00" + struct.pack("<H", bsize))
-    trailer = struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF)
+    trailer = struct.pack("<II", crc, len(data) & 0xFFFFFFFF)
     return header + payload + trailer
 
 

@@ -11,6 +11,7 @@
  * `cc -O3 -shared -fPIC _fastq_io.c -o _fastq_io.so -lz`.
  */
 
+#include <dlfcn.h>
 #include <fcntl.h>
 #include <pthread.h>
 #include <stdint.h>
@@ -19,6 +20,57 @@
 #include <string.h>
 #include <unistd.h>
 #include <zlib.h>
+
+/* libdeflate (when present) inflates raw-deflate BGZF payloads ~2.5x
+ * faster than zlib on this class of data.  Loaded via dlopen so the
+ * build has no hard dependency; zlib remains the fallback and the
+ * behavior is identical (whole-block decompress with known output
+ * size). */
+typedef void *(*ld_alloc_fn)(void);
+typedef void (*ld_free_fn)(void *);
+typedef int (*ld_inflate_fn)(void *, const void *, size_t, void *,
+                             size_t, size_t *);
+static ld_alloc_fn ld_alloc;
+static ld_free_fn ld_free;
+static ld_inflate_fn ld_inflate;
+static pthread_once_t ld_once = PTHREAD_ONCE_INIT;
+
+static void ld_init(void) {
+    void *h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return;
+    ld_alloc_fn a = (ld_alloc_fn)dlsym(h, "libdeflate_alloc_decompressor");
+    ld_free_fn f = (ld_free_fn)dlsym(h, "libdeflate_free_decompressor");
+    ld_inflate_fn d =
+        (ld_inflate_fn)dlsym(h, "libdeflate_deflate_decompress");
+    if (a && f && d) {
+        ld_alloc = a;
+        ld_free = f;
+        ld_inflate = d;
+    }
+}
+
+/* Inflate one raw-deflate payload with a known uncompressed size.
+ * ldd is a per-thread libdeflate decompressor (may be NULL), zs an
+ * initialized raw-inflate z_stream.  Returns 0 on success. */
+static int inflate_block(void *ldd, z_stream *zs, const unsigned char *in,
+                         size_t in_len, unsigned char *out, size_t isize) {
+    if (ldd) {
+        size_t actual = 0;
+        if (ld_inflate(ldd, in, in_len, out, isize, &actual) != 0 ||
+            actual != isize)
+            return 1;
+        return 0;
+    }
+    zs->next_in = (unsigned char *)in;
+    zs->avail_in = (uInt)in_len;
+    zs->next_out = out;
+    zs->avail_out = (uInt)isize;
+    if (inflate(zs, Z_FINISH) != Z_STREAM_END || zs->avail_out != 0)
+        return 1;
+    inflateReset2(zs, -15);
+    return 0;
+}
 
 #define FQ_OK 0
 #define FQ_EOF 1
@@ -197,6 +249,8 @@ static void *bga_helper(void *arg) {
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
     int zok = inflateInit2(&zs, -15) == Z_OK;
+    pthread_once(&ld_once, ld_init);
+    void *ldd = ld_alloc ? ld_alloc() : NULL;
 
     pthread_mutex_lock(&a->mu);
     my = a->next_helper_id++;
@@ -212,20 +266,16 @@ static void *bga_helper(void *arg) {
         int nblocks = a->job_nblocks;
         pthread_mutex_unlock(&a->mu);
 
-        int failed = !zok;
-        if (zok) {
+        int failed = !zok && !ldd;
+        if (!failed) {
             for (int i = 1 + my; i < nblocks; i += 1 + BGZF_HELPERS) {
                 const BgzfBlock *b = &blocks[i];
-                zs.next_in = (unsigned char *)comp + b->comp_off;
-                zs.avail_in = (uInt)b->comp_len;
-                zs.next_out = out + b->out_off;
-                zs.avail_out = (uInt)b->isize;
-                if (inflate(&zs, Z_FINISH) != Z_STREAM_END ||
-                    zs.avail_out != 0) {
+                if (inflate_block(ldd, &zs, comp + b->comp_off,
+                                  b->comp_len, out + b->out_off,
+                                  b->isize)) {
                     failed = 1;
                     break;
                 }
-                inflateReset2(&zs, -15);
             }
         }
         pthread_mutex_lock(&a->mu);
@@ -235,13 +285,14 @@ static void *bga_helper(void *arg) {
     }
     pthread_mutex_unlock(&a->mu);
     if (zok) inflateEnd(&zs);
+    if (ldd) ld_free(ldd);
     return NULL;
 }
 
 /* Inflate one batch across the producer (stripe 0) + helpers.  Returns
  * 0 on success, 1 on corrupt data.  Runs on the producer thread; the
  * compressed buffer must stay immovable until this returns. */
-static int bga_inflate_batch(BgzfAsync *a, z_stream *zs,
+static int bga_inflate_batch(BgzfAsync *a, void *ldd, z_stream *zs,
                              const BgzfBlock *blocks, int nblocks,
                              unsigned char *out) {
     FqReader *r = a->r;
@@ -259,15 +310,11 @@ static int bga_inflate_batch(BgzfAsync *a, z_stream *zs,
     int failed = 0;
     for (int i = 0; i < nblocks; i += 1 + BGZF_HELPERS) {
         const BgzfBlock *b = &blocks[i];
-        zs->next_in = (unsigned char *)r->comp + b->comp_off;
-        zs->avail_in = (uInt)b->comp_len;
-        zs->next_out = out + b->out_off;
-        zs->avail_out = (uInt)b->isize;
-        if (inflate(zs, Z_FINISH) != Z_STREAM_END || zs->avail_out != 0) {
+        if (inflate_block(ldd, zs, r->comp + b->comp_off, b->comp_len,
+                          out + b->out_off, b->isize)) {
             failed = 1;
             break;
         }
-        inflateReset2(zs, -15);
     }
     pthread_mutex_lock(&a->mu);
     while (a->job_done < BGZF_HELPERS)
@@ -282,6 +329,7 @@ static void *bga_producer(void *arg) {
     BgzfAsync *a = (BgzfAsync *)arg;
     FqReader *r = a->r;
     int err = 0;
+    void *ldd = NULL;
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, -15) != Z_OK) {
@@ -289,6 +337,8 @@ static void *bga_producer(void *arg) {
         err = FQ_ERR_NOMEM;
         goto out;
     }
+    pthread_once(&ld_once, ld_init);
+    ldd = ld_alloc ? ld_alloc() : NULL;
 
     for (;;) {
         /* 1. Gather up to one batch of member headers. */
@@ -357,7 +407,7 @@ static void *bga_producer(void *arg) {
         BgzfSlot *s = &a->slots[idx];
 
         if (nblocks > 0) {
-            if (bga_inflate_batch(a, &zs, blocks, nblocks,
+            if (bga_inflate_batch(a, ldd, &zs, blocks, nblocks,
                                   s->data + SLOT_HEADROOM)) {
                 snprintf(r->error, sizeof(r->error),
                          "corrupt BGZF block");
@@ -447,6 +497,7 @@ static void *bga_producer(void *arg) {
 
 out:
     inflateEnd(&zs);
+    if (ldd) ld_free(ldd);
     pthread_mutex_lock(&a->mu);
     if (err) a->err = err;
     else a->eof = 1;

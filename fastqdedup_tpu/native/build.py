@@ -21,7 +21,7 @@ def library_path() -> str:
         return _LIB
     cc = sysconfig.get_config_var("CC") or os.environ.get("CC") or "cc"
     cmd = cc.split() + ["-O3", "-pthread", "-shared", "-fPIC", "-o",
-                        _LIB + ".tmp", _SRC, "-lz"]
+                        _LIB + ".tmp", _SRC, "-lz", "-ldl"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
