@@ -518,6 +518,7 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
     labels = _component_labels(n, ei, ej)
     _mark("labels")
     order = np.argsort(labels, kind="stable")
+    _mark("label-sort")
     sorted_labels = labels[order]
     boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
     starts = np.concatenate([[0], boundaries])
@@ -529,4 +530,5 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
     local_index = np.empty(n, dtype=np.int64)
     local_index[order] = np.arange(n, dtype=np.int64) - \
         np.repeat(starts, sizes)
+    _mark("assemble")
     return Partition(order, starts, ends, ei, ej, cluster_of, local_index)

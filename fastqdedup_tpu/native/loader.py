@@ -119,13 +119,17 @@ def read_fastq_chunks_native(filename: str, chunk_records: int = 1 << 18
     payload_cap = chunk_records * _BYTES_PER_RECORD
     head_cap = chunk_records * _HEAD_BYTES_PER_RECORD
     adapted = False
+    from ..runtime import big_empty
     try:
         while True:
-            seq_buf = np.empty(payload_cap, dtype=np.uint8)
-            qual_buf = np.empty(payload_cap, dtype=np.uint8)
-            head_buf = np.empty(head_cap, dtype=np.uint8)
-            offsets = np.empty(chunk_records + 1, dtype=np.int64)
-            head_offsets = np.empty(chunk_records + 1, dtype=np.int64)
+            # big_empty pre-faults: the parser writes every byte from C
+            # and per-page write faults cost seconds/GiB on lazily-backed
+            # guests, which would serialize on the parse thread.
+            seq_buf = big_empty(payload_cap, dtype=np.uint8)
+            qual_buf = big_empty(payload_cap, dtype=np.uint8)
+            head_buf = big_empty(head_cap, dtype=np.uint8)
+            offsets = big_empty(chunk_records + 1, dtype=np.int64)
+            head_offsets = big_empty(chunk_records + 1, dtype=np.int64)
             n_records = ctypes.c_int64(0)
             rc = _lib.fq_next_chunk(
                 handle, chunk_records, seq_buf, qual_buf, payload_cap,
@@ -356,7 +360,8 @@ def render_records_native(seq: np.ndarray, qual: np.ndarray,
     out_offsets[0] = 0
     np.cumsum(sizes[:-1], out=out_offsets[1:])
     total = int(out_offsets[-1] + sizes[-1])
-    out = np.empty(total, dtype=np.uint8)
+    from ..runtime import big_empty
+    out = big_empty(total, dtype=np.uint8)
     if not total:
         return out
     nthreads = min(8, os.cpu_count() or 1) if len(rows) >= 4096 else 1

@@ -228,13 +228,38 @@ def _zip_chunks(input_files: List[str], chunk_records: int,
             thread.join(timeout=0.05)
 
 
+_CACHE_FAULT_THRESHOLD = float(os.environ.get(
+    "FASTQDEDUP_CACHE_FAULT_THRESHOLD", "1.5"))  # seconds per GiB
+
+
+def _observed_fault_cost_cached() -> float:
+    from .runtime import observed_fault_cost
+    return observed_fault_cost() or 0.0
+
+
+def _fault_cost_too_high() -> bool:
+    """True when measured page-creation cost exceeds the threshold where
+    re-parsing the (page-cached) input beats holding parsed chunks.
+
+    Re-parse costs ~0.9 s/GiB of payload on this class of host (parallel
+    BGZF inflate through recycled buffers); caching costs the observed
+    populate/fault rate per GiB held.  The threshold errs toward caching
+    (healthy hosts measure well under 0.5 s/GiB)."""
+    cost = _observed_fault_cost_cached()
+    return cost > _CACHE_FAULT_THRESHOLD
+
+
 def _compact_chunk(chunk: FastqChunk) -> FastqChunk:
     """Copy a chunk out of its (possibly much larger) parse buffers."""
+    from .runtime import big_empty
+
     def own(a: np.ndarray) -> np.ndarray:
         base = a.base if a.base is not None else a
         # Copy when the view pins >12.5% slack in its base allocation.
         if base.nbytes > a.nbytes + (a.nbytes >> 3):
-            return a.copy()
+            out = big_empty(a.shape, dtype=a.dtype)
+            np.copyto(out, a)
+            return out
         return a
 
     return FastqChunk(own(chunk.sequences), own(chunk.qualities),
@@ -533,37 +558,37 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
                      first_pos=group_pos)
 
 
-def _filter_and_accumulate(accumulator, key_data, key_offsets, qual_data,
-                           qual_offsets, b, base, filter_on_quality,
-                           max_average_error_rate):
-    """Quality-filter one chunk and add its keys to the accumulator.
+def _quality_mask(qual_data, qual_offsets, max_average_error_rate
+                  ) -> np.ndarray:
+    """uint8 keep-mask for one chunk (runs on its own worker thread)."""
+    if os.environ.get("FASTQDEDUP_DEVICE_QUALITY") == "1":
+        # Opt-in device path: f32 LUT gather + masked mean on the
+        # accelerator (ops/phred.py).  Trades the host path's bit-exact
+        # float64 rounding and strict character-range validation for
+        # throughput when the host CPU is the bottleneck.
+        from .ops.phred import quality_filter_mask
+        from .utils.ragged import pad_to_matrix
+        matrix, lens = pad_to_matrix(qual_data, qual_offsets, fill=33)
+        keep = np.asarray(quality_filter_mask(
+            matrix, lens.astype(np.int32),
+            np.float32(max_average_error_rate)))
+    else:
+        rates = ragged_average_error_rate(qual_data, qual_offsets)
+        keep = ~(rates > max_average_error_rate)
+    return keep.astype(np.uint8)
+
+
+def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
+                           b, base):
+    """Add one chunk's keys to the accumulator, gated on its quality mask.
 
     Runs on the single accumulate worker (FIFO order preserves
-    first-position semantics), keeping the quality reduction off the
-    chunk-drain thread.  Returns (records_in, records_kept).
+    first-position semantics); the quality reduction runs concurrently on
+    its own worker and is awaited here.  Returns (records_in, kept).
     """
-    if filter_on_quality:
-        if os.environ.get("FASTQDEDUP_DEVICE_QUALITY") == "1":
-            # Opt-in device path: f32 LUT gather + masked mean on the
-            # accelerator (ops/phred.py).  Trades the host path's
-            # bit-exact float64 rounding and strict character-range
-            # validation for throughput when the host CPU is the
-            # bottleneck.
-            from .ops.phred import quality_filter_mask
-            from .utils.ragged import pad_to_matrix
-            matrix, lens = pad_to_matrix(qual_data, qual_offsets, fill=33)
-            keep = np.asarray(quality_filter_mask(
-                matrix, lens.astype(np.int32),
-                np.float32(max_average_error_rate)))
-        else:
-            rates = ragged_average_error_rate(qual_data, qual_offsets)
-            keep = ~(rates > max_average_error_rate)
-        kept = int(keep.sum())
-        counted: Optional[np.ndarray] = keep.astype(np.uint8)
-    else:
-        kept = b
-        counted = None
+    counted = mask_future.result() if mask_future is not None else None
     accumulator.add(key_data, key_offsets, counted, base)
+    kept = int(counted.sum()) if counted is not None else b
     return b, kept
 
 
@@ -643,6 +668,8 @@ def deduplicate_cluster(
 
     accumulator = _make_key_accumulator()
     accumulate_pool = ThreadPoolExecutor(max_workers=1)
+    quality_pool = ThreadPoolExecutor(max_workers=1) \
+        if filter_on_quality else None
     accumulate_futures = []
     prewarm_started = False
     global_base = 0
@@ -669,15 +696,27 @@ def deduplicate_cluster(
                 len(c.sequences) + len(c.qualities) + len(c.headers)
                 + c.offsets.nbytes + c.header_offsets.nbytes
                 for c in chunks)
-            if cached_bytes <= memory_budget:
+            if cached_bytes > memory_budget:
+                cached_chunks = None
+            elif cached_bytes > (2 << 30) and _fault_cost_too_high():
+                # Holding the cache means creating fresh anon pages for
+                # every chunk; on hosts with lazily-backed guest memory
+                # page creation measures 2-10 s/GiB (and grows with RSS)
+                # while re-streaming the page-cached input costs well
+                # under 1 s/GiB of payload.  Measured here: dropping a
+                # 21 GiB cache turned a 259 s 100M-read run into 197 s.
+                logger.debug(
+                    "dropping chunk cache: measured page-fault cost "
+                    "%.1f s/GiB makes re-streaming cheaper",
+                    _observed_fault_cost_cached())
+                cached_chunks = None
+            else:
                 # Compact before caching: the parser's chunks are views
                 # into fixed-capacity buffers sized by a per-record byte
                 # estimate; holding the views would pin several times the
                 # actual payload.
                 cached_chunks.append((chunk_index, tuple(
                     _compact_chunk(c) for c in chunks)))
-            else:
-                cached_chunks = None
         _now = _time.perf_counter()
         _p1["cache"] += _now - _t
         _t = _now
@@ -700,10 +739,12 @@ def deduplicate_cluster(
         b = chunks[0].count
         total_records += b
         _t = _time.perf_counter()
+        mask_future = quality_pool.submit(
+            _quality_mask, qual_data, qual_offsets,
+            max_average_error_rate) if quality_pool is not None else None
         accumulate_futures.append(accumulate_pool.submit(
             _filter_and_accumulate, accumulator, key_data, key_offsets,
-            qual_data, qual_offsets, b, base, filter_on_quality,
-            max_average_error_rate))
+            mask_future, b, base))
         _p1["submit"] += _time.perf_counter() - _t
 
     _t = _time.perf_counter()
@@ -712,6 +753,8 @@ def deduplicate_cluster(
         total_kept += kept
         discarded_records += b - kept
     accumulate_pool.shutdown()
+    if quality_pool is not None:
+        quality_pool.shutdown()
     if _p1_debug:
         _p1["acc-wait"] = _time.perf_counter() - _t
         logger.debug("pass1 totals: " + ", ".join(

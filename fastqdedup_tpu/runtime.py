@@ -7,34 +7,91 @@ of per run.  Disable with ``FASTQDEDUP_JAX_CACHE=0``.
 """
 
 import os
+from typing import Optional
 
 import numpy as np
 
 _configured = False
 _allocator_tuned = False
 
-def big_empty(shape, dtype=np.uint8) -> np.ndarray:
-    """``np.empty`` for large once-per-run buffers (one tuning point).
+_MADV_POPULATE_WRITE = 23  # Linux 5.14+
+_libc = None
+_populate_ok = True
+_pop_bytes = 0
+_pop_secs = 0.0
 
-    Deliberately plain — two measured dead ends documented so they are
-    not retried:
+
+def observed_fault_cost() -> Optional[float]:
+    """Measured page-creation cost in seconds/GiB, or None if too little
+    data yet (< 256 MiB populated).
+
+    Aggregated over every :func:`populate` call this process made.  On
+    healthy hosts this is ~0.05-0.3 s/GiB; on virtualized hosts with
+    lazily-backed guest memory it has measured 2-10 s/GiB *and grows
+    with resident set size* — callers use it to decide whether holding
+    data in RAM is cheaper than recomputing it (pipeline chunk cache)."""
+    if _pop_bytes < (256 << 20):
+        return None
+    return _pop_secs / (_pop_bytes / (1 << 30))
+
+
+def populate(a: np.ndarray) -> None:
+    """Pre-fault a numpy buffer in ONE syscall (MADV_POPULATE_WRITE).
+
+    On virtualized hosts with lazily-backed guest memory, per-page
+    write faults measure 2-30 s/GiB while a single populate call maps
+    the same range at ~0.3 s/GiB (measured here: 14x) — the overhead is
+    the fault path, not the zeroing.  No-op (and disabled after the
+    first failure) on kernels without MADV_POPULATE_WRITE; disable
+    explicitly with FASTQDEDUP_POPULATE=0."""
+    global _libc, _populate_ok, _pop_bytes, _pop_secs
+    if not _populate_ok or os.environ.get("FASTQDEDUP_POPULATE") == "0":
+        return
+    try:
+        import ctypes
+        import time
+
+        if _libc is None:
+            _libc = ctypes.CDLL(None, use_errno=True)
+        addr = a.ctypes.data
+        nbytes = a.nbytes
+        start = (addr + 4095) & ~4095  # stay inside the allocation
+        end = (addr + nbytes) & ~4095
+        if end <= start:
+            return
+        t0 = time.perf_counter()
+        rc = _libc.madvise(ctypes.c_void_p(start),
+                           ctypes.c_size_t(end - start),
+                           _MADV_POPULATE_WRITE)
+        if rc != 0:
+            _populate_ok = False
+        else:
+            _pop_bytes += end - start
+            _pop_secs += time.perf_counter() - t0
+    except Exception:  # pragma: no cover - best-effort
+        _populate_ok = False
+
+
+def big_empty(shape, dtype=np.uint8) -> np.ndarray:
+    """``np.empty`` for large buffers, pre-faulted via :func:`populate`.
+
+    Two measured dead ends documented so they are not retried:
 
     * Hand-mmapped backing (``np.frombuffer`` over ``mmap``) fails:
       numpy routes ufuncs/``np.take`` writing into foreign-buffer
       destinations through a buffered slow path that is 7-10x slower
       than the owned-memory fast path, warm or cold.  Arrays must OWN
-      their memory.
+      their memory (``populate`` keeps ownership — it only pre-faults).
     * madvise(MADV_HUGEPAGE) backing fails: with ``defrag=madvise`` (a
       common default) hugepage faults do synchronous compaction, which
       under page-cache pressure measured 50+ s/GiB.  numpy does this
       madvise ITSELF on every >= 4 MiB allocation — which was the true
       source of the "random" 5-50 s/GiB first-touch costs chased here;
-      :func:`tune_host_allocator` now turns it off process-wide.
-
-    With the hugepage madvise off and a 128 MiB M_MMAP_THRESHOLD
-    (giants via glibc's own mmap path, numpy owning the pointer),
-    plain ``np.empty`` faults at ~1 s/GiB cold."""
-    return np.empty(shape, dtype=dtype)
+      :func:`tune_host_allocator` turns it off process-wide."""
+    a = np.empty(shape, dtype=dtype)
+    if a.nbytes >= (8 << 20):
+        populate(a)
+    return a
 
 
 def tune_host_allocator() -> None:
