@@ -84,6 +84,7 @@ def main() -> None:
     read_len = int(os.environ.get("BENCH_READ_LEN", 100))
     umi_len = int(os.environ.get("BENCH_UMI_LEN", 12))
     method = os.environ.get("BENCH_METHOD", "directional")
+    use_edit = os.environ.get("BENCH_EDIT") == "1"
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from fastqdedup_tpu.dissect import CLUSTER_DISSECTION_METHODS
@@ -114,7 +115,7 @@ def main() -> None:
         warm_src = os.path.join(workdir, "warm.fastq.gz")
         generate_fastq(warm_src, 10_000_000, read_len, umi_len, seed=11)
     deduplicate_cluster([warm_src], [warm_out], None, 1, 0.001,
-                        CLUSTER_DISSECTION_METHODS[method], False)
+                        CLUSTER_DISSECTION_METHODS[method], use_edit)
 
     # Best of three measured runs, spread reported: dispatch latency
     # through a tunneled TPU swings run to run; the best run reflects the
@@ -128,14 +129,15 @@ def main() -> None:
         out_path = f"{out}.{attempt}"
         start = time.perf_counter()
         deduplicate_cluster([src], [out_path], None, 1, 0.001,
-                            CLUSTER_DISSECTION_METHODS[method], False)
+                            CLUSTER_DISSECTION_METHODS[method], use_edit)
         times.append(time.perf_counter() - start)
 
     elapsed = min(times)
     reads_per_sec = n_reads / elapsed
     print(json.dumps({
         "metric": f"end-to-end dedup throughput "
-                  f"({n_reads} reads, {read_len}bp, {method})",
+                  f"({n_reads} reads, {read_len}bp, {method}"
+                  f"{', edit' if use_edit else ''})",
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 4),
