@@ -404,3 +404,75 @@ def test_native_hash_rows_rejects_bad_layouts():
         hash_rows_native(mat[::-1], 1)         # negative row stride
     with pytest.raises(ValueError):
         hash_rows_native(mat.astype(np.int16), 1)  # wrong dtype
+
+
+def test_bgzf_giant_record_exceeds_slot_headroom(tmp_path):
+    """A single record larger than the async reader's slot headroom
+    (1 MiB) forces the giant-line overflow path: the unread tail cannot
+    move into the next slot's headroom, so it accumulates in an owned
+    buffer across several slot swaps — and the record must still parse
+    byte-exactly (plus the caller's buffer-growth retry for records
+    larger than the chunk payload estimate)."""
+    import random
+
+    from fastqdedup_tpu.io.bgzf import BgzfWriter
+    from fastqdedup_tpu.native.loader import read_fastq_chunks_native
+
+    rng = random.Random(11)
+    giant = "".join(rng.choice("ACGT") for _ in range(3 << 20))  # 3 MiB
+    payload = (f"@small x\nACGT\n+\nIIII\n"
+               f"@giant y\n{giant}\n+\n{'I' * len(giant)}\n"
+               f"@after z\nTTTT\n+\nIIII\n").encode()
+    path = tmp_path / "giant.fastq.gz"
+    with BgzfWriter(str(path)) as f:
+        f.write(payload)
+
+    chunks = list(read_fastq_chunks_native(str(path), 4))
+    seqs = []
+    for c in chunks:
+        for i in range(c.count):
+            seqs.append(c.sequences[c.offsets[i]:c.offsets[i + 1]]
+                        .tobytes())
+    assert seqs == [b"ACGT", giant.encode(), b"TTTT"]
+
+
+def test_bgzf_blocks_followed_by_plain_gzip_member(tmp_path):
+    """BGZF members followed by a plain (non-BGZF) gzip member must
+    stream seamlessly: the async producer switches from block-parallel
+    inflate to the sequential tail path mid-file."""
+    import gzip
+
+    from fastqdedup_tpu.io.bgzf import BgzfWriter
+    from fastqdedup_tpu.native.loader import read_fastq_chunks_native
+
+    head = b"".join(b"@a%d x\nACGTACGT\n+\nIIIIIIII\n" % i
+                    for i in range(5_000))
+    tail = b"".join(b"@b%d y\nTTTTGGGG\n+\nIIIIIIII\n" % i
+                    for i in range(5_000))
+    path = tmp_path / "mixed.fastq.gz"
+    with open(path, "wb") as raw:
+        w = BgzfWriter(raw)
+        w.write(head)
+        w.close()  # writes the BGZF EOF marker (an empty member)
+        raw.write(gzip.compress(tail, 1))
+
+    got = b"".join(c.headers.tobytes()
+                   for c in read_fastq_chunks_native(str(path), 512))
+    want = b"".join(line[1:] for line in (head + tail).split(b"\n")[::4]
+                    if line)
+    assert got == want
+
+
+def test_bgzf_truncated_mid_block_raises(tmp_path):
+    from fastqdedup_tpu.io.bgzf import BgzfWriter
+    from fastqdedup_tpu.native.loader import read_fastq_chunks_native
+
+    path = tmp_path / "trunc.fastq.gz"
+    with BgzfWriter(str(path)) as f:
+        f.write(b"@r0 x\nACGT\n+\nIIII\n" * 50_000)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[:len(data) // 2 + 7])
+    import pytest
+    with pytest.raises(Exception, match="truncated|corrupt"):
+        for _ in read_fastq_chunks_native(str(path), 512):
+            pass
