@@ -140,6 +140,24 @@ def tune_host_allocator() -> None:
         #    and whose realloc growth is an mremap instead of a copy.
         libc.mallopt(-3, 128 << 20)  # M_MMAP_THRESHOLD
         libc.mallopt(-1, (1 << 31) - (1 << 12))  # M_TRIM_THRESHOLD
+        # M_TRIM_THRESHOLD only governs the main arena's sbrk trim.  The
+        # worker threads (parse, inflate, accumulate, render, writer)
+        # free their chunk buffers into per-thread arenas, whose
+        # heap_trim() releases memory back to the kernel whenever the
+        # heap's free top exceeds M_TOP_PAD — so every run re-faulted
+        # ~450 MB of just-released pages.  On hosts with lazily-backed
+        # guest memory (free-page reporting unbacks released pages
+        # within seconds) each re-fault can cost up to ~55 s/GiB
+        # (measured here), making identical back-to-back runs swing
+        # 0.9 s -> 9 s.  Raising M_TOP_PAD blocks non-main-arena trim,
+        # and capping the arena count at one makes every thread recycle
+        # the SAME size classes instead of re-growing them per arena
+        # (measured: steady-state fresh mappings drop 110k -> 12k pages
+        # per 1M-read run).  Allocation rate is low — the pipeline deals
+        # in large, infrequent buffers — so the single-arena lock is not
+        # contended (utime unchanged across configs).
+        libc.mallopt(-2, 256 << 20)  # M_TOP_PAD
+        libc.mallopt(-8, 1)  # M_ARENA_MAX
     except Exception:  # pragma: no cover - best-effort, non-glibc hosts
         pass
 
