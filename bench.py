@@ -40,8 +40,11 @@ def generate_fastq(path: str, n_reads: int, read_len: int,
     rng = np.random.default_rng(seed)
     n_molecules = max(n_reads // 5, 1)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # uint8 draws: the int64 default materializes an 8x-larger index
+    # temp (16 GB at 100M reads), which on lazily-backed VMs costs
+    # minutes of page-creation before generation writes a byte.
     molecules = bases[rng.integers(0, 4, size=(n_molecules, read_len),
-                                   dtype=np.int64)]
+                                   dtype=np.uint8)]
     # Fixed-width records allow fully vectorized assembly: one uint8
     # matrix per block, filled by column slices.
     digits = 9

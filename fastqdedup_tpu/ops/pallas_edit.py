@@ -9,10 +9,12 @@ rows of the edit matrix — O(L * W) VPU work per pair instead of O(L^2),
 with the W-step in-row dependency unrolled statically (W is 3 or 5 in
 practice).
 
-Layout: pairs live on the LANE dimension (minor), the scanned string
-position on the sublane dimension — Mosaic only supports dynamic indexing
-off the minor dimension, so operands arrive transposed as int32 [L, P] and
-every DP value is a [1, P] lane vector.
+Layout: pairs live on the two MINOR dimensions — each program's block of
+``PAIR_BLOCK`` pairs is folded to [8 sublanes, PAIR_BLOCK/8 lanes], so a
+DP value is a [1, 8, P/8] tensor that fills whole 8x128 VPU registers.
+(The earlier [1, P] lane-vector layout left 7 of 8 sublanes idle — 12.5%
+VPU occupancy on every band op.)  The scanned string position stays on
+the major dimension, dynamically indexed per row.
 
 Band coordinates: ``band[k]`` holds ``dp[i][j]`` with ``j = i - d + k``;
 moving from row i-1 to i, the diagonal (substitution) predecessor keeps
@@ -30,8 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Pairs per grid step (lane dimension; multiple of 128).
-PAIR_BLOCK = 512
+# Pairs per grid step, folded to [8, PAIR_BLOCK // 8] on the two minor
+# dimensions (must be a multiple of 8 * 128).
+PAIR_BLOCK = 4096
 
 _INF = 1 << 20  # plain int: jnp constants may not be captured by kernels
 
@@ -42,14 +45,15 @@ def _interpret() -> bool:
 
 def _banded_body(a_ref, la_ref, b_ref, lb_ref, out_ref, *,
                  max_distance: int, length: int):
-    """out[0, p] = lev(a_p[:la_p], b_p[:lb_p]) <= max_distance.
+    """out[0, s, l] = lev(a_p[:la_p], b_p[:lb_p]) <= max_distance for the
+    pair p folded at (sublane s, lane l).
 
-    a/b: int32 [L, PAIR_BLOCK] transposed character columns (padding
-    arbitrary); la/lb: int32 [1, PAIR_BLOCK] valid lengths.
+    a/b: int32 [L, 8, PAIR_BLOCK/8] transposed character planes (padding
+    arbitrary); la/lb: int32 [1, 8, PAIR_BLOCK/8] valid lengths.
     """
     d = max_distance
     w = 2 * d + 1
-    la = la_ref[:]  # [1, P]
+    la = la_ref[:]  # [1, 8, P/8]
     lb = lb_ref[:]
 
     # Band init (row 0): dp[0][j] = j at k = j + d.
@@ -57,24 +61,24 @@ def _banded_body(a_ref, la_ref, b_ref, lb_ref, out_ref, *,
     for k in range(w):
         j = k - d
         init_rows.append(jnp.full_like(la, j if j >= 0 else _INF))
-    band = jnp.concatenate(init_rows, axis=0)  # [W, P] int32
+    band = jnp.concatenate(init_rows, axis=0)  # [W, 8, P/8] int32
 
     # result for la == 0: lb <= d.
-    result = jnp.where(la == 0, lb, jnp.full_like(la, _INF))  # [1, P]
+    result = jnp.where(la == 0, lb, jnp.full_like(la, _INF))
 
     def row(i, carry):
         band, result = carry
-        ai = a_ref[pl.ds(i - 1, 1), :]  # [1, P] int32
+        ai = a_ref[pl.ds(i - 1, 1), :, :]  # [1, 8, P/8] int32
         rows = []
         left = None  # insertion predecessor dp[i][j-1]
         for k in range(w):
             j = i - d + k  # traced scalar, same for every pair
             jc = jnp.clip(j - 1, 0, length - 1)
-            bij = b_ref[pl.ds(jc, 1), :]  # [1, P]
+            bij = b_ref[pl.ds(jc, 1), :, :]  # [1, 8, P/8]
             sub_cost = jnp.where(ai == bij, 0, 1)
-            best = band[k:k + 1, :] + sub_cost          # diagonal
+            best = band[k:k + 1] + sub_cost              # diagonal
             if k + 1 < w:
-                best = jnp.minimum(best, band[k + 1:k + 2, :] + 1)  # delete
+                best = jnp.minimum(best, band[k + 1:k + 2] + 1)  # delete
             if left is not None:
                 best = jnp.minimum(best, left + 1)       # insert
             # Cells outside [1, lb] (or j < 1) are invalid.
@@ -87,10 +91,10 @@ def _banded_body(a_ref, la_ref, b_ref, lb_ref, out_ref, *,
         band = jnp.concatenate(rows, axis=0)
         # Capture dp[la][lb] as the scan passes i == la: its band index is
         # lb - la + d, selected with a static-W masked fold.
-        target_k = lb - la + d  # [1, P]
+        target_k = lb - la + d  # [1, 8, P/8]
         gathered = jnp.full_like(result, _INF)
         for k in range(w):
-            gathered = jnp.where(target_k == k, band[k:k + 1, :], gathered)
+            gathered = jnp.where(target_k == k, band[k:k + 1], gathered)
         result = jnp.where(la == i, gathered, result)
         return band, result
 
@@ -110,28 +114,33 @@ def banded_within_edit_distance(a: jax.Array, len_a: jax.Array,
     (their target cell stays outside the band).
     """
     p, length = a.shape
-    a_t = jnp.transpose(a.astype(jnp.int32))  # [L, P]
-    b_t = jnp.transpose(b.astype(jnp.int32))
-    la = len_a.reshape(1, -1).astype(jnp.int32)
-    lb = len_b.reshape(1, -1).astype(jnp.int32)
+    # Fold pairs to [8 sublanes, p/8 lanes]: pair p <-> (p // (p_tot/8)...)
+    # — the exact fold order is irrelevant as long as inputs and output
+    # use the same reshape (row-major here).
+    cols = p // 8
+    a_t = jnp.transpose(a.astype(jnp.int32)).reshape(length, 8, cols)
+    b_t = jnp.transpose(b.astype(jnp.int32)).reshape(length, 8, cols)
+    la = len_a.astype(jnp.int32).reshape(1, 8, cols)
+    lb = len_b.astype(jnp.int32).reshape(1, 8, cols)
+    block_cols = PAIR_BLOCK // 8
     kernel = functools.partial(_banded_body, max_distance=max_distance,
                                length=length)
     out = pl.pallas_call(
         kernel,
         grid=(p // PAIR_BLOCK,),
         in_specs=[
-            pl.BlockSpec((length, PAIR_BLOCK), lambda i: (0, i),
+            pl.BlockSpec((length, 8, block_cols), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PAIR_BLOCK), lambda i: (0, i),
+            pl.BlockSpec((1, 8, block_cols), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((length, PAIR_BLOCK), lambda i: (0, i),
+            pl.BlockSpec((length, 8, block_cols), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PAIR_BLOCK), lambda i: (0, i),
+            pl.BlockSpec((1, 8, block_cols), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PAIR_BLOCK), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, 8, block_cols), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, p), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((1, 8, p // 8), jnp.bool_),
         interpret=_interpret(),
     )(a_t, la, b_t, lb)
-    return jnp.transpose(out)  # [P, 1]
+    return out.reshape(1, p).T  # [P, 1]

@@ -56,13 +56,13 @@ def _pad_dims(length: int, alphabet_size: int) -> Tuple[int, int]:
     return l_pad, a_pad
 
 
-def _within_tile_body(scal_ref, sym_ref, pack_ref, a_ref, b_ref, out_ref, *,
-                      alphabet_pad: int):
+def _within_tile_body(scal_ref, sym_ref, pack_ref, a_ref, b_ref, out_ref,
+                      a_oh_ref, b_oh_ref, *, alphabet_pad: int):
     """out[i, c] = bitpacked (length - matches(a_i, b_j)) <= max_distance
     for j in [8c, 8c+8), little bit order.
 
-    ``a_ref``: uint8 [TILE_M, Lp] alphabet indices padded with _PAD_SYMBOL;
-    ``b_ref``: uint8 [TILE_N, Lp].  Any index >= the padded alphabet size
+    ``a_ref``: uint8 [N, Lp] alphabet indices padded with _PAD_SYMBOL;
+    ``b_ref``: uint8 [M, Lp].  Any index >= the padded alphabet size
     one-hots to an all-zero row and matches nothing (padding rows AND
     padding columns), so match counts cover exactly the real positions.
 
@@ -71,22 +71,43 @@ def _within_tile_body(scal_ref, sym_ref, pack_ref, a_ref, b_ref, out_ref, *,
     serves every length/distance at this padded geometry.
 
     ``sym_ref``: int32 [1, Lp*Ap] precomputed symbol pattern.  One-hot is
-    built on the fly (VPU): pltpu.repeat tiles the index row Ap times along
+    built on the VPU: pltpu.repeat tiles an index row Ap times along
     the lane dimension (copy-concatenation), so at flat column
     t = c*Lp + k the value is index[k]; the pattern
     sym[t] = (c + k) % Ap visits every symbol exactly once per position k
     as the copy c varies, hence sum_t [a==sym][b==sym] == sum_k [a_k==b_k].
+
+    The one-hot operands are expanded ONCE, at grid step 0, into VMEM
+    scratch that persists across the (sequential) grid — per program only
+    the MXU contractions remain.  Expanding per program left the MXU at
+    ~6% utilization: the VPU rebuild of the full [M, Lp*Ap] operand cost
+    ~10x the 128-row matmul it fed.  The expansion walks 128-row slabs so
+    the int compare intermediates stay register-sized.
     """
+    i = pl.program_id(0)
+    sym = sym_ref[:]
+
+    @pl.when(i == 0)
+    def _expand():
+        def slab(src_ref, dst_ref):
+            def body(s, carry):
+                # int32 compare: Mosaic has no 8-bit vector cmpi.
+                rows = src_ref[pl.ds(s * TILE_M, TILE_M), :].astype(
+                    jnp.int32)
+                rep = pltpu.repeat(rows, alphabet_pad, axis=1)
+                dst_ref[pl.ds(s * TILE_M, TILE_M), :] = \
+                    (rep == sym).astype(jnp.int8)
+                return carry
+            jax.lax.fori_loop(0, src_ref.shape[0] // TILE_M, body, 0)
+
+        slab(a_ref, a_oh_ref)
+        slab(b_ref, b_oh_ref)
+
     length = scal_ref[0, 0]
     max_distance = scal_ref[0, 1]
-    sym = sym_ref[:]
-    a_rep = pltpu.repeat(a_ref[:].astype(jnp.int32), alphabet_pad, axis=1)
-    a_oh = (a_rep == sym).astype(jnp.int8)
-    b_rep = pltpu.repeat(b_ref[:].astype(jnp.int32), alphabet_pad, axis=1)
-    b_oh = (b_rep == sym).astype(jnp.int8)
-    # Match counts on the MXU: [TILE_M, E] x [TILE_N, E]^T -> int32.
+    # Match counts on the MXU: [TILE_M, E] x [M, E]^T -> int32.
     matches = jax.lax.dot_general(
-        a_oh, b_oh,
+        a_oh_ref[pl.ds(i * TILE_M, TILE_M), :], b_oh_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
     within = ((length - matches) <= max_distance).astype(jnp.int8)
@@ -150,18 +171,13 @@ def _within_tile_padded(scalars: jax.Array, a: jax.Array, b: jax.Array,
     kernel = functools.partial(_within_tile_body, alphabet_pad=a_pad)
     pos = jnp.arange(expanded, dtype=jnp.int32)
     sym = ((pos // l_pad + pos % l_pad) % a_pad).reshape(1, -1)
-    # Bit-packing matrix: column j contributes 1 << (j % 8) (int8-signed,
-    # so bit 7 is -128 — exact after int32 accumulate + uint8 truncation).
-    col = jnp.arange(m, dtype=jnp.int32)
-    weight = jnp.left_shift(jnp.int32(1), col % 8)
-    weight = jnp.where(col % 8 == 7, -128, weight).astype(jnp.int8)
-    pack = jnp.where((col[:, None] // 8) ==
-                     jnp.arange(m // 8, dtype=jnp.int32)[None, :],
-                     weight[:, None], 0).astype(jnp.int8)
-    # 1-D grid: each program computes its TILE_M-row slab against the FULL
-    # b operand and writes a full-width packed row block (the packed minor
-    # dim m//8 must be a whole block — Mosaic requires block minor dims to
-    # be 128-divisible or full).
+    pack = _bit_pack_matrix(m)
+    # 1-D grid: each program contracts its TILE_M-row slab of the a one-hot
+    # against the FULL b one-hot and writes a full-width packed row block
+    # (the packed minor dim m//8 must be a whole block — Mosaic requires
+    # block minor dims to be 128-divisible or full).  The index operands
+    # and the one-hot scratch use constant index maps, so they are
+    # fetched/expanded once and stay VMEM-resident across the grid.
     grid = (n // TILE_M,)
     return pl.pallas_call(
         kernel,
@@ -173,7 +189,7 @@ def _within_tile_padded(scalars: jax.Array, a: jax.Array, b: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, m // 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, l_pad), lambda i: (i, 0),
+            pl.BlockSpec((n, l_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, l_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -181,12 +197,115 @@ def _within_tile_padded(scalars: jax.Array, a: jax.Array, b: jax.Array,
         out_specs=pl.BlockSpec((TILE_M, m // 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, m // 8), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((n, expanded), jnp.int8),
+            pltpu.VMEM((m, expanded), jnp.int8),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * (l_pad * a_pad + m // 8),
             bytes_accessed=(n + m) * l_pad + n * m // 8,
             transcendentals=0),
         interpret=_interpret(),
     )(scalars, sym, pack, a, b)
+
+
+# --------------------------------------------------------------------- #
+# Bucketed per-bucket all-pairs tile kernel
+
+
+def _bucket_tile_body(scal_ref, sym_ref, pack_ref, batch_ref, out_ref,
+                      oh_ref, *, alphabet_pad: int):
+    """Per-bucket all-pairs within-distance, bitpacked.
+
+    Grid is (K buckets, S // TILE_M row slabs); the row-slab dimension is
+    innermost, so for each bucket the one-hot operand is expanded ONCE
+    (at slab 0) into VMEM scratch and every slab's MXU contraction reads
+    it back — the XLA batched-matmul formulation this replaces spent
+    most of its time re-materializing one-hots and ran the MXU at <14%
+    (S=2048) down to <1% (S=128).
+    """
+    j = pl.program_id(1)
+    sym = sym_ref[:]
+
+    @pl.when(j == 0)
+    def _expand():
+        def body(s, carry):
+            # int32 compare: Mosaic has no 8-bit vector cmpi.
+            rows = batch_ref[0, pl.ds(s * TILE_M, TILE_M), :].astype(
+                jnp.int32)
+            rep = pltpu.repeat(rows, alphabet_pad, axis=1)
+            oh_ref[pl.ds(s * TILE_M, TILE_M), :] = \
+                (rep == sym).astype(jnp.int8)
+            return carry
+        jax.lax.fori_loop(0, batch_ref.shape[1] // TILE_M, body, 0)
+
+    length = scal_ref[0, 0]
+    max_distance = scal_ref[0, 1]
+    matches = jax.lax.dot_general(
+        oh_ref[pl.ds(j * TILE_M, TILE_M), :], oh_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    within = ((length - matches) <= max_distance).astype(jnp.int8)
+    packed = jax.lax.dot_general(
+        within, pack_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[0] = packed.astype(jnp.uint8)
+
+
+def _bit_pack_matrix(m: int) -> "jax.Array":
+    """int8 [m, m//8] matrix P with P[j, c] = (1 << (j % 8)) iff j//8 == c;
+    a dot with it packs 8 boolean columns per byte (little bit order).
+    Bit 7's int8 weight is -128 — exact after int32 accumulate + uint8
+    truncation."""
+    col = jnp.arange(m, dtype=jnp.int32)
+    weight = jnp.left_shift(jnp.int32(1), col % 8)
+    weight = jnp.where(col % 8 == 7, -128, weight).astype(jnp.int8)
+    return jnp.where((col[:, None] // 8) ==
+                     jnp.arange(m // 8, dtype=jnp.int32)[None, :],
+                     weight[:, None], 0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("alphabet_pad",))
+def bucket_within_packed(batch: jax.Array, scalars: jax.Array,
+                         alphabet_pad: int) -> jax.Array:
+    """uint8 [K, S, S//8]: per-bucket all-pairs Hamming <= max_distance,
+    bitpacked along the last axis (little bit order).
+
+    ``batch``: uint8 [K, S, Lp] alphabet indices with _PAD_SYMBOL padding
+    (pad rows/columns one-hot to zero and match nothing); S must be a
+    multiple of 128.  ``scalars``: int32 [1, 2] = (real length,
+    max_distance) — runtime values, so one compiled executable per
+    (K, S, Lp, Ap) geometry serves every length/distance."""
+    k, s, l_pad = batch.shape
+    expanded = l_pad * alphabet_pad
+    kernel = functools.partial(_bucket_tile_body, alphabet_pad=alphabet_pad)
+    pos = jnp.arange(expanded, dtype=jnp.int32)
+    sym = ((pos // l_pad + pos % l_pad) % alphabet_pad).reshape(1, -1)
+    pack = _bit_pack_matrix(s)
+    return pl.pallas_call(
+        kernel,
+        grid=(k, s // TILE_M),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, expanded), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s // 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, l_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_M, s // 8), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, s, s // 8), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((s, expanded), jnp.int8)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * s * s * (expanded + s // 8),
+            bytes_accessed=k * s * (l_pad + s // 8),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(scalars, sym, pack, batch)
 
 
 # --------------------------------------------------------------------- #

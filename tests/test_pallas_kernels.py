@@ -45,6 +45,38 @@ def test_within_tile_kernel_multi_tile_grid():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("buckets,size,length,max_distance", [
+    (3, 128, 20, 1), (2, 256, 33, 2),
+])
+def test_bucket_within_packed_matches_numpy(buckets, size, length,
+                                            max_distance):
+    """Per-bucket all-pairs kernel (interpret mode) vs brute force,
+    including _PAD_SYMBOL rows (match nothing) and padded length."""
+    from fastqdedup_tpu.ops.pallas_hamming import bucket_within_packed
+
+    rng = np.random.default_rng(9)
+    l_pad = -(-length // 16) * 16
+    batch = np.full((buckets, size, l_pad), 0xFF, dtype=np.uint8)
+    fills = []
+    for k in range(buckets):
+        fill = int(rng.integers(2, size))
+        a, _ = mutated_pair(rng, fill, length, 5)
+        batch[k, :fill, :length] = a
+        fills.append(fill)
+    scalars = np.array([[length, max_distance]], dtype=np.int32)
+    got = np.asarray(bucket_within_packed(batch, scalars, 8))
+    assert got.shape == (buckets, size, size // 8)
+    unpacked = np.unpackbits(got, axis=-1, bitorder="little")
+    for k, fill in enumerate(fills):
+        rows = batch[k, :fill, :length]
+        want = (rows[:, None, :] != rows[None, :, :]).sum(2) <= max_distance
+        np.testing.assert_array_equal(
+            unpacked[k, :fill, :fill].astype(bool), want)
+        # Padded rows match nothing, including each other.
+        assert not unpacked[k, fill:, :].any()
+        assert not unpacked[k, :, fill:].any()
+
+
 @pytest.mark.parametrize("length,max_distance", [(24, 1), (7, 2), (40, 0)])
 def test_rowwise_within_packed_matches_numpy(length, max_distance):
     rng = np.random.default_rng(9)
