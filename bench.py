@@ -82,12 +82,57 @@ def generate_fastq(path: str, n_reads: int, read_len: int,
             f.write(block.tobytes())
 
 
+def measure_mode(run_one, n_reads: int, use_edit: bool,
+                 warm_src_is_src: bool) -> dict:
+    """Adaptive warm-up + best-of-N measured runs for one distance mode.
+
+    Returns {"elapsed", "times", "warm_times"}; every run's wall time is
+    reported so nothing is hidden.
+    """
+    # Warm ADAPTIVELY: on virtualized hosts the kernel hands back
+    # lazily-backed pages whose first touch costs seconds per GiB, and
+    # that tax decays over the first several runs as the process's
+    # recycled buffer pool gets fully backed.  Keep warming until the
+    # run time plateaus (improvement < 15% run over run) so the measured
+    # attempts below start at steady state.
+    max_warm = 8 if n_reads <= 2_000_000 else 2
+    warm_times = []
+    prev = float("inf")
+    for w in range(max_warm):
+        dt = run_one(use_edit, warm=True, attempt=w)
+        warm_times.append(round(dt, 2))
+        if dt > prev * 0.85:
+            break
+        prev = dt
+
+    # Best of N measured runs, spread reported: dispatch latency through
+    # a tunneled TPU and the host's lazily-backed memory swing run to
+    # run; the best run reflects the pipeline's capability and the
+    # spread quantifies host/tunnel weather.  The warm runs above
+    # execute the IDENTICAL full pipeline, so they are legitimate
+    # samples too when they ran on the measured input.
+    attempts = 5 if n_reads <= 2_000_000 else 3
+    times = [run_one(use_edit, warm=False, attempt=a)
+             for a in range(attempts)]
+    candidates = list(times)
+    if warm_src_is_src:
+        candidates += warm_times
+    return {"elapsed": min(candidates),
+            "times": [round(t, 2) for t in times],
+            "warm_times": warm_times}
+
+
 def main() -> None:
     n_reads = int(os.environ.get("BENCH_READS", 1_000_000))
     read_len = int(os.environ.get("BENCH_READ_LEN", 100))
     umi_len = int(os.environ.get("BENCH_UMI_LEN", 12))
     method = os.environ.get("BENCH_METHOD", "directional")
-    use_edit = os.environ.get("BENCH_EDIT") == "1"
+    # BENCH_EDIT: "1" -> edit mode IS the headline metric; "0" -> skip
+    # edit entirely; unset -> headline is Hamming and an edit-mode
+    # measurement is reported alongside it in the same JSON line.
+    edit_env = os.environ.get("BENCH_EDIT")
+    use_edit = edit_env == "1"
+    also_edit = edit_env is None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from fastqdedup_tpu.dissect import CLUSTER_DISSECTION_METHODS
@@ -117,57 +162,43 @@ def main() -> None:
     else:
         warm_src = os.path.join(workdir, "warm.fastq.gz")
         generate_fastq(warm_src, 10_000_000, read_len, umi_len, seed=11)
-    # Warm ADAPTIVELY: on virtualized hosts the kernel hands back
-    # lazily-backed pages whose first touch costs seconds per GiB, and
-    # that tax decays over the first several runs as the process's
-    # recycled buffer pool gets fully backed.  Keep warming until the
-    # run time plateaus (improvement < 15% run over run) so the measured
-    # attempts below start at steady state; every warm run's wall time
-    # is reported so nothing is hidden.
-    max_warm = 8 if n_reads <= 2_000_000 else 2
-    warm_times = []
-    prev = float("inf")
-    for _ in range(max_warm):
-        t0 = time.perf_counter()
-        deduplicate_cluster([warm_src], [warm_out], None, 1, 0.001,
-                            CLUSTER_DISSECTION_METHODS[method], use_edit)
-        dt = time.perf_counter() - t0
-        warm_times.append(round(dt, 2))
-        if dt > prev * 0.85:
-            break
-        prev = dt
 
-    # Best of N measured runs, spread reported: dispatch latency through
-    # a tunneled TPU and the host's lazily-backed memory swing run to
-    # run (identical runs measure 1x-4x apart within a minute); the best
-    # run reflects the pipeline's capability and the spread quantifies
-    # host/tunnel weather.  The warm runs above execute the IDENTICAL
-    # full pipeline, so they are legitimate samples too — the best is
-    # taken across all of them, with every run's wall time reported.
-    attempts = 5 if n_reads <= 2_000_000 else 3
-    times = []
-    for attempt in range(attempts):
-        out_path = f"{out}.{attempt}"
+    def run_one(edit: bool, warm: bool, attempt: int) -> float:
+        in_path = warm_src if warm else src
+        # One output path per mode, overwritten on every run: measured
+        # runs then hit page-cache pages the warm-up already backed.
+        out_path = warm_out if warm else f"{out}.{'e' if edit else 'h'}"
         start = time.perf_counter()
-        deduplicate_cluster([src], [out_path], None, 1, 0.001,
-                            CLUSTER_DISSECTION_METHODS[method], use_edit)
-        times.append(time.perf_counter() - start)
+        deduplicate_cluster([in_path], [out_path], None, 1, 0.001,
+                            CLUSTER_DISSECTION_METHODS[method], edit)
+        return time.perf_counter() - start
 
-    candidates = list(times)
-    if warm_src == src:
-        candidates += warm_times
-    elapsed = min(candidates)
-    reads_per_sec = n_reads / elapsed
-    print(json.dumps({
+    headline = measure_mode(run_one, n_reads, use_edit,
+                            warm_src_is_src=(warm_src == src))
+    reads_per_sec = n_reads / headline["elapsed"]
+    result = {
         "metric": f"end-to-end dedup throughput "
                   f"({n_reads} reads, {read_len}bp, {method}"
                   f"{', edit' if use_edit else ''})",
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 4),
-        "runs_s": [round(t, 2) for t in times],
-        "warm_runs_s": warm_times,
-    }))
+        "runs_s": headline["times"],
+        "warm_runs_s": headline["warm_times"],
+    }
+    if also_edit:
+        # Second measurement in the SAME JSON line: Levenshtein mode
+        # (banded-DP kernels; semantics pinned by the reference's
+        # tests/test__distance.py:37-60).
+        edit_res = measure_mode(run_one, n_reads, True,
+                                warm_src_is_src=(warm_src == src))
+        result["edit_reads_per_sec"] = round(
+            n_reads / edit_res["elapsed"], 1)
+        result["edit_vs_baseline"] = round(
+            n_reads / edit_res["elapsed"] / BASELINE_READS_PER_SEC, 4)
+        result["edit_runs_s"] = edit_res["times"]
+        result["edit_warm_runs_s"] = edit_res["warm_times"]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -238,13 +238,16 @@ def read_fastq_chunks(filename: str,
     Pure-Python fallback path; the native C parser is used automatically when
     available (see fastqdedup_tpu.native).
     """
-    try:
-        from ..native import read_fastq_chunks_native
-    except ImportError:
-        read_fastq_chunks_native = None
-    if read_fastq_chunks_native is not None:
-        yield from read_fastq_chunks_native(filename, chunk_records)
-        return
+    if not filename.endswith((".bz2", ".xz", ".zst")):
+        # The native parser speaks gzip/BGZF/plain; other codecs stream
+        # through the Python line parser below via the xopen codec layer.
+        try:
+            from ..native import read_fastq_chunks_native
+        except ImportError:
+            read_fastq_chunks_native = None
+        if read_fastq_chunks_native is not None:
+            yield from read_fastq_chunks_native(filename, chunk_records)
+            return
     with xopen(filename, "rb") as file:
         line_number = 0
         lines: List[bytes] = []

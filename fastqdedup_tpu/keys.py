@@ -11,14 +11,20 @@ strings for the average-error-rate filter.
 from typing import Callable, Iterable, List, Optional
 
 
+def _parse_slice_field(field: str) -> Optional[int]:
+    return None if field in ("", "None") else int(field)
+
+
 def length_string_to_slices(length_string: str) -> List[slice]:
-    """Convert ``"8,8:16,::-1"``-style strings to a list of slice objects."""
-    slices = []
-    for part in length_string.split(","):
-        values = [None if value in ("", "None") else int(value)
-                  for value in part.split(":")]
-        slices.append(slice(*values))
-    return slices
+    """Convert ``"8,8:16,::-1"``-style strings to a list of slice objects.
+
+    Comma-separated entries, one per input file; each entry is either a
+    plain length ``N`` (meaning ``:N``) or full ``start:stop:step`` slice
+    notation with empty/``None`` fields allowed (capability of reference
+    ``__init__.py:364-375``).
+    """
+    return [slice(*map(_parse_slice_field, entry.split(":")))
+            for entry in length_string.split(",")]
 
 
 def joinfunc_from_check_slices(

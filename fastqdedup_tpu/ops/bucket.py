@@ -172,6 +172,10 @@ def _bucketed_within(batch: np.ndarray, alphabet_size: int,
 # coarse class — MXU cycles are free next to tunnel round trips.
 SIZE_CLASSES = (128, 512, 2048)
 
+# Largest per-length key count whose i*n+j pair codes fit int64
+# (isqrt(2^63)); see hamming_neighbor_pairs_bucketed.
+_HAMMING_PAIR_CODE_LIMIT = 3_037_000_499
+
 # Buckets at or below this size are compared on the HOST: a size-s
 # bucket holds only s(s-1)/2 pairs for s*L key bytes of device transfer,
 # so tiny buckets (the overwhelming majority at production key counts)
@@ -330,6 +334,14 @@ def hamming_neighbor_pairs_bucketed(
 
     pid, nproc = shard
     n, length = matrix.shape
+    if n > _HAMMING_PAIR_CODE_LIMIT:
+        # Dedup codes pack (i, j) as i*n + j in int64; beyond ~3.03e9
+        # rows (n^2 > 2^63) the packing would silently wrap.  At ~100 B
+        # per unique key that is a ~300 GB single-length key table —
+        # shard the input before hitting this.
+        raise OverflowError(
+            f"too many equal-length unique keys for pair encoding: "
+            f"{n} > {_HAMMING_PAIR_CODE_LIMIT}")
     if n < 2:
         return (np.empty(0, dtype=np.int64),) * 2
     if length <= max_distance:
@@ -543,6 +555,16 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
     """
     d = max_distance
     num_segments = d + 1
+    total_keys = max((int(g.max()) + 1 for g in group_indices if len(g)),
+                     default=0)
+    if total_keys > _PAIR_BASE:
+        # Edit-mode codes pack (i, j) as i*2^31 + j in int64; global key
+        # indices at or above 2^31 would silently alias.  (The Hamming
+        # path has its own, higher limit — see
+        # hamming_neighbor_pairs_bucketed.)
+        raise OverflowError(
+            f"too many unique keys for edit-mode pair encoding: "
+            f"{total_keys} > {_PAIR_BASE}")
     pair_parts: List[np.ndarray] = []
 
     # Keys shorter than d+1 have zero-width pigeonhole segments, so the

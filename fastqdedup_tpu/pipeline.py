@@ -254,7 +254,7 @@ def _compact_chunk(chunk: FastqChunk) -> FastqChunk:
     from .runtime import big_empty
 
     def own(a: np.ndarray) -> np.ndarray:
-        base = a.base if a.base is not None else a
+        base = a.base if isinstance(a.base, np.ndarray) else a
         # Copy when the view pins >12.5% slack in its base allocation.
         if base.nbytes > a.nbytes + (a.nbytes >> 3):
             out = big_empty(a.shape, dtype=a.dtype)

@@ -1,35 +1,46 @@
-"""Trie statistics pretty-printer (reference __init__.py:133-157)."""
+"""Trie statistics report.
 
-import io
+Produces the same DEBUG text the reference prints (node-size histogram per
+trie layer plus a node/suffix/total memory split — capability of reference
+``__init__.py:133-157``), but computed here as a numpy column reduction over
+the raw-stats matrix rather than running Python accumulators row by row.
+"""
+
+from typing import Iterable, List
+
+import numpy as np
 
 from .trie import Trie
 
+_NODE_HEADER_BYTES = 8    # per-node fixed cost in the reference model
+_NODE_SLOT_BYTES = 8      # per-child-slot cost (8 + 8*width bytes/node)
+
+
+def _row(cells: Iterable) -> str:
+    return "".join(f"{cell:10}" for cell in cells) + "\n"
+
 
 def trie_stats(trie: Trie) -> str:
-    """Layer histogram + memory breakdown, formatted like the reference."""
-    outbuffer = io.StringIO()
-    raw_stats = trie.raw_stats()
-    layer_size = len(trie.alphabet) + 1
-    all_totals = [0 for _ in range(layer_size + 1)]
-    outbuffer.write("layer     terminal  " +
-                    "".join(f"{i:10}" for i in range(1, layer_size)) +
-                    "     total\n")
-    for i, layer_stats in enumerate(raw_stats):
-        total = sum(layer_stats)
-        for j in range(layer_size):
-            all_totals[j] += layer_stats[j]
-        all_totals[layer_size] += total
-        line = [str(i)] + list(layer_stats) + [total]
-        outbuffer.write("".join(f"{v:10}" for v in line) + "\n")
-    last_line = ["total"] + all_totals
-    outbuffer.write("".join(f"{v:10}" for v in last_line) + "\n")
-    node_memory_usage = sum((8 + 8 * i) * all_totals[i]
-                            for i in range(layer_size))
-    total_memory_usage = trie.memory_size()
-    suffix_memory_usage = total_memory_usage - node_memory_usage
-    gb = 1024 ** 3
-    outbuffer.write(
-        f"Node memory usage: {node_memory_usage / gb:.2} GiB\n"
-        f"Suffix memory usage: {suffix_memory_usage / gb:.2} GiB\n"
-        f"Total memory usage: {total_memory_usage / gb:.2} GiB\n")
-    return outbuffer.getvalue()
+    """Layer histogram + memory breakdown as one formatted string."""
+    width = len(trie.alphabet) + 1
+    matrix = np.asarray(trie.raw_stats(), dtype=np.int64).reshape(-1, width)
+    per_layer = matrix.sum(axis=1)
+    per_size = matrix.sum(axis=0)
+
+    lines: List[str] = [
+        "layer     terminal  "
+        + "".join(f"{size:10}" for size in range(1, width)) + "     total\n"
+    ]
+    for layer, row in enumerate(matrix):
+        lines.append(_row([str(layer), *row.tolist(), int(per_layer[layer])]))
+    lines.append(_row(["total", *per_size.tolist(), int(per_layer.sum())]))
+
+    slot_costs = _NODE_HEADER_BYTES + _NODE_SLOT_BYTES * np.arange(width)
+    node_bytes = int(slot_costs @ per_size)
+    total_bytes = trie.memory_size()
+    gib = float(1 << 30)
+    lines.append(f"Node memory usage: {node_bytes / gib:.2} GiB\n")
+    lines.append(f"Suffix memory usage: {(total_bytes - node_bytes) / gib:.2}"
+                 f" GiB\n")
+    lines.append(f"Total memory usage: {total_bytes / gib:.2} GiB\n")
+    return "".join(lines)

@@ -1,19 +1,26 @@
-"""Phase timing, mirroring the reference's Timer
-(/root/reference/src/fastqdedup/__init__.py:42-51)."""
+"""Phase wall-clock timing for the pipeline's INFO log lines.
+
+The log format (a rounded ``datetime.timedelta`` per phase) is part of the
+drop-in parity surface (capability of reference ``__init__.py:42-51``).
+"""
 
 import datetime
 import time
 
 
 class Timer:
-    """Returns the (rounded) timedelta since the previous call and resets."""
+    """Stopwatch that restarts on every read.
 
-    def __init__(self):
-        self.start_time = time.time()
+    ``get_difference()`` returns the whole-second timedelta since the last
+    read (or construction) and begins the next interval.
+    """
+
+    __slots__ = ("_last",)
+
+    def __init__(self) -> None:
+        self._last = time.monotonic()
 
     def get_difference(self) -> datetime.timedelta:
-        current_time = time.time()
-        delta = datetime.timedelta(
-            seconds=round(current_time - self.start_time))
-        self.start_time = current_time
-        return delta
+        now = time.monotonic()
+        elapsed, self._last = now - self._last, now
+        return datetime.timedelta(seconds=round(elapsed))

@@ -64,3 +64,33 @@ def test_main_end_to_end(tmp_path, monkeypatch):
         payload = f.read()
     assert payload.startswith(b"@r")
     assert payload.count(b"\n") % 4 == 0
+
+
+@pytest.mark.parametrize("ext", ["gz", "bz2", "xz", "zst"])
+def test_compressed_format_round_trip(ext, tmp_path, monkeypatch):
+    """xopen parity: every codec the reference's xopen handles
+    transparently (.gz/.bz2/.xz/.zst) round-trips through the CLI."""
+    if ext == "zst":
+        pytest.importorskip("zstandard")
+    from fastqdedup_tpu.io.opener import xopen
+
+    rng = random.Random(3)
+    records = []
+    for i in range(40):
+        seq = "".join(rng.choice("ACGT") for _ in range(16))
+        records.append(f"@r{i}\n{seq}\n+\n{'I' * 16}\n")
+    payload = "".join(records).encode()
+    src = tmp_path / f"in.fastq.{ext}"
+    with xopen(str(src), "wb") as f:
+        f.write(payload)
+    with xopen(str(src), "rb") as f:
+        assert f.read() == payload
+
+    out = tmp_path / f"out.fastq.{ext}"
+    monkeypatch.setattr(sys, "argv", [
+        "fastqdedup", "-q", "-o", str(out), str(src)])
+    main()
+    with xopen(str(out), "rb") as f:
+        result = f.read()
+    assert result.startswith(b"@r")
+    assert result.count(b"\n") % 4 == 0

@@ -235,3 +235,36 @@ def test_edit_kernel_batch_matches_scalar():
 
     for i, (a, b) in enumerate(pairs):
         assert got[i] == full_lev(a, b), (a, b)
+
+
+def test_hamming_pair_code_limit_documented():
+    """The i*n+j int64 packing refuses key counts that would wrap."""
+    import numpy as np
+    import pytest
+
+    from fastqdedup_tpu.ops import bucket
+
+    matrix = np.zeros((4, 8), dtype=np.uint8)
+    fake = bucket._HAMMING_PAIR_CODE_LIMIT
+
+    class _Huge(np.ndarray):
+        @property
+        def shape(self):
+            return (fake + 1, 8)
+
+    huge = matrix.view(_Huge)
+    with pytest.raises(OverflowError, match="equal-length unique keys"):
+        bucket.hamming_neighbor_pairs_bucketed(huge, 5, 1)
+
+
+def test_edit_pair_code_limit_documented():
+    """Edit-mode i*2^31+j packing refuses global indices >= 2^31."""
+    import numpy as np
+    import pytest
+
+    from fastqdedup_tpu.ops import bucket
+
+    matrix = np.zeros((2, 8), dtype=np.uint8)
+    gidx = np.asarray([0, bucket._PAIR_BASE + 5], dtype=np.int64)
+    with pytest.raises(OverflowError, match="edit-mode pair encoding"):
+        bucket.edit_candidate_pairs([matrix], [gidx], 1)
