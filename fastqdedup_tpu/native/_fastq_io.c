@@ -1256,10 +1256,16 @@ static int acc_meta_grow(KeyAcc *a) {
 
 /* Insert/update one batch of ragged keys.
  * counted: optional uint8[n] (NULL = every record counts); first_pos is
- * tracked for every record either way.  base = global index of record 0. */
-int acc_add(KeyAcc *a, const unsigned char *key_data,
-            const int64_t *key_offsets, const unsigned char *counted,
-            int64_t n, int64_t base) {
+ * tracked for every record either way.  base = global index of record 0.
+ * is_new: optional uint8[n] output — 1 where the record inserted a key
+ * not seen before (i.e. the record IS its key's first occurrence, since
+ * batches arrive in global record order); such records are exactly the
+ * candidates pass 3 may emit, so the caller can snapshot their rendered
+ * bytes instead of re-reading the input (pipeline record-arena mode). */
+static int acc_add_impl(KeyAcc *a, const unsigned char *key_data,
+                        const int64_t *key_offsets,
+                        const unsigned char *counted,
+                        int64_t n, int64_t base, unsigned char *is_new) {
     /* Hash a small window ahead and prefetch the home slots: at tens of
      * millions of keys every probe is a random DRAM access, and issuing
      * a batch of independent loads overlaps their latency (the probe
@@ -1283,6 +1289,7 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
         uint64_t h = hwin[w];
         size_t mask = a->cap - 1;
         size_t j = (size_t)h & mask;
+        int inserted = 0;
         int64_t idx;
         for (;;) {
             const AccSlot *e = &a->slots[j];
@@ -1319,7 +1326,9 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
             a->key_off[idx] = (int64_t)a->arena_len;
             a->arena_len += len;
             a->used++;
+            inserted = 1;
         }
+        if (is_new) is_new[i] = (unsigned char)inserted;
         if (!counted || counted[i]) a->count[idx]++;
         if (base + i < a->first_pos[idx]) a->first_pos[idx] = base + i;
         if (a->used * 4 > a->cap * 3) {
@@ -1327,6 +1336,18 @@ int acc_add(KeyAcc *a, const unsigned char *key_data,
         }
     }
     return FQ_OK;
+}
+
+int acc_add(KeyAcc *a, const unsigned char *key_data,
+            const int64_t *key_offsets, const unsigned char *counted,
+            int64_t n, int64_t base) {
+    return acc_add_impl(a, key_data, key_offsets, counted, n, base, NULL);
+}
+
+int acc_add_mark(KeyAcc *a, const unsigned char *key_data,
+                 const int64_t *key_offsets, const unsigned char *counted,
+                 int64_t n, int64_t base, unsigned char *is_new) {
+    return acc_add_impl(a, key_data, key_offsets, counted, n, base, is_new);
 }
 
 int64_t acc_size(const KeyAcc *a) { return (int64_t)a->used; }

@@ -49,6 +49,10 @@ _lib.acc_free.argtypes = [ctypes.c_void_p]
 _lib.acc_add.restype = ctypes.c_int
 _lib.acc_add.argtypes = [ctypes.c_void_p, _u8p, _i64p,
                          ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+_lib.acc_add_mark.restype = ctypes.c_int
+_lib.acc_add_mark.argtypes = [ctypes.c_void_p, _u8p, _i64p,
+                              ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_int64, _u8p]
 _lib.acc_size.restype = ctypes.c_int64
 _lib.acc_size.argtypes = [ctypes.c_void_p]
 _lib.acc_key_bytes.restype = ctypes.c_int64
@@ -283,6 +287,28 @@ class KeyAccumulator:
         if rc != _FQ_OK:
             raise MemoryError("key accumulator allocation failure")
 
+    def add_mark(self, key_data: np.ndarray, key_offsets: np.ndarray,
+                 counted, base: int) -> np.ndarray:
+        """Like :meth:`add`, but also returns a uint8 [n] mask marking the
+        records that inserted a previously-unseen key — i.e. each marked
+        record IS its key's first occurrence (batches arrive in global
+        record order), which is exactly the candidate set pass 3 may emit
+        (record-arena mode)."""
+        n = len(key_offsets) - 1
+        key_data = np.ascontiguousarray(key_data, dtype=np.uint8)
+        key_offsets = np.ascontiguousarray(key_offsets, dtype=np.int64)
+        if counted is None:
+            cptr = None
+        else:
+            counted = np.ascontiguousarray(counted, dtype=np.uint8)
+            cptr = counted.ctypes.data_as(ctypes.c_void_p)
+        is_new = np.empty(n, dtype=np.uint8)
+        rc = _lib.acc_add_mark(self._handle, key_data, key_offsets, cptr,
+                               n, int(base), is_new)
+        if rc != _FQ_OK:
+            raise MemoryError("key accumulator allocation failure")
+        return is_new
+
     def lookup(self, key_data: np.ndarray,
                key_offsets: np.ndarray) -> np.ndarray:
         """int64 [n]: stored first_pos per queried key, -1 where absent.
@@ -343,35 +369,45 @@ class KeyAccumulator:
 def render_records_native(seq: np.ndarray, qual: np.ndarray,
                           offsets: np.ndarray, head: np.ndarray,
                           head_offsets: np.ndarray,
-                          rows: np.ndarray) -> np.ndarray:
+                          rows: np.ndarray,
+                          return_offsets: bool = False):
     """Serialize selected FASTQ records to one uint8 buffer (C memcpy).
 
     Each row's output offset is the cumsum of rendered record sizes, so
     rows render independently — split across pthreads for large batches.
+    With ``return_offsets`` the per-row output offsets come back too (as
+    an int64 [n+1] array with total-size sentinel), making the result a
+    ragged record store that ``gather_ragged_native`` can sub-select —
+    the record-arena fast path of pass 3.
     """
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     s0 = offsets[rows]
     sl = offsets[rows + 1] - s0
     hl = head_offsets[rows + 1] - head_offsets[rows]
     if not len(rows):
-        return np.empty(0, dtype=np.uint8)
+        empty = np.empty(0, dtype=np.uint8)
+        if return_offsets:
+            return empty, np.zeros(1, dtype=np.int64)
+        return empty
     sizes = 1 + hl + 1 + sl + 3 + sl + 1
-    out_offsets = np.empty(len(rows), dtype=np.int64)
-    out_offsets[0] = 0
-    np.cumsum(sizes[:-1], out=out_offsets[1:])
-    total = int(out_offsets[-1] + sizes[-1])
+    bounds = np.empty(len(rows) + 1, dtype=np.int64)
+    bounds[0] = 0
+    np.cumsum(sizes, out=bounds[1:])
+    out_offsets = bounds[:-1]
+    total = int(bounds[-1])
     from ..runtime import big_empty
     out = big_empty(total, dtype=np.uint8)
-    if not total:
-        return out
-    nthreads = min(8, os.cpu_count() or 1) if len(rows) >= 4096 else 1
-    _lib.fq_render_records_mt(
-        np.ascontiguousarray(seq, dtype=np.uint8),
-        np.ascontiguousarray(qual, dtype=np.uint8),
-        np.ascontiguousarray(offsets, dtype=np.int64),
-        np.ascontiguousarray(head, dtype=np.uint8),
-        np.ascontiguousarray(head_offsets, dtype=np.int64),
-        rows, len(rows), out_offsets, out, nthreads)
+    if total:
+        nthreads = min(8, os.cpu_count() or 1) if len(rows) >= 4096 else 1
+        _lib.fq_render_records_mt(
+            np.ascontiguousarray(seq, dtype=np.uint8),
+            np.ascontiguousarray(qual, dtype=np.uint8),
+            np.ascontiguousarray(offsets, dtype=np.int64),
+            np.ascontiguousarray(head, dtype=np.uint8),
+            np.ascontiguousarray(head_offsets, dtype=np.int64),
+            rows, len(rows), out_offsets, out, nthreads)
+    if return_offsets:
+        return out, bounds
     return out
 
 

@@ -449,6 +449,59 @@ def _make_key_accumulator(expected: int = 1 << 20):
         return _NumpyKeyAccumulator(expected)
 
 
+class _RecordArenaStore:
+    """Rendered first-occurrence records, captured during pass 1.
+
+    Pass 3 emits exactly the records ``{first_pos(k) : k kept}`` (the
+    first occurrence of each kept key in file order, reference
+    __init__.py:203-206), and every such record announces itself in
+    pass 1 as the insert of a previously-unseen key.  Rendering those
+    records to FASTQ bytes at insert time turns pass 3 into a pure
+    gather + compress over this store — no chunk cache, no re-stream of
+    the inputs, and memory proportional to UNIQUE keys rather than all
+    records.  Exceeding the byte budget abandons the store (pass 3 then
+    re-streams), so worst-case memory matches the old path.
+    """
+
+    def __init__(self, num_files: int, budget_bytes: int):
+        self.positions: List[np.ndarray] = []  # ascending, per part
+        self.parts: List[List[Tuple[np.ndarray, np.ndarray]]] = \
+            [[] for _ in range(num_files)]     # (payload, bounds) per file
+        self.bytes = 0
+        self.budget = budget_bytes
+        self.abandoned = False
+
+    def add(self, chunks: Tuple[FastqChunk, ...], is_new: np.ndarray,
+            base: int) -> None:
+        """Render the marked records of one chunk tuple (accumulate
+        worker; FIFO order keeps part positions globally ascending)."""
+        if self.abandoned:
+            return
+        from .native.loader import render_records_native
+        rows = np.flatnonzero(is_new).astype(np.int64)
+        self.positions.append(base + rows)
+        for f, chunk in enumerate(chunks):
+            payload, bounds = render_records_native(
+                chunk.sequences, chunk.qualities, chunk.offsets,
+                chunk.headers, chunk.header_offsets, rows,
+                return_offsets=True)
+            self.parts[f].append((payload, bounds))
+            self.bytes += payload.nbytes
+        if self.bytes > self.budget:
+            logger.debug(
+                "record arena exceeded the memory budget "
+                f"({self.bytes / (1 << 30):.2f} GiB); pass 3 will "
+                f"re-stream the inputs")
+            self.abandon()
+
+    def abandon(self) -> None:
+        self.abandoned = True
+        self.positions.clear()
+        for file_parts in self.parts:
+            file_parts.clear()
+        self.bytes = 0
+
+
 def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
                      counts: np.ndarray, first_pos: np.ndarray,
                      single_table: bool = False,
@@ -579,17 +632,36 @@ def _quality_mask(qual_data, qual_offsets, max_average_error_rate
 
 
 def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
-                           b, base):
+                           b, base, store=None, chunks=None):
     """Add one chunk's keys to the accumulator, gated on its quality mask.
 
     Runs on the single accumulate worker (FIFO order preserves
     first-position semantics); the quality reduction runs concurrently on
-    its own worker and is awaited here.  Returns (records_in, kept).
+    its own worker and is awaited here.  With a live record-arena
+    ``store``, new-key records are rendered into it as a side effect.
+    Returns (records_in, kept).
     """
     counted = mask_future.result() if mask_future is not None else None
-    accumulator.add(key_data, key_offsets, counted, base)
+    if store is not None and not store.abandoned:
+        is_new = accumulator.add_mark(key_data, key_offsets, counted, base)
+        store.add(chunks, is_new, base)
+    else:
+        accumulator.add(key_data, key_offsets, counted, base)
     kept = int(counted.sum()) if counted is not None else b
     return b, kept
+
+
+def _kept_first_positions(groups: KeyGroups,
+                          kept_mask: List[np.ndarray]) -> np.ndarray:
+    """Global record positions pass 3 emits: first_pos of every kept key."""
+    assert groups.first_pos is not None, \
+        "pass 3 requires first-occurrence positions from pass 1"
+    parts: List[np.ndarray] = []
+    for g in range(len(groups.lengths)):
+        km = kept_mask[g]
+        if len(km) and km.any():
+            parts.append(groups.first_pos[g][km])
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
 def deduplicate_cluster(
@@ -667,6 +739,15 @@ def deduplicate_cluster(
     from concurrent.futures import ThreadPoolExecutor
 
     accumulator = _make_key_accumulator()
+    # Record-arena mode (single host, native accumulator): render each
+    # new key's first record during pass 1 and skip both the chunk cache
+    # and pass 3's re-stream entirely.  Memory: O(unique keys) rendered
+    # bytes instead of O(records) cached chunks.
+    record_store: Optional[_RecordArenaStore] = None
+    if nproc == 1 and hasattr(accumulator, "add_mark") \
+            and os.environ.get("FASTQDEDUP_RECORD_ARENA", "1") != "0":
+        record_store = _RecordArenaStore(len(input_files), memory_budget)
+        cached_chunks = None
     accumulate_pool = ThreadPoolExecutor(max_workers=1)
     quality_pool = ThreadPoolExecutor(max_workers=1) \
         if filter_on_quality else None
@@ -744,7 +825,7 @@ def deduplicate_cluster(
             max_average_error_rate) if quality_pool is not None else None
         accumulate_futures.append(accumulate_pool.submit(
             _filter_and_accumulate, accumulator, key_data, key_offsets,
-            mask_future, b, base))
+            mask_future, b, base, record_store, chunks))
         _p1["submit"] += _time.perf_counter() - _t
 
     _t = _time.perf_counter()
@@ -1062,12 +1143,85 @@ def deduplicate_cluster(
                 f"({timer.get_difference()})")
 
     # ---------------- Pass 3: filtered rewrite ---------------------------
-    _filter_and_write(input_files, output_files, check_slices, groups,
-                      kept_mask, chunk_records, cached_chunks,
-                      pid=pid, nproc=nproc, shard_base=shard_base,
-                      sharded_input=sharded_input)
+    if record_store is not None and not record_store.abandoned:
+        _write_from_record_store(output_files, groups, kept_mask,
+                                 record_store)
+    else:
+        _filter_and_write(input_files, output_files, check_slices, groups,
+                          kept_mask, chunk_records, cached_chunks,
+                          pid=pid, nproc=nproc, shard_base=shard_base,
+                          sharded_input=sharded_input)
     logger.info(f"Filtered FASTQ files based on distinct reads from each "
                 f"cluster. ({timer.get_difference()}) ")
+
+
+def _write_from_record_store(output_files: List[str], groups: KeyGroups,
+                             kept_mask: List[np.ndarray],
+                             store: _RecordArenaStore) -> None:
+    """Pass 3 via the record arena: gather the kept keys' pre-rendered
+    first-occurrence records (captured at insert time in pass 1) and
+    stream them to the compressors — the inputs are never re-read.
+
+    Emits the identical byte stream to :func:`_filter_and_write`: parts
+    are walked in chunk order, rows within a part in ascending record
+    position, which IS file order.
+    """
+    import queue
+    import threading
+
+    from .native.loader import gather_ragged_native
+
+    kept_sorted = np.sort(_kept_first_positions(groups, kept_mask))
+    writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
+    write_queue: "queue.Queue" = queue.Queue(maxsize=8)
+    write_error: List[BaseException] = []
+
+    def write_worker():
+        while True:
+            item = write_queue.get()
+            if item is None:
+                return
+            index, payload = item
+            try:
+                if not write_error:
+                    writers[index].write(payload)
+            except BaseException as exc:  # surfaced after join
+                write_error.append(exc)
+
+    worker = threading.Thread(target=write_worker, daemon=True)
+    worker.start()
+    try:
+        for part_index, positions in enumerate(store.positions):
+            if not len(positions):
+                continue
+            lo = np.searchsorted(kept_sorted, positions[0])
+            hi = np.searchsorted(kept_sorted, positions[-1], side="right")
+            want = kept_sorted[lo:hi]
+            if not len(want):
+                continue
+            rows = np.searchsorted(positions, want)
+            # Every kept first_pos is the position of a record that
+            # inserted its key, so it must be present in the store.
+            if rows[-1] >= len(positions) or \
+                    not np.array_equal(positions[rows], want):
+                raise RuntimeError(
+                    "record arena is missing kept first occurrences")
+            for index in range(len(output_files)):
+                payload, bounds = store.parts[index][part_index]
+                out_bounds = np.zeros(len(rows) + 1, dtype=np.int64)
+                np.cumsum(bounds[rows + 1] - bounds[rows],
+                          out=out_bounds[1:])
+                selected = gather_ragged_native(payload, bounds, rows,
+                                                out_bounds)
+                if len(selected):
+                    write_queue.put((index, selected))
+    finally:
+        write_queue.put(None)
+        worker.join()
+        for writer in writers:
+            writer.close()
+        if write_error:
+            raise write_error[0]
 
 
 def _filter_and_write(input_files: List[str], output_files: List[str],
@@ -1117,15 +1271,7 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     # read one mask window per chunk.  (An earlier design rebuilt a hash
     # table over kept key BYTES and probed it per record — minutes at
     # 100M reads; the position identity makes it O(kept) setup.)
-    assert groups.first_pos is not None, \
-        "pass 3 requires first-occurrence positions from pass 1"
-    fps_parts: List[np.ndarray] = []
-    for g in range(len(groups.lengths)):
-        km = kept_mask[g]
-        if len(km) and km.any():
-            fps_parts.append(groups.first_pos[g][km])
-    kept_fps = np.concatenate(fps_parts) if fps_parts \
-        else np.empty(0, dtype=np.int64)
+    kept_fps = _kept_first_positions(groups, kept_mask)
     # Keep the mask local: this host renders only positions in
     # [shard_base, shard_base + _SHARD_STRIDE); kept keys first seen by
     # another shard can never emit here.  (Strided multi-host mode has

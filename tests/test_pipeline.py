@@ -176,10 +176,41 @@ def test_memory_budget_fallback_restreams(tmp_path, monkeypatch):
     out_cached = tmp_path / "cached.fastq.gz"
     out_stream = tmp_path / "streamed.fastq.gz"
     deduplicate_cluster([str(src)], [str(out_cached)], None, 1, 1.0)
-    monkeypatch.setenv("FASTQDEDUP_MEMORY_LIMIT", "0")
+    # A 1-byte budget drops the chunk cache immediately AND abandons the
+    # record arena after its first part, forcing the re-stream path.
+    monkeypatch.setenv("FASTQDEDUP_MEMORY_LIMIT", "1")
     deduplicate_cluster([str(src)], [str(out_stream)], None, 1, 1.0)
     assert gzip.open(out_cached, "rb").read() == \
         gzip.open(out_stream, "rb").read()
+
+
+def test_record_arena_paths_byte_identical(tmp_path, monkeypatch):
+    """All three pass-3 strategies produce the same bytes: record arena
+    (default), chunk cache (arena off), and re-stream (no cache)."""
+    import gzip
+
+    from fastqdedup_tpu.pipeline import deduplicate_cluster
+
+    rng = random.Random(17)
+    reads = _random_reads(rng, 400, 24)
+    src1 = tmp_path / "r1.fastq.gz"
+    src2 = tmp_path / "r2.fastq.gz"
+    _make_fastq(src1, [(f"{n} 1:x", s, q) for n, s, q in reads])
+    _make_fastq(src2, [(f"{n} 2:x", s[::-1], q) for n, s, q in reads])
+    inputs = [str(src1), str(src2)]
+
+    def run(tag):
+        outs = [str(tmp_path / f"{tag}_{i}.fastq.gz") for i in (1, 2)]
+        deduplicate_cluster(inputs, outs, None, 1, 0.001)
+        return [gzip.open(o, "rb").read() for o in outs]
+
+    arena = run("arena")
+    monkeypatch.setenv("FASTQDEDUP_RECORD_ARENA", "0")
+    cached = run("cached")
+    monkeypatch.setenv("FASTQDEDUP_MEMORY_LIMIT", "1")
+    streamed = run("streamed")
+    assert arena == cached == streamed
+    assert any(len(x) for x in arena)
 
 
 def test_parity_through_device_kernel_path(tmp_path, monkeypatch):
