@@ -167,6 +167,10 @@ class FastqChunk:
     offsets: np.ndarray
     headers: np.ndarray
     header_offsets: np.ndarray
+    # Base buffers eligible for runtime.release() once the consumer is
+    # provably done with every view of this chunk (set by the native
+    # parser; dropped by any transform that mixes chunks).
+    pool_bases: Optional[Tuple[np.ndarray, ...]] = None
 
     @property
     def count(self) -> int:

@@ -1186,7 +1186,31 @@ static uint64_t acc_hash(const unsigned char *p, size_t n) {
     return acc_mix64(h ^ k);
 }
 
+/* One retired accumulator is retained between runs (page-backed slots +
+ * arena are the process's largest recurring C allocations; re-mallocing
+ * them every run pays the host's page-creation cost again).  Retention
+ * is capped so a one-off giant run cannot pin gigabytes. */
+static KeyAcc *acc_retired = NULL;
+static pthread_mutex_t acc_retired_mu = PTHREAD_MUTEX_INITIALIZER;
+#define ACC_RETAIN_MAX ((size_t)512 << 20)
+
+static size_t acc_footprint(const KeyAcc *a) {
+    return a->cap * sizeof(AccSlot) + a->arena_cap
+        + 3 * a->meta_cap * sizeof(int64_t);
+}
+
 KeyAcc *acc_new(int64_t expected) {
+    pthread_mutex_lock(&acc_retired_mu);
+    KeyAcc *r = acc_retired;
+    acc_retired = NULL;
+    pthread_mutex_unlock(&acc_retired_mu);
+    if (r) {
+        for (size_t i = 0; i < r->cap; i++) r->slots[i].idx = -1;
+        r->used = 0;
+        r->arena_len = 0;
+        memset(r->present, 0, sizeof(r->present));
+        return r;
+    }
     KeyAcc *a = (KeyAcc *)calloc(1, sizeof(KeyAcc));
     if (!a) return NULL;
     size_t cap = 1024;
@@ -1211,6 +1235,15 @@ KeyAcc *acc_new(int64_t expected) {
 
 void acc_free(KeyAcc *a) {
     if (!a) return;
+    if (acc_footprint(a) <= ACC_RETAIN_MAX) {
+        pthread_mutex_lock(&acc_retired_mu);
+        if (!acc_retired) {
+            acc_retired = a;
+            a = NULL;
+        }
+        pthread_mutex_unlock(&acc_retired_mu);
+        if (!a) return;
+    }
     free(a->slots);
     free(a->arena);
     free(a->count);

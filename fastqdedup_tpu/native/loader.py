@@ -162,6 +162,10 @@ def read_fastq_chunks_native(filename: str, chunk_records: int = 1 << 18
                 offsets=offsets[:n + 1],
                 headers=head_buf[:head_offsets[n]],
                 header_offsets=head_offsets[:n + 1],
+                # Consumers that provably drop every view may recycle
+                # the backing pages (runtime.release) — see the
+                # pipeline's record-arena mode.
+                pool_bases=(seq_buf, qual_buf, head_buf),
             )
             if n < chunk_records:
                 # Buffers filled before the record quota: size the next

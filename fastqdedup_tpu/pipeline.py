@@ -76,6 +76,8 @@ def _method_name_for(func: ClusterDissectionFunc) -> Optional[str]:
 
 def _slice_chunk(chunk: FastqChunk, start: int, stop: int) -> FastqChunk:
     """Record range [start, stop) of a chunk as views (no copies)."""
+    if start == 0 and stop == chunk.count:
+        return chunk  # keeps pool_bases: a full-range slice IS the chunk
     o0 = chunk.offsets[start]
     h0 = chunk.header_offsets[start]
     return FastqChunk(
@@ -496,9 +498,17 @@ class _RecordArenaStore:
 
     def abandon(self) -> None:
         self.abandoned = True
+        self.dispose()
+
+    def dispose(self) -> None:
+        """Drop all parts, recycling their backing pages for the next run."""
+        from .runtime import release
         self.positions.clear()
         for file_parts in self.parts:
+            payloads = [payload for payload, _ in file_parts]
             file_parts.clear()
+            for payload in payloads:
+                release(payload)
         self.bytes = 0
 
 
@@ -632,7 +642,8 @@ def _quality_mask(qual_data, qual_offsets, max_average_error_rate
 
 
 def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
-                           b, base, store=None, chunks=None):
+                           b, base, store=None, chunks=None,
+                           recycle_bin=None):
     """Add one chunk's keys to the accumulator, gated on its quality mask.
 
     Runs on the single accumulate worker (FIFO order preserves
@@ -648,6 +659,20 @@ def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
     else:
         accumulator.add(key_data, key_offsets, counted, base)
     kept = int(counted.sum()) if counted is not None else b
+    if recycle_bin is not None:
+        # The PREVIOUS chunk tuple is fully consumed by now (this worker
+        # is the last pipeline stage that touches chunk memory in arena
+        # mode) — recycle its parse buffers so the next parser chunk
+        # reuses already-backed pages.  Deferred by one chunk because
+        # the current tuple's key views are still alive in this frame.
+        from .runtime import release
+        for buffer in recycle_bin:
+            release(buffer)
+        recycle_bin.clear()
+        if chunks is not None:
+            for chunk in chunks:
+                if chunk.pool_bases is not None:
+                    recycle_bin.extend(chunk.pool_bases)
     return b, kept
 
 
@@ -744,10 +769,12 @@ def deduplicate_cluster(
     # and pass 3's re-stream entirely.  Memory: O(unique keys) rendered
     # bytes instead of O(records) cached chunks.
     record_store: Optional[_RecordArenaStore] = None
+    recycle_bin: Optional[List[np.ndarray]] = None
     if nproc == 1 and hasattr(accumulator, "add_mark") \
             and os.environ.get("FASTQDEDUP_RECORD_ARENA", "1") != "0":
         record_store = _RecordArenaStore(len(input_files), memory_budget)
         cached_chunks = None
+        recycle_bin = []
     accumulate_pool = ThreadPoolExecutor(max_workers=1)
     quality_pool = ThreadPoolExecutor(max_workers=1) \
         if filter_on_quality else None
@@ -825,7 +852,7 @@ def deduplicate_cluster(
             max_average_error_rate) if quality_pool is not None else None
         accumulate_futures.append(accumulate_pool.submit(
             _filter_and_accumulate, accumulator, key_data, key_offsets,
-            mask_future, b, base, record_store, chunks))
+            mask_future, b, base, record_store, chunks, recycle_bin))
         _p1["submit"] += _time.perf_counter() - _t
 
     _t = _time.perf_counter()
@@ -836,6 +863,15 @@ def deduplicate_cluster(
     accumulate_pool.shutdown()
     if quality_pool is not None:
         quality_pool.shutdown()
+    if recycle_bin:
+        # Drop this frame's references to the final chunk tuple (the loop
+        # variables outlive the loop) so its parse buffers recycle too.
+        key_data = key_offsets = qual_data = qual_offsets = None
+        mask_future = None
+        from .runtime import release
+        for buffer in recycle_bin:
+            release(buffer)
+        recycle_bin.clear()
     if _p1_debug:
         _p1["acc-wait"] = _time.perf_counter() - _t
         logger.debug("pass1 totals: " + ", ".join(
@@ -1144,8 +1180,11 @@ def deduplicate_cluster(
 
     # ---------------- Pass 3: filtered rewrite ---------------------------
     if record_store is not None and not record_store.abandoned:
-        _write_from_record_store(output_files, groups, kept_mask,
-                                 record_store)
+        try:
+            _write_from_record_store(output_files, groups, kept_mask,
+                                     record_store)
+        finally:
+            record_store.dispose()
     else:
         _filter_and_write(input_files, output_files, check_slices, groups,
                           kept_mask, chunk_records, cached_chunks,
@@ -1171,6 +1210,8 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
 
     from .native.loader import gather_ragged_native
 
+    from .runtime import release
+
     kept_sorted = np.sort(_kept_first_positions(groups, kept_mask))
     writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
     write_queue: "queue.Queue" = queue.Queue(maxsize=8)
@@ -1185,6 +1226,8 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
             try:
                 if not write_error:
                     writers[index].write(payload)
+                    del item
+                    release(payload)  # refcount-gated; no-op if aliased
             except BaseException as exc:  # surfaced after join
                 write_error.append(exc)
 

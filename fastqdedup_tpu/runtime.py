@@ -72,26 +72,108 @@ def populate(a: np.ndarray) -> None:
         _populate_ok = False
 
 
-def big_empty(shape, dtype=np.uint8) -> np.ndarray:
-    """``np.empty`` for large buffers, pre-faulted via :func:`populate`.
+# ---- process-lifetime buffer pool ------------------------------------
+#
+# glibc's heap recycling (tune_host_allocator) catches MOST freed big
+# buffers, but free-order nondeterminism across worker threads leaves
+# 30-110 MB of fresh mappings per pipeline run — each costing up to
+# 0.5 s when the host's lazily-backed page-creation weather is bad
+# (measured here).  The pool removes the nondeterminism for the hot
+# recurring buffers: allocations round up to 4 MiB size classes, callers
+# that KNOW their buffer is dead hand it back via :func:`release`, and
+# the next same-class request reuses the identical (already backed)
+# pages.  Buffers never released just behave as before.
 
-    Two measured dead ends documented so they are not retried:
+_POOL_GRAN = 1 << 22  # 4 MiB size-class granularity
+_POOL_MIN = 8 << 20   # below this, plain np.empty (malloc recycles fine)
+_pool: dict = {}
+_pool_bytes = 0
+_pool_limit = int(os.environ.get("FASTQDEDUP_POOL_LIMIT",
+                                 2 * 1024 ** 3))
+_pool_lock = None
+
+
+def _get_pool_lock():
+    global _pool_lock
+    if _pool_lock is None:
+        import threading
+        _pool_lock = threading.Lock()
+    return _pool_lock
+
+
+def _pool_take(size_class: int) -> Optional[np.ndarray]:
+    global _pool_bytes
+    with _get_pool_lock():
+        stack = _pool.get(size_class)
+        if stack:
+            _pool_bytes -= size_class
+            return stack.pop()
+    return None
+
+
+def release(arr: Optional[np.ndarray]) -> None:
+    """Return a :func:`big_empty` buffer to the pool.
+
+    The caller asserts no OTHER live view aliases the buffer; a
+    conservative refcount gate turns a violated assertion into a skipped
+    recycle rather than aliased memory.  Non-pool arrays are ignored.
+    """
+    global _pool_bytes
+    if arr is None:
+        return
+    base = arr.base if isinstance(arr.base, np.ndarray) else arr
+    if (not base.flags.owndata or base.dtype != np.uint8
+            or base.ndim != 1 or base.nbytes < _POOL_MIN
+            or base.nbytes % _POOL_GRAN):
+        return
+    import sys as _sys
+    # Expected refs when no foreign view is alive: getrefcount temp +
+    # local `base` + either the passed view's .base pointer (view case)
+    # or the `arr` parameter + one caller binding (base case).  Anything
+    # above means another view may be alive — keep the memory out of
+    # the pool rather than risk aliasing.
+    limit = 3 if arr is not base else 4
+    if _sys.getrefcount(base) > limit:
+        return
+    with _get_pool_lock():
+        if _pool_bytes + base.nbytes > _pool_limit:
+            return
+        _pool.setdefault(base.nbytes, []).append(base)
+        _pool_bytes += base.nbytes
+
+
+def big_empty(shape, dtype=np.uint8) -> np.ndarray:
+    """``np.empty`` for large buffers: pooled, class-rounded, pre-faulted.
+
+    Large results are VIEWS of a 4 MiB-class-rounded owning uint8 array
+    (hand the view — or any view of it — to :func:`release` when the
+    buffer is provably dead to recycle its backed pages).  Two measured
+    dead ends documented so they are not retried:
 
     * Hand-mmapped backing (``np.frombuffer`` over ``mmap``) fails:
       numpy routes ufuncs/``np.take`` writing into foreign-buffer
       destinations through a buffered slow path that is 7-10x slower
-      than the owned-memory fast path, warm or cold.  Arrays must OWN
-      their memory (``populate`` keeps ownership — it only pre-faults).
+      than the owned-memory fast path, warm or cold.  Bases must OWN
+      their memory (pool bases are plain ``np.empty`` arrays; views of
+      an ndarray keep the fast paths).
     * madvise(MADV_HUGEPAGE) backing fails: with ``defrag=madvise`` (a
       common default) hugepage faults do synchronous compaction, which
       under page-cache pressure measured 50+ s/GiB.  numpy does this
       madvise ITSELF on every >= 4 MiB allocation — which was the true
       source of the "random" 5-50 s/GiB first-touch costs chased here;
       :func:`tune_host_allocator` turns it off process-wide."""
-    a = np.empty(shape, dtype=dtype)
-    if a.nbytes >= (8 << 20):
-        populate(a)
-    return a
+    dtype = np.dtype(dtype)
+    dims = (shape,) if isinstance(shape, (int, np.integer)) \
+        else tuple(shape)
+    nbytes = int(np.prod(dims, dtype=np.int64)) * dtype.itemsize
+    if nbytes < _POOL_MIN:
+        return np.empty(shape, dtype=dtype)
+    size_class = -(-nbytes // _POOL_GRAN) * _POOL_GRAN
+    base = _pool_take(size_class)
+    if base is None:
+        base = np.empty(size_class, dtype=np.uint8)
+        populate(base)
+    return base[:nbytes].view(dtype).reshape(shape)
 
 
 def tune_host_allocator() -> None:
