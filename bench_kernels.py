@@ -55,6 +55,38 @@ def _time_pipelined(launch, n_calls: int) -> float:
     return min(run_once() for _ in range(5)) / n_calls
 
 
+def _chip_seconds(loop_fn, target_s: float = 0.6) -> float:
+    """Seconds of pure chip time per kernel invocation.
+
+    ``loop_fn(reps)`` must run the kernel ``reps`` times INSIDE one jitted
+    ``lax.fori_loop`` with a data-dependence chain between iterations (so
+    XLA can neither CSE nor overlap them) and return a device scalar.  A
+    single dispatch through a tunneled TPU pays a multi-millisecond
+    round-trip floor; measuring t(R2) - t(R1) across two rep counts in
+    the SAME program cancels that floor and every other per-dispatch
+    cost, leaving honest per-invocation chip seconds — these are
+    MEASUREMENTS, not the lower bounds earlier rounds reported.
+    """
+    lo = 2
+    np.asarray(loop_fn(lo))  # compile + program load
+    t_lo = min(_fetch_time(loop_fn, lo) for _ in range(3))
+    # Grow the rep count until chip time dominates the round-trip floor
+    # (t_lo is floor-dominated, so it cannot estimate per-rep cost).
+    hi = 64
+    while True:
+        t_hi = min(_fetch_time(loop_fn, hi) for _ in range(3))
+        if t_hi >= max(2 * t_lo, 0.25) or hi >= 16384:
+            break
+        hi *= 8
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
+
+
+def _fetch_time(loop_fn, reps: int) -> float:
+    t0 = time.perf_counter()
+    np.asarray(loop_fn(reps))
+    return time.perf_counter() - t0
+
+
 def bench_tile_kernel() -> None:
     """All-pairs one-hot MXU tile kernel (ops/pallas_hamming.py)."""
     from fastqdedup_tpu.ops.pallas_hamming import (
@@ -80,9 +112,22 @@ def bench_tile_kernel() -> None:
                                constant_values=0xFF))
     scal = jax.device_put(np.array([[READ_LEN, 1]], dtype=np.int32))
     import jax.numpy as jnp
-    tile_sum = jax.jit(lambda sc, x, y: jnp.sum(
-        _within_tile_padded(sc, x, y, a_pad).astype(jnp.int32)))
-    per_call = _time_pipelined(lambda: tile_sum(scal, ap, bp), 16)
+
+    @jax.jit
+    def tile_loop(reps, sc, x, y):
+        def body(_, carry):
+            acc, x_cur = carry
+            s = jnp.sum(_within_tile_padded(
+                sc, x_cur, y, a_pad).astype(jnp.int32))
+            # Runtime-zero nudge XLA cannot fold: chains iterations so
+            # they neither CSE nor overlap.
+            nudge = jnp.minimum(s, 0).astype(jnp.uint8)
+            return acc + s, x_cur ^ nudge
+        acc, _ = jax.lax.fori_loop(0, reps, body,
+                                   (jnp.int32(0), x))
+        return acc
+
+    per_call = _chip_seconds(lambda r: tile_loop(r, scal, ap, bp))
     # Parity spot check vs the host-input wrapper.
     got = np.asarray(_within_tile_padded(scal, ap, bp, a_pad))
     want = np.asarray(within_tile_packed(a, b, 5, 1))
@@ -123,9 +168,19 @@ def bench_rowwise_kernel() -> None:
     da = jax.device_put(pa)
     db = jax.device_put(pb)
     import jax.numpy as jnp
-    row_sum = jax.jit(lambda x, y: jnp.sum(
-        rowwise_within_packed(x, y, 1).astype(jnp.int32)))
-    per_call = _time_pipelined(lambda: row_sum(da, db), 16)
+
+    @jax.jit
+    def row_loop(reps, x, y):
+        def body(_, carry):
+            acc, x_cur = carry
+            s = jnp.sum(rowwise_within_packed(x_cur, y, 1)
+                        .astype(jnp.int32))
+            nudge = jnp.minimum(s, 0).astype(jnp.uint32)
+            return acc + s, x_cur ^ nudge
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.int32(0), x))
+        return acc
+
+    per_call = _chip_seconds(lambda r: row_loop(r, da, db))
     bytes_touched = 2.0 * p * lanes * 4 + p
     gbps = bytes_touched / per_call / 1e9
     print(json.dumps({
@@ -156,7 +211,8 @@ def bench_bucket_kernel() -> None:
         k = _buckets_per_call(size_class)
         batch = rng.integers(
             0, 5, size=(k, size_class, READ_LEN), dtype=np.uint8)
-        l_pad = max(-(-READ_LEN // 16) * 16, 16)
+        from fastqdedup_tpu.ops.pallas_hamming import _pad_dims
+        l_pad, a_pad = _pad_dims(READ_LEN, 5)
         if jax.default_backend() == "tpu" and size_class % 128 == 0:
             # Device-staged operands (see bench_tile_kernel) against the
             # Pallas bucketed kernel the TPU path dispatches to.
@@ -168,14 +224,24 @@ def bench_bucket_kernel() -> None:
             scal = jax.device_put(np.array([[READ_LEN, 1]],
                                            dtype=np.int32))
             import jax.numpy as jnp
-            bucket_sum = jax.jit(lambda x, sc: jnp.sum(
-                bucket_within_packed(x, sc, 8).astype(jnp.int32)))
-            per_call = _time_pipelined(
-                lambda: bucket_sum(bp, scal), 8)
+
+            @jax.jit
+            def bucket_loop(reps, x, sc):
+                def body(_, carry):
+                    acc, x_cur = carry
+                    s = jnp.sum(bucket_within_packed(x_cur, sc, a_pad)
+                                .astype(jnp.int32))
+                    nudge = jnp.minimum(s, 0).astype(jnp.uint8)
+                    return acc + s, x_cur ^ nudge
+                acc, _ = jax.lax.fori_loop(0, reps, body,
+                                           (jnp.int32(0), x))
+                return acc
+
+            per_call = _chip_seconds(lambda r: bucket_loop(r, bp, scal))
         else:
             per_call = _time_pipelined(
                 lambda: _bucketed_within(batch, 5, 1), 8)
-        ops = 2.0 * k * size_class * size_class * (l_pad * 8)
+        ops = 2.0 * k * size_class * size_class * (l_pad * a_pad)
         achieved = ops / per_call / 1e12
         print(json.dumps({
             "kernel": f"bucketed_within K={k} S={size_class} L={READ_LEN}",
@@ -226,6 +292,104 @@ def bench_edit_kernel() -> None:
     }), flush=True)
 
 
+def _hamming_all_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """int [N, M] exact Hamming distances (host oracle)."""
+    return (a[:, None, :] != b[None, :, :]).sum(axis=2)
+
+
+def verify_kernels() -> None:
+    """Assert every Pallas kernel against host oracles ON THIS BACKEND.
+
+    The pytest suite runs the kernels in interpret mode on CPU; this
+    sweep executes the REAL Mosaic-compiled programs across the
+    canonical geometry set, so a Mosaic lowering bug cannot ship behind
+    green interpret-mode tests.  Run on the TPU via
+    ``python bench_kernels.py --verify``.
+    """
+    import jax
+
+    from fastqdedup_tpu.distance import within_distance
+    from fastqdedup_tpu.ops.bucket import _bucketed_within
+    from fastqdedup_tpu.ops.encode import pack_nibbles
+    from fastqdedup_tpu.ops.pallas_hamming import (
+        ROW_BLOCK,
+        rowwise_within_packed,
+        unpack_within,
+        within_tile_packed,
+    )
+
+    rng = np.random.default_rng(99)
+    checks = 0
+
+    # All-pairs tile kernel: every (L, A, d) canonical geometry.
+    for length, alphabet, d in [(20, 5, 1), (100, 5, 1), (100, 5, 2),
+                                (151, 5, 3), (64, 12, 2)]:
+        a = rng.integers(0, alphabet, size=(128, length), dtype=np.uint8)
+        b = rng.integers(0, alphabet, size=(256, length), dtype=np.uint8)
+        # Seed near-duplicates so the within set is non-trivial.
+        b[:128] = a
+        flips = rng.integers(0, length, size=128)
+        b[np.arange(128), flips] = rng.integers(
+            0, alphabet, size=128).astype(np.uint8)
+        got = unpack_within(within_tile_packed(a, b, alphabet, d))
+        want = _hamming_all_pairs(a, b) <= d
+        assert (got[:, :256] == want).all(), \
+            f"tile kernel mismatch at L={length} A={alphabet} d={d}"
+        checks += 1
+
+    # Bucketed kernel, every size class geometry (incl. grouped S=128).
+    for s, k in [(128, 32), (512, 4), (2048, 2)]:
+        for length, d in [(100, 1), (151, 2)]:
+            batch = rng.integers(0, 5, size=(k, s, length), dtype=np.uint8)
+            batch[:, 1] = batch[:, 0]  # guarantee some within pairs
+            got_packed = np.asarray(_bucketed_within(batch, 5, d))
+            for bucket in range(k):
+                got = np.unpackbits(got_packed[bucket], axis=1,
+                                    bitorder="little")[:, :s].astype(bool)
+                want = _hamming_all_pairs(batch[bucket], batch[bucket]) <= d
+                assert (got == want).all(), \
+                    f"bucket kernel mismatch S={s} L={length} d={d}"
+            checks += 1
+
+    # Rowwise packed kernel (transposed-layout path).
+    for length, d in [(100, 1), (37, 2), (151, 3)]:
+        lanes = max(-(-length // 8), 1)
+        rows = rng.integers(0, 5, size=(ROW_BLOCK, length), dtype=np.uint8)
+        other = rows.copy()
+        nmut = rng.integers(0, 5, size=ROW_BLOCK)
+        for i in range(ROW_BLOCK):
+            pos = rng.choice(length, size=nmut[i], replace=False)
+            other[i, pos] = (other[i, pos] + 1) % 5
+        got = np.asarray(rowwise_within_packed(
+            pack_nibbles(rows, lanes), pack_nibbles(other, lanes),
+            int(d))).reshape(-1)
+        want = (rows != other).sum(axis=1) <= d
+        assert (got == want).all(), f"rowwise mismatch L={length} d={d}"
+        checks += 1
+
+    # Banded edit-distance kernel vs the scalar host predicate.
+    from fastqdedup_tpu.ops.edit import within_edit_distance_auto
+    for d in (1, 2):
+        n = 256
+        a = rng.integers(0, 4, size=(n, 24), dtype=np.uint8)
+        la = np.full(n, 24, dtype=np.int64)
+        b = a.copy()
+        lb = la.copy()
+        for i in range(0, n, 2):  # mutate half the rows
+            b[i, rng.integers(0, 24)] = (b[i, rng.integers(0, 24)] + 1) % 4
+        got = np.asarray(within_edit_distance_auto(a, la, b, lb, d))
+        syms = "ACGT"
+        for i in range(n):
+            sa = "".join(syms[v] for v in a[i, :la[i]])
+            sb = "".join(syms[v] for v in b[i, :lb[i]])
+            assert bool(got[i]) == within_distance(sa, sb, d, True), \
+                f"edit kernel mismatch d={d} row={i}"
+        checks += 1
+
+    print(json.dumps({"verify": "ok", "backend": jax.default_backend(),
+                      "geometries": checks}), flush=True)
+
+
 def main() -> None:
     from fastqdedup_tpu.runtime import configure_jax
     configure_jax()
@@ -233,6 +397,9 @@ def main() -> None:
 
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
+    if "--verify" in sys.argv:
+        verify_kernels()
+        return
     bench_tile_kernel()
     bench_rowwise_kernel()
     bench_bucket_kernel()

@@ -137,13 +137,8 @@ def _bucketed_within(batch: np.ndarray, alphabet_size: int,
     plus stable Mosaic cache keys make each a one-time cost per machine).
     """
     k, s, length = batch.shape
-    a_pad = 8
-    while a_pad < alphabet_size:
-        a_pad *= 2
-    # Cap below 256: _PAD_INDEX (0xFF) must stay outside the one-hot range
-    # (EncodeTable alphabets hold at most 254 symbols).
-    a_pad = min(a_pad, 255)
-    l_pad = max(-(-length // 16) * 16, 16)
+    from .pallas_hamming import _pad_dims
+    l_pad, a_pad = _pad_dims(length, alphabet_size)
     if l_pad != length:
         batch = np.pad(batch, ((0, 0), (0, 0), (0, l_pad - length)),
                        constant_values=_PAD_INDEX)

@@ -45,10 +45,18 @@ _PAD_SYMBOL = 0xFF  # outside every padded alphabet: one-hot row all-zero
 def _pad_dims(length: int, alphabet_size: int) -> Tuple[int, int]:
     """Canonical padded (length, alphabet) so ONE compiled kernel covers
     every real (L, A, d) configuration (cold Mosaic compiles through a
-    remote TPU take minutes; real length/distance arrive as scalars)."""
-    a_pad = 8
-    while a_pad < alphabet_size:
-        a_pad *= 2
+    remote TPU take minutes; real length/distance arrive as scalars).
+
+    The one-hot rank is the EXACT alphabet size for the canonical DNA
+    alphabet (ACGTN -> 5): a match count over A symbols is information-
+    theoretically rank-A, so channels beyond A are pure MXU waste — the
+    previous power-of-two padding (8 for DNA) burned 1.6x redundant
+    contraction work.  Exotic alphabets round up to multiples of 4 to
+    bound the number of compiled kernel variants."""
+    if alphabet_size <= 5:
+        a_pad = 5
+    else:
+        a_pad = -(-alphabet_size // 4) * 4
     # Never reach 256: _PAD_SYMBOL (0xFF) must stay out of range so padding
     # one-hots to all-zero.  EncodeTable caps alphabets at 254 symbols.
     a_pad = min(a_pad, 255)
@@ -253,6 +261,43 @@ def _bucket_tile_body(scal_ref, sym_ref, pack_ref, batch_ref, out_ref,
     out_ref[0] = packed.astype(jnp.uint8)
 
 
+def _bucket_group_body(scal_ref, sym_ref, pack_ref, batch_ref, out_ref,
+                       *, alphabet_pad: int, group: int):
+    """All-pairs within-distance for GROUP single-slab (S == TILE_M)
+    buckets per grid program.
+
+    At S = 128 each bucket is one expansion + one [128, E] x [E, 128]
+    contraction — microseconds of MXU time — so a grid program per bucket
+    drowns in per-program overhead (measured: K = 2048 programs ran the
+    class at 9% of MXU peak while S = 2048 hit 46%).  Grouping GROUP
+    buckets into one program amortizes that overhead GROUP-fold.
+    """
+    length = scal_ref[0, 0]
+    max_distance = scal_ref[0, 1]
+    sym = sym_ref[:]
+
+    def bucket(g, carry):
+        rows = batch_ref[g].astype(jnp.int32)
+        oh = (pltpu.repeat(rows, alphabet_pad, axis=1) == sym).astype(
+            jnp.int8)
+        matches = jax.lax.dot_general(
+            oh, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        within = ((length - matches) <= max_distance).astype(jnp.int8)
+        packed = jax.lax.dot_general(
+            within, pack_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out_ref[g] = packed.astype(jnp.uint8)
+        return carry
+
+    jax.lax.fori_loop(0, group, bucket, 0)
+
+
+# Buckets folded into one grid program for the single-slab size class.
+_BUCKET_GROUP = 16
+
+
 def _bit_pack_matrix(m: int) -> "jax.Array":
     """int8 [m, m//8] matrix P with P[j, c] = (1 << (j % 8)) iff j//8 == c;
     a dot with it packs 8 boolean columns per byte (little bit order).
@@ -279,10 +324,37 @@ def bucket_within_packed(batch: jax.Array, scalars: jax.Array,
     (K, S, Lp, Ap) geometry serves every length/distance."""
     k, s, l_pad = batch.shape
     expanded = l_pad * alphabet_pad
-    kernel = functools.partial(_bucket_tile_body, alphabet_pad=alphabet_pad)
     pos = jnp.arange(expanded, dtype=jnp.int32)
     sym = ((pos // l_pad + pos % l_pad) % alphabet_pad).reshape(1, -1)
     pack = _bit_pack_matrix(s)
+    if s == TILE_M and k % _BUCKET_GROUP == 0:
+        grouped = functools.partial(_bucket_group_body,
+                                    alphabet_pad=alphabet_pad,
+                                    group=_BUCKET_GROUP)
+        return pl.pallas_call(
+            grouped,
+            grid=(k // _BUCKET_GROUP,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, expanded), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s, s // 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BUCKET_GROUP, s, l_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_BUCKET_GROUP, s, s // 8),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, s, s // 8), jnp.uint8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * k * s * s * (expanded + s // 8),
+                bytes_accessed=k * s * (l_pad + s // 8),
+                transcendentals=0),
+            interpret=_interpret(),
+        )(scalars, sym, pack, batch)
+    kernel = functools.partial(_bucket_tile_body, alphabet_pad=alphabet_pad)
     return pl.pallas_call(
         kernel,
         grid=(k, s // TILE_M),
@@ -311,23 +383,29 @@ def bucket_within_packed(batch: jax.Array, scalars: jax.Array,
 # --------------------------------------------------------------------- #
 # Rowwise packed XOR + popcount kernel
 
-# Rows per grid step of the rowwise kernel.
-ROW_BLOCK = 1024
+# Rows per grid step of the rowwise kernel.  8K rows x ~16 lanes x 4 B x 2
+# operands is ~1 MB of VMEM per program — large enough that per-program
+# overhead stops dominating this microseconds-per-block kernel.
+ROW_BLOCK = 8192
 
 
 def _rowwise_body(a_ref, b_ref, out_ref, *, max_distance: int):
-    """out[i] = popcount_nibbles(a_i ^ b_i) <= max_distance.
+    """out[0, i] = popcount_nibbles(a_:,i ^ b_:,i) <= max_distance.
 
-    ``a_ref``/``b_ref``: uint32 [ROW_BLOCK, lanes], 8 packed 4-bit alphabet
-    indices per lane.  A nibble-wise OR-collapse maps every non-zero XOR
-    nibble to exactly one set bit, so population count == mismatch count.
+    ``a_ref``/``b_ref``: uint32 [lanes, ROW_BLOCK] — TRANSPOSED layout, 8
+    packed 4-bit alphabet indices per element, one PAIR per lane column.
+    With pairs on the lane axis every 128-lane stripe is fully used; the
+    natural [P, lanes] layout left 13 of 128 lanes live (measured: 8x
+    bandwidth loss).  A nibble-wise OR-collapse maps every non-zero XOR
+    nibble to exactly one set bit, so population count == mismatch count;
+    the per-pair sum over lanes is a cheap cross-sublane reduction.
     """
     x = jax.lax.bitwise_xor(a_ref[:], b_ref[:])
     y = x | jax.lax.shift_right_logical(x, jnp.uint32(2))
     y = y | jax.lax.shift_right_logical(y, jnp.uint32(1))
     y = y & jnp.uint32(0x11111111)
     mism = jnp.sum(jax.lax.population_count(y).astype(jnp.int32),
-                   axis=1, keepdims=True)
+                   axis=0, keepdims=True)
     out_ref[:] = mism <= max_distance
 
 
@@ -339,20 +417,23 @@ def rowwise_within_packed(a: jax.Array, b: jax.Array,
     ``a``/``b``: uint32 [P, lanes] nibble-packed (see
     fastqdedup_tpu.ops.encode.pack_nibbles); P must be a multiple of
     ROW_BLOCK (callers pad with equal rows, which are trivially within).
+    Operands are transposed once on device so pairs ride the lane axis
+    (see _rowwise_body).
     """
     p, lanes = a.shape
     kernel = functools.partial(_rowwise_body, max_distance=max_distance)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(p // ROW_BLOCK,),
         in_specs=[
-            pl.BlockSpec((ROW_BLOCK, lanes), lambda i: (i, 0),
+            pl.BlockSpec((lanes, ROW_BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, lanes), lambda i: (i, 0),
+            pl.BlockSpec((lanes, ROW_BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, ROW_BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((1, p), jnp.bool_),
         interpret=_interpret(),
-    )(a, b)
+    )(a.T, b.T)
+    return out.reshape(p, 1)
