@@ -256,35 +256,54 @@ def bench_bucket_kernel() -> None:
 
 
 def bench_edit_kernel() -> None:
-    """Banded Levenshtein DP kernel at the production batch geometry."""
+    """Banded Levenshtein DP kernel at the production batch geometry.
+
+    Measures the production path: key matrix device-resident, pairs
+    gathered on device (the earlier host-gather path spent ~0.24 s/call
+    shipping 14 MB of rows through the tunnel per 65k-pair batch)."""
     import jax
+    import jax.numpy as jnp
 
     from fastqdedup_tpu.ops.edit import (
         EDIT_VERIFY_BATCH,
+        _edit_verify_gathered,
         within_edit_distance_auto,
     )
 
     p = EDIT_VERIFY_BATCH
     rng = np.random.default_rng(3)
-    a = rng.integers(0, 4, size=(p, READ_LEN), dtype=np.uint8)
-    la = np.full(p, READ_LEN, dtype=np.int64)
+    n_keys = 1 << 17
+    l_pad = -(-READ_LEN // 16) * 16
+    keys = rng.integers(0, 4, size=(n_keys, l_pad), dtype=np.uint8)
+    lens = np.full(n_keys, READ_LEN, dtype=np.int32)
+    ci = rng.integers(0, n_keys, size=p).astype(np.int32)
+    cj = rng.integers(0, n_keys, size=p).astype(np.int32)
+    if jax.default_backend() != "tpu":
+        a = keys[ci][:, :READ_LEN]
+        la = lens[ci].astype(np.int64)
+        np.asarray(within_edit_distance_auto(a, la, a, la, 1))  # smoke
+        return
+    dk = jax.device_put(keys)
+    dl = jax.device_put(lens)
+    dci = jax.device_put(ci)
+    dcj = jax.device_put(cj)
 
-    def launch():
-        out = within_edit_distance_auto(a, la, a, la, 1)
-        return out if hasattr(out, "block_until_ready") else jax.block_until_ready(out)
+    @jax.jit
+    def edit_loop(reps, kk, ll, i0, j0):
+        def body(_, carry):
+            acc, icur = carry
+            s = jnp.sum(_edit_verify_gathered(kk, ll, icur, j0, 1)
+                        .astype(jnp.int32))
+            nudge = jnp.minimum(s, 0).astype(jnp.int32)
+            return acc + s, icur ^ nudge
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.int32(0), i0))
+        return acc
 
-    # within_edit_distance_auto pads internally and returns a sliced array;
-    # time through np.asarray completion instead of block_until_ready.
-    within_edit_distance_auto(a, la, a, la, 1)  # warm
-    t0 = time.perf_counter()
-    n_calls = 4
-    for _ in range(n_calls):
-        np.asarray(within_edit_distance_auto(a, la, a, la, 1))
-    per_call = (time.perf_counter() - t0) / n_calls
+    per_call = _chip_seconds(lambda r: edit_loop(r, dk, dl, dci, dcj))
     # Band DP: L rows x W=3 cells x ~8 VPU ops per cell per pair.
     ops = 1.0 * p * READ_LEN * 3 * 8
     print(json.dumps({
-        "kernel": f"banded_edit d=1 P={p} L={READ_LEN}",
+        "kernel": f"banded_edit d=1 P={p} L={READ_LEN} (device gather)",
         "wall_s": round(per_call, 5),
         "achieved_gop_s": round(ops / per_call / 1e9, 1),
         "pairs_per_s": round(p / per_call / 1e6, 2),

@@ -209,7 +209,9 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
     for length, _, idx in entries:
         lengths[idx] = length
         lmax = max(lmax, length)
-    # Pad every key to a common width once for gather-based verification.
+    # Pad every key to a common width once for gather-based verification
+    # (width to a multiple of 16 so the device path needs no re-pad).
+    lmax = -(-lmax // 16) * 16
     padded = np.full((n, lmax), 0xFF, dtype=np.uint8)
     for length, matrix, idx in entries:
         if length:
@@ -217,6 +219,18 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
     keep = np.empty(len(cand_i), dtype=bool)
     from .ops.edit import EDIT_VERIFY_BATCH
     batch = EDIT_VERIFY_BATCH
+    import jax
+    if jax.default_backend() == "tpu":
+        # Device-resident keys + per-batch index pairs: H2D drops from
+        # ~2*L bytes/pair to 8 bytes/pair (ops/edit.edit_verify_indexed).
+        from .ops.edit import edit_verify_indexed
+        keys_dev = jax.device_put(padded)
+        lens_dev = jax.device_put(lengths.astype(np.int32))
+        for start in range(0, len(cand_i), batch):
+            sl = slice(start, start + batch)
+            keep[sl] = edit_verify_indexed(
+                keys_dev, lens_dev, cand_i[sl], cand_j[sl], max_distance)
+        return cand_i[keep], cand_j[keep]
     for start in range(0, len(cand_i), batch):
         sl = slice(start, start + batch)
         keep[sl] = np.asarray(within_edit_distance_auto(

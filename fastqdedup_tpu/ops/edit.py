@@ -78,6 +78,49 @@ def batched_within_edit_distance(a: jax.Array, len_a: jax.Array,
     return batched_edit_distance(a, len_a, b, len_b) <= max_distance
 
 
+@functools.partial(jax.jit, static_argnames=("max_distance",))
+def _edit_verify_gathered(keys: jax.Array, lens: jax.Array,
+                          ci: jax.Array, cj: jax.Array,
+                          max_distance: int) -> jax.Array:
+    """bool [P, 1]: banded verification of key-index pairs, gathered on
+    device.  ``keys`` [n, Lp] uint8 (Lp a multiple of 16) and ``lens``
+    [n] int32 are device-resident; only the int32 index pairs cross the
+    host-device boundary per batch."""
+    from .pallas_edit import banded_within_edit_distance
+    return banded_within_edit_distance(
+        keys[ci], lens[ci], keys[cj], lens[cj], max_distance)
+
+
+def edit_verify_indexed(keys_dev, lens_dev, cand_i, cand_j,
+                        max_distance: int):
+    """bool [P]: lev(keys[i], keys[j]) <= d for index pairs, device gather.
+
+    TPU fast path for candidate verification: the padded key matrix is
+    shipped (or resident) once and each batch sends ~8 bytes/pair of
+    indices instead of ~2 L bytes/pair of gathered rows — through a
+    tunneled TPU the row payloads, not the DP, dominated wall time
+    (measured: 65k-pair batches cost ~0.24 s of H2D vs ~0.2 ms of
+    kernel).  Indices are padded to the canonical pair-count geometries
+    with pair (0, 0), which verifies trivially and is sliced off.
+    """
+    import numpy as np
+
+    from .pallas_edit import PAIR_BLOCK
+
+    p = len(cand_i)
+    if p == 0:
+        return np.empty(0, dtype=bool)
+    padded = PAIR_BLOCK if p <= PAIR_BLOCK \
+        else -(-p // EDIT_VERIFY_BATCH) * EDIT_VERIFY_BATCH
+    ci = np.zeros(padded, dtype=np.int32)
+    cj = np.zeros(padded, dtype=np.int32)
+    ci[:p] = cand_i
+    cj[:p] = cand_j
+    out = _edit_verify_gathered(keys_dev, lens_dev, jnp.asarray(ci),
+                                jnp.asarray(cj), max_distance)
+    return np.asarray(out[:p, 0])
+
+
 def within_edit_distance_auto(a, len_a, b, len_b,
                               max_distance: int):
     """bool [P]: banded Pallas kernel on TPU, full-row scan DP elsewhere.
