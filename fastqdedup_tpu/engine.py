@@ -195,15 +195,8 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
 
     matrices = [matrix for _, matrix, _ in entries]
     gidx = [idx for _, _, idx in entries]
-    cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance)
-    pid, nproc = shard
-    if nproc > 1:
-        # Candidate generation is deterministic and duplicated on every
-        # host; the expensive DP verification strides across hosts.
-        cand_i = cand_i[pid::nproc]
-        cand_j = cand_j[pid::nproc]
-    if not len(cand_i):
-        return cand_i, cand_j
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
     lengths = np.empty(n, dtype=np.int64)
     lmax = 1
     for length, _, idx in entries:
@@ -216,16 +209,29 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
     for length, matrix, idx in entries:
         if length:
             padded[idx, :length] = matrix
+    keys_dev = lens_dev = None
+    if on_tpu:
+        # Enqueue the key-matrix H2D now: device_put is asynchronous, so
+        # the (tunnel-bound) transfer overlaps the host-side candidate
+        # generation below instead of stalling the first verify batch.
+        keys_dev = jax.device_put(padded)
+        lens_dev = jax.device_put(lengths.astype(np.int32))
+    cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance)
+    pid, nproc = shard
+    if nproc > 1:
+        # Candidate generation is deterministic and duplicated on every
+        # host; the expensive DP verification strides across hosts.
+        cand_i = cand_i[pid::nproc]
+        cand_j = cand_j[pid::nproc]
+    if not len(cand_i):
+        return cand_i, cand_j
     keep = np.empty(len(cand_i), dtype=bool)
     from .ops.edit import EDIT_VERIFY_BATCH
     batch = EDIT_VERIFY_BATCH
-    import jax
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         # Device-resident keys + per-batch index pairs: H2D drops from
         # ~2*L bytes/pair to 8 bytes/pair (ops/edit.edit_verify_indexed).
         from .ops.edit import edit_verify_indexed
-        keys_dev = jax.device_put(padded)
-        lens_dev = jax.device_put(lengths.astype(np.int32))
         for start in range(0, len(cand_i), batch):
             sl = slice(start, start + batch)
             keep[sl] = edit_verify_indexed(

@@ -626,7 +626,10 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
         hashes = np.concatenate(hash_parts)
         gids = np.concatenate(idx_parts).astype(np.int64)
         sides = np.concatenate(side_parts)
-        order = np.argsort(hashes, kind="stable")
+        # Unstable sort: runs only need equal hashes adjacent (the
+        # probe/window split within a run is rebuilt by the lexsort
+        # below), and introsort beats timsort ~2x on uint64 here.
+        order = np.argsort(hashes)
         sh, sg, ss = hashes[order], gids[order], sides[order]
         run_starts = np.concatenate(
             [[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1]) \
