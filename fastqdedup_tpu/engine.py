@@ -36,17 +36,28 @@ BRUTE_FORCE_LIMIT = 2048
 # scalar edit-distance host path.
 HOST_LIMIT = 256
 
-# Host byte-op budget for the brute-force path (~a couple of seconds of
-# numpy).  Loading device programs onto a remote TPU can cost far more
-# than that for small one-shot CLI runs, so the crossover is sized by
-# work, not a fixed N.
-_HOST_BYTE_OP_BUDGET = 2_000_000_000
+# Host byte-op budget for the brute-force path.  None (default) derives
+# it from the MEASURED host compare rate x the device-amortization
+# window (FASTQDEDUP_DEVICE_CUTOVER_S, default 1 s: loading device
+# programs onto a remote TPU costs far more than a second of numpy for
+# small one-shot CLI runs).  Set a number (or monkeypatch) to pin it.
+_HOST_BYTE_OP_BUDGET = None
+
+
+def _host_byte_op_budget() -> float:
+    if _HOST_BYTE_OP_BUDGET is not None:
+        return float(_HOST_BYTE_OP_BUDGET)
+    import os
+
+    from .ops.bucket import measured_host_byte_rate
+    window = float(os.environ.get("FASTQDEDUP_DEVICE_CUTOVER_S", "1.0"))
+    return measured_host_byte_rate() * window
 
 
 def _host_limit(length: int) -> int:
     import math
     return max(HOST_LIMIT,
-               int(math.sqrt(_HOST_BYTE_OP_BUDGET / max(length, 1))))
+               int(math.sqrt(_host_byte_op_budget() / max(length, 1))))
 
 
 def _host_hamming_pairs(matrix: np.ndarray, max_distance: int,

@@ -19,6 +19,7 @@ candidates across length differences up to d, verified by the banded DP in
 """
 
 import functools
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -178,6 +179,106 @@ _HAMMING_PAIR_CODE_LIMIT = 3_037_000_499
 # compare costs outright — and tens of millions of keys mean thousands
 # of batched launches through a tunneled chip.
 HOST_BUCKET_LIMIT = 32
+
+# ---- measured host/device crossover ----------------------------------
+#
+# Which bucket sizes are cheaper to verify with numpy on the host versus
+# batched into device kernels depends on two machine-specific rates, so
+# both are MEASURED once per process (override/simulate via env):
+#  * FASTQDEDUP_DISPATCH_S  — seconds per device round trip (a tunneled
+#    TPU pays ~2 ms; a local chip ~50-200 us; CPU backend ~100 us);
+#  * FASTQDEDUP_HOST_RATE   — host byte-compare throughput (bytes/s).
+
+_dispatch_cache: List[float] = []
+_host_rate_cache: List[float] = []
+
+
+def measured_dispatch_seconds() -> float:
+    """Seconds for one tiny jitted dispatch + fetch (min of 5, cached)."""
+    env = os.environ.get("FASTQDEDUP_DISPATCH_S")
+    if env:
+        return float(env)
+    if _dispatch_cache:
+        return _dispatch_cache[0]
+    import time as _t
+
+    import jax.numpy as jnp
+    tick = jax.jit(lambda v: v + 1)
+    x = jnp.zeros((8, 128), jnp.int32)
+    np.asarray(tick(x))  # compile + load
+    best = min(_timed(lambda: np.asarray(tick(x)), _t) for _ in range(5))
+    _dispatch_cache.append(best)
+    return best
+
+
+def _timed(fn, _t) -> float:
+    t0 = _t.perf_counter()
+    fn()
+    return _t.perf_counter() - t0
+
+
+def measured_host_byte_rate() -> float:
+    """Host numpy byte-compare throughput in bytes/s (cached probe)."""
+    env = os.environ.get("FASTQDEDUP_HOST_RATE")
+    if env:
+        return float(env)
+    if _host_rate_cache:
+        return _host_rate_cache[0]
+    import time as _t
+    a = np.zeros((1 << 14, 256), dtype=np.uint8)
+    b = np.ones_like(a)
+    (a != b).sum(axis=1)  # warm
+    best = min(_timed(lambda: (a != b).sum(axis=1), _t) for _ in range(3))
+    rate = a.nbytes / max(best, 1e-9)
+    _host_rate_cache.append(rate)
+    return rate
+
+
+def choose_host_bucket_cap(sizes: np.ndarray, length: int,
+                           limit: int) -> int:
+    """Largest bucket size verified on host, from MEASURED rates.
+
+    For each candidate cap c, the cost of keeping sizes <= c on host is
+    their all-pairs byte compares at the measured host rate; the cost of
+    pushing them to the device is the extra kernel launches of the
+    smallest size class at the measured per-dispatch latency (device
+    compute for these sizes is negligible next to the launch).  Sizes
+    above the smallest size class are unaffected by the cap.  Returns
+    the candidate minimizing the modeled total — on a local chip the
+    crossover sits far lower than through a 2 ms tunnel.
+    """
+    dispatch = measured_dispatch_seconds()
+    host_rate = measured_host_byte_rate()
+    first_class = SIZE_CLASSES[0]
+    candidates = [c for c in (4, 8, 16, 32, 64, first_class)
+                  if c <= min(limit, first_class)]
+    if not candidates:
+        return min(limit, first_class)
+    in_range = sizes[(sizes > 1) & (sizes <= first_class)]
+    if not len(in_range):
+        return candidates[-1]
+    hist = np.bincount(in_range, minlength=first_class + 1)
+    svals = np.arange(first_class + 1, dtype=np.float64)
+    pair_bytes = hist * svals * (svals - 1) / 2 * max(length, 1)
+    per_call = max(_buckets_per_call(first_class), 1)
+    # The device path is not free of host work: every bucket padded into
+    # the class still costs batch assembly (S * Lp bytes of gather +
+    # zero fill) and result extraction (S*S/8 packed D2H, unpacked to
+    # S*S bytes and scanned) on the host — device MXU time is noise next
+    # to these.  ~S * (Lp + 1.2 * S) bytes per bucket at the measured
+    # host rate.
+    l_pad = max(-(-max(length, 1) // 16) * 16, 16)
+    dev_bucket_bytes = first_class * (l_pad + 1.2 * first_class)
+    best_cap, best_cost = candidates[-1], float("inf")
+    for cap in candidates:
+        host_cost = pair_bytes[:cap + 1].sum() / host_rate
+        dev_buckets = int(hist[cap + 1:].sum())
+        dev_cost = (-(-dev_buckets // per_call) * dispatch
+                    + dev_buckets * dev_bucket_bytes / host_rate)
+        cost = host_cost + dev_cost
+        if cost < best_cost:
+            best_cap, best_cost = cap, cost
+    return best_cap
 
 
 def _host_small_bucket_pairs(matrix: np.ndarray, order: np.ndarray,
@@ -351,6 +452,7 @@ def hamming_neighbor_pairs_bucketed(
     launched: List = []
     inflight = 0
     oversized: List[np.ndarray] = []
+    pair_src = {"host": 0, "device": 0}
 
     def drain(down_to: int) -> None:
         # Resolve oldest batches until in-flight bytes fall to the target;
@@ -365,6 +467,7 @@ def hamming_neighbor_pairs_bucketed(
                 take += 1
             head, launched = launched[:take], launched[take:]
             for gi, gj in _drain_bucket_batches(head):
+                pair_src["device"] += len(gi)
                 pair_codes.append(np.minimum(gi, gj) * n +
                                   np.maximum(gi, gj))
         _mark("drain")
@@ -399,13 +502,18 @@ def hamming_neighbor_pairs_bucketed(
         _mark("group")
         sizes = ends - starts
         owned = np.ones(len(starts), dtype=bool)
-        host_cap = min(HOST_BUCKET_LIMIT, large_bucket_threshold)
+        # Crossover from MEASURED dispatch latency and host compare rate
+        # — through a ~2 ms tunnel small buckets stay on host; on a
+        # local chip the cap drops and the device takes them.
+        host_cap = choose_host_bucket_cap(sizes, length,
+                                          large_bucket_threshold)
         small = (sizes > 1) & (sizes <= host_cap) & owned
         for s in np.unique(sizes[small]):
             selected = np.flatnonzero(small & (sizes == s))
             for gi, gj in _host_small_bucket_pairs(
                     matrix, order, starts, selected, int(s),
                     max_distance):
+                pair_src["host"] += len(gi)
                 pair_codes.append(np.minimum(gi, gj) * n +
                                   np.maximum(gi, gj))
         _mark("host-pairs")
@@ -438,6 +546,7 @@ def hamming_neighbor_pairs_bucketed(
             rows = encode_lut[rows]
         li, lj = neighbor_pairs(rows, alphabet_size, max_distance)
         gi, gj = idx[li], idx[lj]
+        pair_src["device"] += len(gi)
         pair_codes.append(np.minimum(gi, gj) * n + np.maximum(gi, gj))
     _mark("oversized")
 
@@ -446,9 +555,14 @@ def hamming_neighbor_pairs_bucketed(
     codes = np.unique(np.concatenate(pair_codes))
     _mark("dedup")
     if _debug:
-        _logger.debug("bucketed-pairs[L=%d,n=%d]: %s", length, n,
-                      ", ".join(f"{k}={v:.1f}s" for k, v in _times.items()
-                                if v >= 0.05))
+        total_pairs = pair_src["host"] + pair_src["device"]
+        _logger.debug(
+            "bucketed-pairs[L=%d,n=%d]: %s | pairs host=%d device=%d "
+            "(%.0f%% on device)", length, n,
+            ", ".join(f"{k}={v:.1f}s" for k, v in _times.items()
+                      if v >= 0.05),
+            pair_src["host"], pair_src["device"],
+            100.0 * pair_src["device"] / max(total_pairs, 1))
     return codes // n, codes % n
 
 

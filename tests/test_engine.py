@@ -268,3 +268,44 @@ def test_edit_pair_code_limit_documented():
     gidx = np.asarray([0, bucket._PAIR_BASE + 5], dtype=np.int64)
     with pytest.raises(OverflowError, match="edit-mode pair encoding"):
         bucket.edit_candidate_pairs([matrix], [gidx], 1)
+
+
+def test_host_device_crossover_moves_with_dispatch_cost(monkeypatch):
+    """The host-bucket cap is derived from measured rates: an expensive
+    dispatch pushes small buckets onto the host; a free dispatch pulls
+    them onto the device."""
+    import numpy as np
+
+    from fastqdedup_tpu.ops import bucket
+
+    # Histogram: a moderate count of 60-member buckets — enough host
+    # work that a cheap dispatch favors the device, little enough that
+    # an expensive dispatch favors staying on host.
+    sizes = np.full(100, 60, dtype=np.int64)
+    monkeypatch.setenv("FASTQDEDUP_HOST_RATE", "2e9")
+    monkeypatch.setenv("FASTQDEDUP_DISPATCH_S", "0.5")   # pathological link
+    slow_cap = bucket.choose_host_bucket_cap(sizes, 100, 2048)
+    monkeypatch.setenv("FASTQDEDUP_DISPATCH_S", "0.0000001")  # local chip
+    fast_cap = bucket.choose_host_bucket_cap(sizes, 100, 2048)
+    assert slow_cap >= 60, slow_cap      # slow link: keep them on host
+    assert fast_cap < 60, fast_cap       # local: ship them to the device
+    assert fast_cap < slow_cap
+
+
+def test_pair_source_fraction_logged(caplog):
+    """DEBUG output reports how many pairs were verified on host vs
+    device (VERDICT round-2 item 5)."""
+    import logging
+
+    import numpy as np
+
+    from fastqdedup_tpu.ops.bucket import hamming_neighbor_pairs_bucketed
+
+    rng = np.random.default_rng(5)
+    matrix = rng.integers(0, 5, size=(400, 24), dtype=np.uint8)
+    matrix[200:] = matrix[:200]  # guarantee pairs
+    with caplog.at_level(logging.DEBUG, logger="fastqdedup"):
+        ii, jj = hamming_neighbor_pairs_bucketed(matrix, 5, 1)
+    assert len(ii)
+    assert any("pairs host=" in rec.message and "on device" in rec.message
+               for rec in caplog.records)
