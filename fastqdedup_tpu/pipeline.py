@@ -785,84 +785,92 @@ def deduplicate_cluster(
     _p1_debug = logger.isEnabledFor(logging.DEBUG)
     _chunk_iter = iter(_zip_chunks(input_files, chunk_records))
     chunk_index = -1
-    while True:
-        _t = _time.perf_counter()
-        chunks = next(_chunk_iter, None)
-        _p1["iter"] += _time.perf_counter() - _t
-        if chunks is None:
-            break
-        chunk_index += 1
-        base = shard_base + global_base
-        global_base += chunks[0].count
-        if not sharded_input and chunk_index % nproc != pid:
-            continue  # another host owns this chunk (strided partition)
-        if len(chunks) > 1:
-            _validate_mates(chunks)
-        _t = _time.perf_counter()
-        if cached_chunks is not None:
-            cached_bytes += sum(
-                len(c.sequences) + len(c.qualities) + len(c.headers)
-                + c.offsets.nbytes + c.header_offsets.nbytes
-                for c in chunks)
-            if cached_bytes > memory_budget:
-                cached_chunks = None
-            elif cached_bytes > (2 << 30) and _fault_cost_too_high():
-                # Holding the cache means creating fresh anon pages for
-                # every chunk; on hosts with lazily-backed guest memory
-                # page creation measures 2-10 s/GiB (and grows with RSS)
-                # while re-streaming the page-cached input costs well
-                # under 1 s/GiB of payload.  Measured here: dropping a
-                # 21 GiB cache turned a 259 s 100M-read run into 197 s.
-                logger.debug(
-                    "dropping chunk cache: measured page-fault cost "
-                    "%.1f s/GiB makes re-streaming cheaper",
-                    _observed_fault_cost_cached())
-                cached_chunks = None
-            else:
-                # Compact before caching: the parser's chunks are views
-                # into fixed-capacity buffers sized by a per-record byte
-                # estimate; holding the views would pin several times the
-                # actual payload.
-                cached_chunks.append((chunk_index, tuple(
-                    _compact_chunk(c) for c in chunks)))
-        _now = _time.perf_counter()
-        _p1["cache"] += _now - _t
-        _t = _now
-        key_data, key_offsets, qual_data, qual_offsets = _chunk_keys(
-            chunks, check_slices, use_qualities=filter_on_quality)
-        _p1["keys"] += _time.perf_counter() - _t
-        if not prewarm_started and max_distance > 0 \
-                and global_base >= 100_000:
-            # Load the device programs pass 2 will need while pass 1 is
-            # still parsing (program loads onto a remote TPU block for
-            # seconds each; the thread hides them).  TPU-only; no-op and
-            # None elsewhere.  Small inputs never reach the device (the
-            # engine's host path covers them), so they skip this.
-            prewarm_started = True
-            from .warmup import prewarm_async
-            prewarm_thread = prewarm_async(
-                int(key_offsets[1] - key_offsets[0]),
-                max_distance=max_distance,
-                use_edit_distance=use_edit_distance)
-        b = chunks[0].count
-        total_records += b
-        _t = _time.perf_counter()
-        mask_future = quality_pool.submit(
-            _quality_mask, qual_data, qual_offsets,
-            max_average_error_rate) if quality_pool is not None else None
-        accumulate_futures.append(accumulate_pool.submit(
-            _filter_and_accumulate, accumulator, key_data, key_offsets,
-            mask_future, b, base, record_store, chunks, recycle_bin))
-        _p1["submit"] += _time.perf_counter() - _t
+    try:
+        while True:
+            _t = _time.perf_counter()
+            chunks = next(_chunk_iter, None)
+            _p1["iter"] += _time.perf_counter() - _t
+            if chunks is None:
+                break
+            chunk_index += 1
+            base = shard_base + global_base
+            global_base += chunks[0].count
+            if not sharded_input and chunk_index % nproc != pid:
+                continue  # another host owns this chunk (strided partition)
+            if len(chunks) > 1:
+                _validate_mates(chunks)
+            _t = _time.perf_counter()
+            if cached_chunks is not None:
+                cached_bytes += sum(
+                    len(c.sequences) + len(c.qualities) + len(c.headers)
+                    + c.offsets.nbytes + c.header_offsets.nbytes
+                    for c in chunks)
+                if cached_bytes > memory_budget:
+                    cached_chunks = None
+                elif cached_bytes > (2 << 30) and _fault_cost_too_high():
+                    # Holding the cache means creating fresh anon pages for
+                    # every chunk; on hosts with lazily-backed guest memory
+                    # page creation measures 2-10 s/GiB (and grows with RSS)
+                    # while re-streaming the page-cached input costs well
+                    # under 1 s/GiB of payload.  Measured here: dropping a
+                    # 21 GiB cache turned a 259 s 100M-read run into 197 s.
+                    logger.debug(
+                        "dropping chunk cache: measured page-fault cost "
+                        "%.1f s/GiB makes re-streaming cheaper",
+                        _observed_fault_cost_cached())
+                    cached_chunks = None
+                else:
+                    # Compact before caching: the parser's chunks are views
+                    # into fixed-capacity buffers sized by a per-record byte
+                    # estimate; holding the views would pin several times the
+                    # actual payload.
+                    cached_chunks.append((chunk_index, tuple(
+                        _compact_chunk(c) for c in chunks)))
+            _now = _time.perf_counter()
+            _p1["cache"] += _now - _t
+            _t = _now
+            key_data, key_offsets, qual_data, qual_offsets = _chunk_keys(
+                chunks, check_slices, use_qualities=filter_on_quality)
+            _p1["keys"] += _time.perf_counter() - _t
+            if not prewarm_started and max_distance > 0 \
+                    and global_base >= 100_000:
+                # Load the device programs pass 2 will need while pass 1 is
+                # still parsing (program loads onto a remote TPU block for
+                # seconds each; the thread hides them).  TPU-only; no-op and
+                # None elsewhere.  Small inputs never reach the device (the
+                # engine's host path covers them), so they skip this.
+                prewarm_started = True
+                from .warmup import prewarm_async
+                prewarm_thread = prewarm_async(
+                    int(key_offsets[1] - key_offsets[0]),
+                    max_distance=max_distance,
+                    use_edit_distance=use_edit_distance)
+            b = chunks[0].count
+            total_records += b
+            _t = _time.perf_counter()
+            mask_future = quality_pool.submit(
+                _quality_mask, qual_data, qual_offsets,
+                max_average_error_rate) if quality_pool is not None else None
+            accumulate_futures.append(accumulate_pool.submit(
+                _filter_and_accumulate, accumulator, key_data, key_offsets,
+                mask_future, b, base, record_store, chunks, recycle_bin))
+            _p1["submit"] += _time.perf_counter() - _t
 
-    _t = _time.perf_counter()
-    for future in accumulate_futures:
-        b, kept = future.result()  # propagate any accumulation error
-        total_kept += kept
-        discarded_records += b - kept
-    accumulate_pool.shutdown()
-    if quality_pool is not None:
-        quality_pool.shutdown()
+        _t = _time.perf_counter()
+        for future in accumulate_futures:
+            b, kept = future.result()  # propagate any accumulation error
+            total_kept += kept
+            discarded_records += b - kept
+        accumulate_pool.shutdown()
+        if quality_pool is not None:
+            quality_pool.shutdown()
+    finally:
+        # An exception anywhere in pass 1 (parse error, mate
+        # desync, quality range error re-raised from a worker)
+        # must not leak the worker pools' threads.
+        accumulate_pool.shutdown(wait=False, cancel_futures=True)
+        if quality_pool is not None:
+            quality_pool.shutdown(wait=False, cancel_futures=True)
     if recycle_bin:
         # Drop this frame's references to the final chunk tuple (the loop
         # variables outlive the loop) so its parse buffers recycle too.
