@@ -467,6 +467,7 @@ class _RecordArenaStore:
 
     def __init__(self, num_files: int, budget_bytes: int):
         self.positions: List[np.ndarray] = []  # ascending, per part
+        self.chunk_ids: List[int] = []         # source chunk per part
         self.parts: List[List[Tuple[np.ndarray, np.ndarray]]] = \
             [[] for _ in range(num_files)]     # (payload, bounds) per file
         self.bytes = 0
@@ -474,7 +475,7 @@ class _RecordArenaStore:
         self.abandoned = False
 
     def add(self, chunks: Tuple[FastqChunk, ...], is_new: np.ndarray,
-            base: int) -> None:
+            base: int, chunk_index: int = 0) -> None:
         """Render the marked records of one chunk tuple (accumulate
         worker; FIFO order keeps part positions globally ascending)."""
         if self.abandoned:
@@ -482,6 +483,7 @@ class _RecordArenaStore:
         from .native.loader import render_records_native
         rows = np.flatnonzero(is_new).astype(np.int64)
         self.positions.append(base + rows)
+        self.chunk_ids.append(chunk_index)
         for f, chunk in enumerate(chunks):
             payload, bounds = render_records_native(
                 chunk.sequences, chunk.qualities, chunk.offsets,
@@ -504,6 +506,7 @@ class _RecordArenaStore:
         """Drop all parts, recycling their backing pages for the next run."""
         from .runtime import release
         self.positions.clear()
+        self.chunk_ids.clear()
         for file_parts in self.parts:
             payloads = [payload for payload, _ in file_parts]
             file_parts.clear()
@@ -643,7 +646,7 @@ def _quality_mask(qual_data, qual_offsets, max_average_error_rate
 
 def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
                            b, base, store=None, chunks=None,
-                           recycle_bin=None):
+                           recycle_bin=None, chunk_index=0):
     """Add one chunk's keys to the accumulator, gated on its quality mask.
 
     Runs on the single accumulate worker (FIFO order preserves
@@ -655,7 +658,7 @@ def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
     counted = mask_future.result() if mask_future is not None else None
     if store is not None and not store.abandoned:
         is_new = accumulator.add_mark(key_data, key_offsets, counted, base)
-        store.add(chunks, is_new, base)
+        store.add(chunks, is_new, base, chunk_index)
     else:
         accumulator.add(key_data, key_offsets, counted, base)
     kept = int(counted.sum()) if counted is not None else b
@@ -770,8 +773,11 @@ def deduplicate_cluster(
     # bytes instead of O(records) cached chunks.
     record_store: Optional[_RecordArenaStore] = None
     recycle_bin: Optional[List[np.ndarray]] = None
-    if nproc == 1 and hasattr(accumulator, "add_mark") \
+    if hasattr(accumulator, "add_mark") \
             and os.environ.get("FASTQDEDUP_RECORD_ARENA", "1") != "0":
+        # Multi-host included: each host's arena holds ITS chunks' local
+        # first occurrences; every kept key's GLOBAL first position lives
+        # in exactly one host's arena (positions partition across hosts).
         record_store = _RecordArenaStore(len(input_files), memory_budget)
         cached_chunks = None
         recycle_bin = []
@@ -853,7 +859,8 @@ def deduplicate_cluster(
                 max_average_error_rate) if quality_pool is not None else None
             accumulate_futures.append(accumulate_pool.submit(
                 _filter_and_accumulate, accumulator, key_data, key_offsets,
-                mask_future, b, base, record_store, chunks, recycle_bin))
+                mask_future, b, base, record_store, chunks, recycle_bin,
+                chunk_index))
             _p1["submit"] += _time.perf_counter() - _t
 
         _t = _time.perf_counter()
@@ -1187,10 +1194,21 @@ def deduplicate_cluster(
                 f"({timer.get_difference()})")
 
     # ---------------- Pass 3: filtered rewrite ---------------------------
-    if record_store is not None and not record_store.abandoned:
+    arena_ok = record_store is not None and not record_store.abandoned
+    if nproc > 1 and record_store is not None:
+        # Both pass-3 paths synchronize through collectives, so every
+        # host must take the SAME one: if any host's arena overflowed
+        # its budget, all hosts fall back to the re-streaming writer.
+        (arena_ok_hosts,) = sum_scalars(int(arena_ok))
+        if arena_ok_hosts != nproc:
+            record_store.abandon()
+            arena_ok = False
+    if arena_ok:
         try:
             _write_from_record_store(output_files, groups, kept_mask,
-                                     record_store)
+                                     record_store, pid=pid, nproc=nproc,
+                                     shard_base=shard_base,
+                                     sharded_input=sharded_input)
         finally:
             record_store.dispose()
     else:
@@ -1204,7 +1222,10 @@ def deduplicate_cluster(
 
 def _write_from_record_store(output_files: List[str], groups: KeyGroups,
                              kept_mask: List[np.ndarray],
-                             store: _RecordArenaStore) -> None:
+                             store: _RecordArenaStore,
+                             pid: int = 0, nproc: int = 1,
+                             shard_base: int = 0,
+                             sharded_input: bool = False) -> None:
     """Pass 3 via the record arena: gather the kept keys' pre-rendered
     first-occurrence records (captured at insert time in pass 1) and
     stream them to the compressors — the inputs are never re-read.
@@ -1212,6 +1233,16 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
     Emits the identical byte stream to :func:`_filter_and_write`: parts
     are walked in chunk order, rows within a part in ascending record
     position, which IS file order.
+
+    Multi-host strided mode mirrors :func:`_filter_and_write`'s merge:
+    every kept key's GLOBAL first position lives in exactly one host's
+    arena (the host that ingested its chunk — a global first occurrence
+    is necessarily that host's local first insert), so each host gathers
+    its own kept records, writes raw per-chunk part files, and process 0
+    streams the parts in chunk order through one compressor.  Sharded-
+    input mode writes each host's own output files directly: arena
+    positions already carry the shard base, so intersecting with the
+    global kept set selects exactly this shard's records.
     """
     import queue
     import threading
@@ -1221,7 +1252,20 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
     from .runtime import release
 
     kept_sorted = np.sort(_kept_first_positions(groups, kept_mask))
-    writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
+    distributed = nproc > 1 and not sharded_input
+    writers: List = []
+    parts_dirs: List[str] = []
+    if distributed:
+        # Raw per-chunk part files on a shared filesystem; process 0
+        # compresses after the barrier (same layout as _filter_and_write).
+        from .parallel.distributed import barrier
+        parts_dirs = [f + ".parts" for f in output_files]
+        if pid == 0:
+            for d in parts_dirs:
+                os.makedirs(d, exist_ok=True)
+        barrier("fastqdedup:arena-parts-dirs")
+    else:
+        writers = [xopen(f, "wb", compresslevel=1) for f in output_files]
     write_queue: "queue.Queue" = queue.Queue(maxsize=8)
     write_error: List[BaseException] = []
 
@@ -1230,10 +1274,14 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
             item = write_queue.get()
             if item is None:
                 return
-            index, payload = item
+            index, chunk_id, payload = item
             try:
                 if not write_error:
-                    writers[index].write(payload)
+                    if distributed:
+                        payload.tofile(os.path.join(
+                            parts_dirs[index], f"{chunk_id:08d}.bin"))
+                    else:
+                        writers[index].write(payload)
                     del item
                     release(payload)  # refcount-gated; no-op if aliased
             except BaseException as exc:  # surfaced after join
@@ -1253,10 +1301,14 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
             rows = np.searchsorted(positions, want)
             # Every kept first_pos is the position of a record that
             # inserted its key, so it must be present in the store.
+            # (Multi-host: a part's position span lies inside ONE chunk
+            # this host ingested, so every kept first position in the
+            # span is this host's local first insert — present here.)
             if rows[-1] >= len(positions) or \
                     not np.array_equal(positions[rows], want):
                 raise RuntimeError(
                     "record arena is missing kept first occurrences")
+            chunk_id = store.chunk_ids[part_index]
             for index in range(len(output_files)):
                 payload, bounds = store.parts[index][part_index]
                 out_bounds = np.zeros(len(rows) + 1, dtype=np.int64)
@@ -1265,7 +1317,7 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
                 selected = gather_ragged_native(payload, bounds, rows,
                                                 out_bounds)
                 if len(selected):
-                    write_queue.put((index, selected))
+                    write_queue.put((index, chunk_id, selected))
     finally:
         write_queue.put(None)
         worker.join()
@@ -1273,6 +1325,18 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
             writer.close()
         if write_error:
             raise write_error[0]
+    if distributed:
+        from .parallel.distributed import barrier
+        barrier("fastqdedup:arena-parts-written")
+        if pid == 0:
+            import shutil
+            for out, parts_dir in zip(output_files, parts_dirs):
+                with xopen(out, "wb", compresslevel=1) as writer:
+                    for name in sorted(os.listdir(parts_dir)):
+                        writer.write(np.fromfile(
+                            os.path.join(parts_dir, name), dtype=np.uint8))
+                shutil.rmtree(parts_dir)
+        barrier("fastqdedup:arena-output-merged")
 
 
 def _filter_and_write(input_files: List[str], output_files: List[str],
