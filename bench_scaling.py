@@ -62,9 +62,17 @@ if nproc > 1:
                                num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc, "distributed init was a no-op"
 from fastqdedup_tpu.pipeline import deduplicate_cluster
-t0 = time.time()
-deduplicate_cluster(inputs, [output], None, 1, 0.001)
-print("HOSTWALL", time.time() - t0, flush=True)
+# In-process repeats: the first run backs the process's recycled buffer
+# pools; later runs measure the steady state a long-lived service sees.
+# Cross-process warming cannot do this on hosts with virtio free-page
+# reporting (freed pages return to the hypervisor within seconds), and
+# bench.py's official single-host number is measured the same way.
+# Every host runs the same rep count (the pipeline is collective).
+reps = int(os.environ.get("SCALE_INPROC_REPS", "3"))
+for r in range(reps):
+    t0 = time.time()
+    deduplicate_cluster(inputs, [output], None, 1, 0.001)
+    print("HOSTWALL", r, time.time() - t0, flush=True)
 """
 
 
@@ -104,7 +112,7 @@ def run_config(nproc: int, shard_files, workdir: str,
         procs.append(subprocess.Popen(cmd, env=env, cwd=workdir,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT))
-    walls = []
+    rep_walls: dict = {}
     for p, proc in zip(range(nproc), procs):
         out = proc.communicate(timeout=3600)[0].decode("utf-8", "replace")
         if os.environ.get("SCALE_DEBUG") == "1":
@@ -113,10 +121,15 @@ def run_config(nproc: int, shard_files, workdir: str,
                 f.write(out)
         if proc.returncode != 0:
             raise RuntimeError(f"host {p}/{nproc} failed:\n{out[-3000:]}")
-        walls.append(float(
-            [ln for ln in out.splitlines()
-             if ln.startswith("HOSTWALL")][-1].split()[1]))
-    return max(walls), outputs
+        for ln in out.splitlines():
+            if ln.startswith("HOSTWALL"):
+                _, rep, wall = ln.split()
+                rep_walls.setdefault(int(rep), []).append(float(wall))
+    # A rep's wall is the SLOWEST host in that rep (collectives align
+    # hosts within a rep); the config's time is the best steady-state
+    # rep.  Taking each host's own best rep instead could pair walls
+    # from different reps — a jointly unachievable time.
+    return min(max(ws) for ws in rep_walls.values()), outputs
 
 
 def main() -> None:
@@ -137,14 +150,9 @@ def main() -> None:
         shards.append(path)
     print(f"generated 4x{per_shard} reads in {workdir}", file=sys.stderr)
 
-    # Warm the persistent compile cache (shared across processes) at every
-    # process count: the collective programs are shape- and P-specific, so
-    # the timed runs measure the steady-state pipeline, not one-time XLA
-    # compiles (padded-allgather sizes are power-of-two size classes
-    # precisely so these cached programs get reused).
-    for nproc in proc_counts:
-        warm_wall, _ = run_config(nproc, shards, workdir, repo)
-        print(f"warmup P={nproc}: {warm_wall:.1f}s", file=sys.stderr)
+    # No separate warmup runs: each config's in-process rep 0 (discarded
+    # by the per-rep minimum) warms the compile cache and the buffer
+    # pools under exactly the measured topology.
 
     # Best-of-N per config, with configs INTERLEAVED round-robin: this
     # VM's wall times swing ~2x with page-cache state and background

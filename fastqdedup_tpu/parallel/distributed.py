@@ -109,9 +109,11 @@ def bucket_owner_mask(bucket_ids: np.ndarray, salt: int,
 
 
 def _allgather(array: np.ndarray) -> np.ndarray:
-    """[H, ...] stack of every process's ``array`` (device all-gather).
+    """[H, ...] stack of every process's ``array``.
 
-    int64 payloads travel as int32 pairs: jnp.asarray silently downcasts
+    TCP mesh when available (all hosts pass the same shape/dtype here —
+    sizes, scalars, bitmaps); else the device all-gather, where int64
+    payloads travel as int32 pairs: jnp.asarray silently downcasts
     64-bit integers when jax_enable_x64 is off (the default), which would
     truncate values like sharded-input record offsets (multiples of
     2^44).
@@ -119,6 +121,13 @@ def _allgather(array: np.ndarray) -> np.ndarray:
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
 
+    from .transport import get_mesh
+    mesh = get_mesh()
+    if mesh is not None:
+        blobs = mesh.allgather_blobs(
+            np.ascontiguousarray(array).tobytes())
+        return np.stack([np.frombuffer(b, dtype=array.dtype)
+                         .reshape(array.shape) for b in blobs])
     if array.dtype == np.int64:
         as32 = np.ascontiguousarray(array).view(np.int32).reshape(
             array.shape + (2,))
@@ -172,9 +181,20 @@ def _allgather_bytes_scatter(buf: np.ndarray, padded: int,
     the destination pages on a helper thread one chunk ahead HURTS —
     the Gloo CPU transport spin-polls, so the core is never idle during
     the collective call and the toucher thread only adds contention on
-    single-core-per-host deployments.)"""
+    single-core-per-host deployments.)
+
+    When the TCP mesh is up (parallel/transport.py) the bytes skip the
+    device collective entirely: raw sockets move loopback/DCN traffic
+    several times faster than the Gloo path and need no padding, no
+    chunk dispatch, and no intermediate assembly buffers."""
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
+
+    from .transport import get_mesh
+    mesh = get_mesh()
+    if mesh is not None:
+        mesh.allgather_scatter(buf.view(np.uint8), dests)
+        return
 
     pbuf = _pad_to(buf.view(np.uint8), padded)
     for i in range(0, padded, _GATHER_CHUNK):
@@ -555,6 +575,11 @@ def barrier(name: str) -> None:
     import jax
 
     if jax.process_count() == 1:
+        return
+    from .transport import get_mesh
+    mesh = get_mesh()
+    if mesh is not None:
+        mesh.allgather_blobs(b"")  # empty exchange == barrier
         return
     from jax.experimental import multihost_utils
 

@@ -708,7 +708,33 @@ def deduplicate_cluster(
     Same contract as the reference driver (__init__.py:209-288): arity
     validation, quality filter applied over the check-sliced qualities,
     within-distance clustering, cluster dissection, first-wins rewrite.
+
+    In a multi-process job, any failure tears down the host byte
+    transport before re-raising so PEER hosts parked in a collective
+    fail fast instead of deadlocking against this host's interpreter
+    shutdown.
     """
+    try:
+        _deduplicate_cluster_impl(
+            input_files, output_files, check_slices, max_distance,
+            max_average_error_rate, cluster_dissection_func,
+            use_edit_distance, chunk_records)
+    except BaseException:
+        from .parallel.transport import abort_mesh
+        abort_mesh()
+        raise
+
+
+def _deduplicate_cluster_impl(
+    input_files: List[str],
+    output_files: List[str],
+    check_slices: Optional[List[slice]],
+    max_distance: int,
+    max_average_error_rate: float,
+    cluster_dissection_func: ClusterDissectionFunc,
+    use_edit_distance: bool,
+    chunk_records: int,
+) -> None:
     from .runtime import configure_jax
     configure_jax()
     # Multi-host mode engages automatically when the process is part of an
@@ -724,6 +750,12 @@ def deduplicate_cluster(
         sum_scalars,
     )
     pid, nproc = process_shape()
+    if nproc > 1:
+        # Build the TCP mesh NOW, while every host is provably alive and
+        # inside the pipeline: lazy construction at the first exchange
+        # would block for the KV timeout if a peer died during pass 1.
+        from .parallel.transport import get_mesh
+        get_mesh()
     # Sharded-input mode (FASTQDEDUP_SHARDED_INPUT=1): each host passes
     # ITS OWN input/output shard on the command line (e.g. per-lane
     # files); parsing and rewriting parallelize perfectly — no strided
