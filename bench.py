@@ -93,17 +93,23 @@ def measure_mode(run_one, n_reads: int, use_edit: bool,
     # lazily-backed pages whose first touch costs seconds per GiB, and
     # that tax decays over the first several runs as the process's
     # recycled buffer pool gets fully backed.  Keep warming until the
-    # run time plateaus (improvement < 15% run over run) so the measured
-    # attempts below start at steady state.
-    max_warm = 8 if n_reads <= 2_000_000 else 2
+    # run time plateaus; a single slow run must NOT end the warm-up
+    # (host weather swings individual runs 2x), so stop only after two
+    # consecutive runs fail to improve on the best-so-far by >= 8%.
+    max_warm = 12 if n_reads <= 2_000_000 else 2
     warm_times = []
-    prev = float("inf")
+    best = float("inf")
+    stale = 0
     for w in range(max_warm):
         dt = run_one(use_edit, warm=True, attempt=w)
         warm_times.append(round(dt, 2))
-        if dt > prev * 0.85:
-            break
-        prev = dt
+        if dt < best * 0.92:
+            stale = 0
+        else:
+            stale += 1
+            if stale >= 2:
+                break
+        best = min(best, dt)
 
     # Best of N measured runs, spread reported: dispatch latency through
     # a tunneled TPU and the host's lazily-backed memory swing run to

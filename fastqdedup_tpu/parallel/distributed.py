@@ -355,11 +355,25 @@ def _owned_meta_merge(g_len: np.ndarray, g_h1: np.ndarray,
     if not len(sel):
         e64 = np.empty(0, dtype=np.int64)
         return e64, e64.copy(), e64.copy(), e64.copy()
-    order = np.lexsort((g_h2[sel].view(np.uint64),
-                        g_h1[sel].view(np.uint64), g_len[sel]))
+    # Sort on h1 alone (stable radix — ~3x cheaper than a 3-key
+    # lexsort); h1 is a strong content hash, so equal-key rows land in
+    # one run unless two DISTINCT keys collide in h1.  That rare case
+    # would interleave two keys inside one h1 run and split them into
+    # broken sub-runs, so it is detected exactly below (any adjacent
+    # equal-h1 pair differing in (len, h2)) and falls back to the full
+    # 3-key lexsort.  Both paths are deterministic: the gathered arrays
+    # are identical on every host.
+    order = np.argsort(g_h1[sel].view(np.uint64), kind="stable")
     s = sel[order]
-    same = (g_len[s][1:] == g_len[s][:-1]) & \
-        (g_h1[s][1:] == g_h1[s][:-1]) & (g_h2[s][1:] == g_h2[s][:-1])
+    same_h1 = g_h1[s][1:] == g_h1[s][:-1]
+    same = same_h1 & (g_len[s][1:] == g_len[s][:-1]) & \
+        (g_h2[s][1:] == g_h2[s][:-1])
+    if (same_h1 & ~same).any():
+        order = np.lexsort((g_h2[sel].view(np.uint64),
+                            g_h1[sel].view(np.uint64), g_len[sel]))
+        s = sel[order]
+        same = (g_len[s][1:] == g_len[s][:-1]) & \
+            (g_h1[s][1:] == g_h1[s][:-1]) & (g_h2[s][1:] == g_h2[s][:-1])
     run_starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
     counts = np.add.reduceat(g_cnt[s], run_starts)
     first_pos = np.minimum.reduceat(g_fp[s], run_starts)
@@ -503,6 +517,8 @@ def exchange_merge_key_tables(key_data: np.ndarray,
     hi = int(np.searchsorted(rep_all, host_starts[pid + 1]))
     my_rows = rep_all[lo:hi] - host_starts[pid]
     my_payload = _ragged_take(key_data, key_offsets, my_rows)
+    if progress:
+        progress("payload-take")
     data, _ = allgather_uint8(my_payload)
     if progress:
         progress("payload-allgather")
