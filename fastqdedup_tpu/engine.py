@@ -461,6 +461,31 @@ class KeyGroups:
             return g
         return None
 
+    def dispose(self) -> None:
+        """Recycle the key-table backing buffers into the runtime pool.
+
+        Call when the run is done with the key table; the release is
+        refcount-gated, so a view still alive anywhere turns this into a
+        silent no-op rather than aliased memory.  The KeyGroups is
+        unusable afterwards."""
+        from .runtime import release
+        bases: List[np.ndarray] = []
+        seen = set()
+        for arrs in (self.voids, self.counts, self.first_pos or []):
+            for a in arrs:
+                base = a
+                while isinstance(base.base, np.ndarray):
+                    base = base.base
+                if id(base) not in seen:
+                    seen.add(id(base))
+                    bases.append(base)
+        self.voids = []
+        self.counts = []
+        self.first_pos = None
+        self.lengths = []
+        while bases:
+            release(bases.pop())
+
 
 def build_partition_groups(groups: KeyGroups, max_distance: int,
                            use_edit_distance: bool = False,

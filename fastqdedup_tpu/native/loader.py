@@ -150,6 +150,14 @@ def read_fastq_chunks_native(filename: str, chunk_records: int = 1 << 18
                 raise OSError(f"{filename}: {message}")
             n = n_records.value
             if n == 0:
+                # No chunk came out of this iteration's buffers (EOF
+                # probe, or a record larger than the buffers): recycle
+                # them — dropping them leaks one full buffer set per
+                # file into fresh-page faults on the next run.
+                from ..runtime import release
+                for buf in (seq_buf, qual_buf, head_buf, offsets,
+                            head_offsets):
+                    release(buf)
                 if _lib.fq_has_pending(handle):
                     # A single record exceeds the buffers: grow and retry.
                     payload_cap *= 2

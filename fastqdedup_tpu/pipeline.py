@@ -86,6 +86,11 @@ def _slice_chunk(chunk: FastqChunk, start: int, stop: int) -> FastqChunk:
         offsets=chunk.offsets[start:stop + 1] - o0,
         headers=chunk.headers[h0:chunk.header_offsets[stop]],
         header_offsets=chunk.header_offsets[start:stop + 1] - h0,
+        # Recycling eligibility travels with the views; the refcount
+        # gate in runtime.release turns any premature or duplicate
+        # attempt (other slices of this chunk still alive) into a no-op,
+        # so the LAST consumer's recycle is the one that lands.
+        pool_bases=chunk.pool_bases,
     )
 
 
@@ -100,8 +105,17 @@ def _concat_chunks(parts: List[FastqChunk]) -> FastqChunk:
     for p in parts[1:]:
         offsets.append(p.offsets[1:] + offsets[-1][-1])
         h_offsets.append(p.header_offsets[1:] + h_offsets[-1][-1])
+    # The concat COPIES the payloads, but the source buffers' recycle
+    # eligibility must survive: the merged chunk is now their last
+    # consumer (dedupe by identity — slices of one source share bases).
+    bases: List[np.ndarray] = []
+    for p in parts:
+        for b in p.pool_bases or ():
+            if not any(b is seen for seen in bases):
+                bases.append(b)
     return FastqChunk(seq, qual, np.concatenate(offsets), head,
-                      np.concatenate(h_offsets))
+                      np.concatenate(h_offsets),
+                      pool_bases=tuple(bases) or None)
 
 
 def _rechunk(source: Iterator[FastqChunk], chunk_records: int
@@ -1250,6 +1264,11 @@ def _deduplicate_cluster_impl(
                           sharded_input=sharded_input)
     logger.info(f"Filtered FASTQ files based on distinct reads from each "
                 f"cluster. ({timer.get_difference()}) ")
+    # The run is done with the key table: recycle its backing buffers
+    # (the accumulator export / merged-exchange columns, ~L bytes/key)
+    # into the process buffer pool so the next run skips re-faulting
+    # them.  Refcount-gated — a live view anywhere makes it a no-op.
+    groups.dispose()
 
 
 def _write_from_record_store(output_files: List[str], groups: KeyGroups,
@@ -1350,6 +1369,9 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
                                                 out_bounds)
                 if len(selected):
                     write_queue.put((index, chunk_id, selected))
+                # Drop this frame's binding so the write worker's
+                # refcount-gated release can recycle the gather buffer.
+                selected = None
     finally:
         write_queue.put(None)
         worker.join()

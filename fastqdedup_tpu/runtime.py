@@ -125,6 +125,7 @@ def release(arr: Optional[np.ndarray]) -> None:
     if (not base.flags.owndata or base.dtype != np.uint8
             or base.ndim != 1 or base.nbytes < _POOL_MIN
             or base.nbytes % _POOL_GRAN):
+        _reject_debug(arr, base, "shape")
         return
     import sys as _sys
     # Expected refs when no foreign view is alive: getrefcount temp +
@@ -134,12 +135,33 @@ def release(arr: Optional[np.ndarray]) -> None:
     # the pool rather than risk aliasing.
     limit = 3 if arr is not base else 4
     if _sys.getrefcount(base) > limit:
+        _reject_debug(arr, base, "refcount")
         return
     with _get_pool_lock():
         if _pool_bytes + base.nbytes > _pool_limit:
+            _reject_debug(arr, base, "pool-full")
             return
         _pool.setdefault(base.nbytes, []).append(base)
         _pool_bytes += base.nbytes
+
+
+def _reject_debug(arr: np.ndarray, base: np.ndarray, why: str) -> None:
+    """FASTQDEDUP_POOL_DEBUG=1: log rejected recycles of big buffers.
+
+    A rejected release is silent by design (safety beats recycling); this
+    makes steady-state pool misses diagnosable without a debugger."""
+    if os.environ.get("FASTQDEDUP_POOL_DEBUG") != "1":
+        return
+    if base.nbytes < _POOL_MIN:
+        return
+    import sys as _sys
+    import traceback
+    site = " > ".join(
+        f"{os.path.basename(f.filename)}:{f.lineno}"
+        for f in traceback.extract_stack()[-4:-2])
+    print(f"pool-reject[{why}] {base.nbytes >> 20}MiB "
+          f"rc={_sys.getrefcount(base)} owndata={base.flags.owndata} "
+          f"via {site}", file=_sys.stderr, flush=True)
 
 
 def big_empty(shape, dtype=np.uint8) -> np.ndarray:
