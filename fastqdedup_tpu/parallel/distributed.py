@@ -495,6 +495,9 @@ def exchange_merge_key_tables(key_data: np.ndarray,
         gathered[0], gathered[1].view(np.uint64),
         gathered[2].view(np.uint64), gathered[3], gathered[4],
         pid, nproc, host_starts=host_starts)
+    from ..runtime import release
+    release(gathered)  # merge outputs are copies; recycle the 40 B/row
+    gathered = None
     if progress:
         progress("owned-merge")
     owned_cols = np.empty((4, len(rep_gidx)), dtype=np.int64)
@@ -513,6 +516,8 @@ def exchange_merge_key_tables(key_data: np.ndarray,
     cnt_all = merged[1][order]
     fp_all = merged[2][order]
     len_all = merged[3][order]
+    release(merged)  # the reorders above are copies
+    merged = None
     lo = int(np.searchsorted(rep_all, host_starts[pid]))
     hi = int(np.searchsorted(rep_all, host_starts[pid + 1]))
     my_rows = rep_all[lo:hi] - host_starts[pid]
@@ -520,6 +525,8 @@ def exchange_merge_key_tables(key_data: np.ndarray,
     if progress:
         progress("payload-take")
     data, _ = allgather_uint8(my_payload)
+    release(my_payload)  # its bytes now live in the gathered table
+    my_payload = None
     if progress:
         progress("payload-allgather")
     offsets = np.zeros(len(rep_all) + 1, dtype=np.int64)

@@ -989,7 +989,13 @@ def _deduplicate_cluster_impl(
         kd2, ko2, kc2, kp2 = exchange_merge_key_tables(
             kd, ko, kc, kp, h1, h2,
             progress=lambda name: debug_phase(f"finalize/{name}"))
-        del kd, ko, kc, kp, h1, h2
+        # The local export is fully represented in the merged table now;
+        # recycle its pooled buffers (refcount-gated no-ops if the
+        # accumulator still references them).
+        from .runtime import release as _release
+        for _buf in (kd, ko, kc, kp, h1, h2):
+            _release(_buf)
+        del kd, ko, kc, kp, h1, h2, _buf
         groups = _finalize_groups(kd2, ko2, kc2, kp2, pre_merged=True)
         debug_phase("finalize/group")
     else:

@@ -193,6 +193,14 @@ def big_empty(shape, dtype=np.uint8) -> np.ndarray:
     size_class = -(-nbytes // _POOL_GRAN) * _POOL_GRAN
     base = _pool_take(size_class)
     if base is None:
+        if os.environ.get("FASTQDEDUP_POOL_DEBUG") == "1":
+            import sys as _sys
+            import traceback
+            site = " > ".join(
+                f"{os.path.basename(f.filename)}:{f.lineno}"
+                for f in traceback.extract_stack()[-4:-1])
+            print(f"pool-miss {size_class >> 20}MiB via {site}",
+                  file=_sys.stderr, flush=True)
         base = np.empty(size_class, dtype=np.uint8)
         populate(base)
     return base[:nbytes].view(dtype).reshape(shape)
