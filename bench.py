@@ -94,20 +94,23 @@ def measure_mode(run_one, n_reads: int, use_edit: bool,
     # that tax decays over the first several runs as the process's
     # recycled buffer pool gets fully backed.  Keep warming until the
     # run time plateaus; a single slow run must NOT end the warm-up
-    # (host weather swings individual runs 2x), so stop only after two
-    # consecutive runs fail to improve on the best-so-far by >= 8%.
-    max_warm = 12 if n_reads <= 2_000_000 else 2
+    # (host weather swings individual runs 2x), so stop only after
+    # three consecutive runs fail to improve on the best-so-far by
+    # >= 4% — round-3 measurement showed the 8%/2-stale rule ended
+    # warm-up at a 1.5 s floor while steady state kept improving to
+    # 0.73 s over the next five runs.
+    max_warm = 20 if n_reads <= 2_000_000 else 2
     warm_times = []
     best = float("inf")
     stale = 0
     for w in range(max_warm):
         dt = run_one(use_edit, warm=True, attempt=w)
         warm_times.append(round(dt, 2))
-        if dt < best * 0.92:
+        if dt < best * 0.96:
             stale = 0
         else:
             stale += 1
-            if stale >= 2:
+            if stale >= 3:
                 break
         best = min(best, dt)
 
@@ -171,9 +174,14 @@ def main() -> None:
 
     def run_one(edit: bool, warm: bool, attempt: int) -> float:
         in_path = warm_src if warm else src
-        # One output path per mode, overwritten on every run: measured
-        # runs then hit page-cache pages the warm-up already backed.
-        out_path = warm_out if warm else f"{out}.{'e' if edit else 'h'}"
+        # One output path per mode shared by warm AND measured runs
+        # (when they read the same input), overwritten every run: the
+        # first measured run then re-hits page-cache/pool state the
+        # warm-up already backed instead of allocating a fresh file.
+        if warm and warm_src != src:
+            out_path = warm_out
+        else:
+            out_path = f"{out}.{'e' if edit else 'h'}"
         start = time.perf_counter()
         deduplicate_cluster([in_path], [out_path], None, 1, 0.001,
                             CLUSTER_DISSECTION_METHODS[method], edit)

@@ -69,10 +69,22 @@ from fastqdedup_tpu.pipeline import deduplicate_cluster
 # bench.py's official single-host number is measured the same way.
 # Every host runs the same rep count (the pipeline is collective).
 reps = int(os.environ.get("SCALE_INPROC_REPS", "3"))
+import resource
 for r in range(reps):
+    ru0 = resource.getrusage(resource.RUSAGE_SELF)
     t0 = time.time()
     deduplicate_cluster(inputs, [output], None, 1, 0.001)
-    print("HOSTWALL", r, time.time() - t0, flush=True)
+    wall = time.time() - t0
+    ru1 = resource.getrusage(resource.RUSAGE_SELF)
+    # minflt counts fresh page mappings — the serialized resource on
+    # hosts with hypervisor-backed lazy paging (bench_scaling README);
+    # utime/stime expose CPU-vs-blocked time per rep.
+    print("HOSTWALL", r, wall,
+          "minflt", ru1.ru_minflt - ru0.ru_minflt,
+          "majflt", ru1.ru_majflt - ru0.ru_majflt,
+          "cpu", round(ru1.ru_utime - ru0.ru_utime
+                       + ru1.ru_stime - ru0.ru_stime, 2),
+          flush=True)
 """
 
 
@@ -123,8 +135,11 @@ def run_config(nproc: int, shard_files, workdir: str,
             raise RuntimeError(f"host {p}/{nproc} failed:\n{out[-3000:]}")
         for ln in out.splitlines():
             if ln.startswith("HOSTWALL"):
-                _, rep, wall = ln.split()
+                fields = ln.split()
+                rep, wall = fields[1], fields[2]
                 rep_walls.setdefault(int(rep), []).append(float(wall))
+                if os.environ.get("SCALE_DEBUG") == "1":
+                    print(f"  host {p}/{nproc} {ln}", file=sys.stderr)
     # A rep's wall is the SLOWEST host in that rep (collectives align
     # hosts within a rep); the config's time is the best steady-state
     # rep.  Taking each host's own best rep instead could pair walls
