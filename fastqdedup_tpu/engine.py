@@ -270,6 +270,34 @@ def _component_labels(n: int, ei: np.ndarray, ej: np.ndarray) -> np.ndarray:
     return connected_components_host(n, ei, ej)
 
 
+def _assemble_partition(n: int, labels: np.ndarray, ei: np.ndarray,
+                        ej: np.ndarray) -> "Partition":
+    """Group keys by component label into a :class:`Partition`.
+
+    Native path: O(n) counting sort (labels are component-min indices in
+    ``[0, n)``).  Fallback reproduces the identical grouping with a
+    stable argsort.
+    """
+    try:
+        from .native.loader import partition_assemble_native
+        order, starts, ends, cluster_of, local_index = \
+            partition_assemble_native(labels)
+    except ImportError:
+        order = np.argsort(labels, kind="stable")
+        sorted_labels = labels[order]
+        boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [n]])
+        sizes = ends - starts
+        cluster_of = np.empty(n, dtype=np.int64)
+        cluster_of[order] = np.repeat(
+            np.arange(len(starts), dtype=np.int64), sizes)
+        local_index = np.empty(n, dtype=np.int64)
+        local_index[order] = np.arange(n, dtype=np.int64) - \
+            np.repeat(starts, sizes)
+    return Partition(order, starts, ends, ei, ej, cluster_of, local_index)
+
+
 @dataclass
 class Partition:
     """Raw connected-component partition over unique keys.
@@ -320,19 +348,7 @@ def build_partition(keys: Sequence[bytes], max_distance: int,
             ei, ej = _hamming_edges_entries(entries, table, max_distance)
 
     labels = _component_labels(n, ei, ej)
-    order = np.argsort(labels, kind="stable")
-    sorted_labels = labels[order]
-    boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
-    starts = np.concatenate([[0], boundaries])
-    ends = np.concatenate([boundaries, [n]])
-    sizes = ends - starts
-    cluster_of = np.empty(n, dtype=np.int64)
-    cluster_of[order] = np.repeat(np.arange(len(starts), dtype=np.int64),
-                                  sizes)
-    local_index = np.empty(n, dtype=np.int64)
-    local_index[order] = np.arange(n, dtype=np.int64) - \
-        np.repeat(starts, sizes)
-    return Partition(order, starts, ends, ei, ej, cluster_of, local_index)
+    return _assemble_partition(n, labels, ei, ej)
 
 
 def build_clusters(keys: Sequence[bytes], counts: Sequence[int],
@@ -573,18 +589,6 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
             ei, ej = codes // n, codes % n
     labels = _component_labels(n, ei, ej)
     _mark("labels")
-    order = np.argsort(labels, kind="stable")
-    _mark("label-sort")
-    sorted_labels = labels[order]
-    boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
-    starts = np.concatenate([[0], boundaries])
-    ends = np.concatenate([boundaries, [n]])
-    sizes = ends - starts
-    cluster_of = np.empty(n, dtype=np.int64)
-    cluster_of[order] = np.repeat(np.arange(len(starts), dtype=np.int64),
-                                  sizes)
-    local_index = np.empty(n, dtype=np.int64)
-    local_index[order] = np.arange(n, dtype=np.int64) - \
-        np.repeat(starts, sizes)
+    part = _assemble_partition(n, labels, ei, ej)
     _mark("assemble")
-    return Partition(order, starts, ends, ei, ej, cluster_of, local_index)
+    return part

@@ -1588,6 +1588,49 @@ int uf_components(int64_t n, const int64_t *ei, const int64_t *ej,
     return FQ_OK;
 }
 
+/* Partition assembly as a counting sort: labels are component roots in
+ * [0, n), so grouping keys by component needs no comparison sort.  One
+ * count pass + one prefix pass + one stable scatter produce the grouped
+ * order, per-key dense cluster id / within-cluster position, and the
+ * C+1 cluster prefix array — O(n) total, replacing an O(n log n)
+ * argsort that measured ~0.4 s replicated per host at 2.5M keys.
+ * Dense ids ascend with label value and the scatter visits keys in
+ * index order, so the output is bit-identical to
+ * np.argsort(labels, kind="stable") grouping. */
+int fq_partition_assemble(int64_t n, const int64_t *labels,
+                          int64_t *order, int64_t *cluster_of,
+                          int64_t *local_index,
+                          int64_t *starts_out /* capacity n + 1 */,
+                          int64_t *num_clusters_out) {
+    if (n <= 0) { *num_clusters_out = 0; starts_out[0] = 0; return FQ_OK; }
+    int64_t *cnt = (int64_t *)calloc((size_t)n, sizeof(int64_t));
+    if (!cnt) return FQ_ERR_NOMEM;
+    for (int64_t i = 0; i < n; i++) cnt[labels[i]]++;
+    int64_t c = 0, off = 0;
+    for (int64_t l = 0; l < n; l++) {
+        if (cnt[l]) {
+            starts_out[c] = off;
+            off += cnt[l];
+            cnt[l] = c++;  /* reuse slot as the dense cluster id */
+        }
+    }
+    starts_out[c] = n;
+    int64_t *cursor = (int64_t *)malloc((size_t)c * sizeof(int64_t));
+    if (!cursor) { free(cnt); return FQ_ERR_NOMEM; }
+    memcpy(cursor, starts_out, (size_t)c * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        int64_t d = cnt[labels[i]];
+        int64_t pos = cursor[d]++;
+        order[pos] = i;
+        cluster_of[i] = d;
+        local_index[i] = pos - starts_out[d];
+    }
+    free(cursor);
+    free(cnt);
+    *num_clusters_out = c;
+    return FQ_OK;
+}
+
 /* Batched query: out[i] = stored first_pos of key i, or -1 if absent.
  * With keys inserted at base 0 in a single acc_add call, first_pos IS
  * the insertion row id — which makes this a perfect-hash index lookup
@@ -1801,10 +1844,21 @@ typedef struct {
 
 static void *gather_worker(void *arg) {
     GatherWork *w = (GatherWork *)arg;
-    for (int64_t i = w->lo; i < w->hi; i++) {
+    int64_t i = w->lo;
+    while (i < w->hi) {
         int64_t r = w->rows[i];
+        /* Coalesce maximal runs of consecutive source rows: their bytes
+         * are contiguous in data (ragged offsets are cumulative), and
+         * the destination is always contiguous, so one memcpy moves the
+         * whole run.  Row lists here are typically sorted and dense
+         * (e.g. the multi-host payload take selects most of the local
+         * table), where this turns ~100 B copies into multi-KB ones. */
+        int64_t j = i + 1;
+        while (j < w->hi && w->rows[j] == w->rows[j - 1] + 1)
+            j++;
         memcpy(w->out + w->out_offsets[i], w->data + w->offsets[r],
-               (size_t)(w->offsets[r + 1] - w->offsets[r]));
+               (size_t)(w->offsets[w->rows[j - 1] + 1] - w->offsets[r]));
+        i = j;
     }
     return NULL;
 }

@@ -82,6 +82,11 @@ _lib.fq_hash_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                               ctypes.c_uint64, ctypes.c_int,
                               ctypes.c_int, _u64p]
 
+_lib.fq_partition_assemble.restype = ctypes.c_int
+_lib.fq_partition_assemble.argtypes = [
+    ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p,
+    ctypes.POINTER(ctypes.c_int64)]
+
 _lib.fq_hash_ragged.restype = None
 _lib.fq_hash_ragged.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                 ctypes.c_uint64, ctypes.c_int,
@@ -508,3 +513,29 @@ def union_find_native(n: int, pairs_i: np.ndarray,
         np.ascontiguousarray(pairs_j, dtype=np.int64),
         len(pairs_i), labels)
     return labels
+
+
+def partition_assemble_native(labels: np.ndarray):
+    """Counting-sort partition assembly over min-index component labels.
+
+    Returns ``(order, starts, ends, cluster_of, local_index)`` exactly
+    matching the ``np.argsort(labels, kind="stable")`` grouping (the
+    trie's pop_cluster partition analog, _triemodule.c:778-897) in O(n).
+    """
+    n = len(labels)
+    order = np.empty(n, dtype=np.int64)
+    cluster_of = np.empty(n, dtype=np.int64)
+    local_index = np.empty(n, dtype=np.int64)
+    starts_buf = np.empty(n + 1, dtype=np.int64)
+    num = ctypes.c_int64(0)
+    rc = _lib.fq_partition_assemble(
+        int(n), np.ascontiguousarray(labels, dtype=np.int64),
+        order, cluster_of, local_index, starts_buf, ctypes.byref(num))
+    if rc != _FQ_OK:
+        raise MemoryError("fq_partition_assemble allocation failed")
+    c = num.value
+    # Plain copies: the n+1-sized scratch would otherwise stay pinned by
+    # two small views for the run's whole pass 2.
+    starts = starts_buf[:c].copy()
+    ends = starts_buf[1:c + 1].copy()
+    return order, starts, ends, cluster_of, local_index

@@ -309,3 +309,41 @@ def test_pair_source_fraction_logged(caplog):
     assert len(ii)
     assert any("pairs host=" in rec.message and "on device" in rec.message
                for rec in caplog.records)
+
+
+def test_partition_assemble_native_matches_argsort_grouping():
+    """The O(n) counting-sort assembly must reproduce the stable-argsort
+    grouping bit for bit (order, starts/ends, cluster ids, local ranks)."""
+    pytest.importorskip("fastqdedup_tpu.native.loader")
+    from fastqdedup_tpu.native.loader import partition_assemble_native
+
+    rng = np.random.default_rng(42)
+    for n in (1, 2, 7, 1000):
+        # Component-min labels: build from random merges via union-find
+        # to match production label structure.
+        from fastqdedup_tpu.ops.components import connected_components_host
+        e = max(n // 2, 1)
+        ei = rng.integers(0, n, size=e).astype(np.int64)
+        ej = rng.integers(0, n, size=e).astype(np.int64)
+        labels = connected_components_host(n, ei, ej)
+        order, starts, ends, cluster_of, local_index = \
+            partition_assemble_native(labels)
+
+        ref_order = np.argsort(labels, kind="stable")
+        sorted_labels = labels[ref_order]
+        boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
+        ref_starts = np.concatenate([[0], boundaries])
+        ref_ends = np.concatenate([boundaries, [n]])
+        sizes = ref_ends - ref_starts
+        ref_cluster = np.empty(n, dtype=np.int64)
+        ref_cluster[ref_order] = np.repeat(
+            np.arange(len(ref_starts), dtype=np.int64), sizes)
+        ref_local = np.empty(n, dtype=np.int64)
+        ref_local[ref_order] = np.arange(n, dtype=np.int64) - \
+            np.repeat(ref_starts, sizes)
+
+        np.testing.assert_array_equal(order, ref_order)
+        np.testing.assert_array_equal(starts, ref_starts)
+        np.testing.assert_array_equal(ends, ref_ends)
+        np.testing.assert_array_equal(cluster_of, ref_cluster)
+        np.testing.assert_array_equal(local_index, ref_local)
