@@ -278,11 +278,17 @@ def _assemble_partition(n: int, labels: np.ndarray, ei: np.ndarray,
     ``[0, n)``).  Fallback reproduces the identical grouping with a
     stable argsort.
     """
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return Partition(empty, empty, empty, ei, ej, empty, empty)
     try:
+        # AttributeError covers a stale _fastq_io.so predating the
+        # fq_partition_assemble symbol (loader.py binds restypes at
+        # import, so the whole module import raises AttributeError).
         from .native.loader import partition_assemble_native
         order, starts, ends, cluster_of, local_index = \
             partition_assemble_native(labels)
-    except ImportError:
+    except (ImportError, AttributeError):
         order = np.argsort(labels, kind="stable")
         sorted_labels = labels[order]
         boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
