@@ -1952,3 +1952,69 @@ void acc_lookup_mt(const KeyAcc *a, const unsigned char *key_data,
     for (int t = 1; t < nthreads; t++)
         pthread_join(tids[t], NULL);
 }
+
+/* Sort four parallel int64 columns by ascending col0 — LSB radix over
+ * 8-bit digits, with passes limited to the bytes col0 actually uses
+ * (gathered row indices are < total gathered rows, so 3-4 passes in
+ * practice).  col0 must be non-negative and outputs must not alias
+ * inputs.  Replaces exchange_merge_key_tables's numpy argsort + four
+ * fancy-index takes (~0.35 s per host at 2.5M keys, replicated on
+ * every host) with O(n) passes fused with the 4-column permute. */
+int fq_sort_permute4(int64_t n,
+                     const int64_t *c0, const int64_t *c1,
+                     const int64_t *c2, const int64_t *c3,
+                     int64_t *o0, int64_t *o1,
+                     int64_t *o2, int64_t *o3) {
+    if (n <= 0) return FQ_OK;
+    int64_t maxv = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (c0[i] > maxv) maxv = c0[i];
+    int passes = 1;
+    while ((maxv >> (8 * passes)) && passes < 8) passes++;
+    /* Persistent scratch: on hosts with hypervisor free-page
+     * reporting, malloc/free per call re-faults 2n*8 bytes every
+     * exchange; keeping the high-water mapping makes repeat calls
+     * fault-free.  Guarded for concurrent callers. */
+    static pthread_mutex_t sp4_lock = PTHREAD_MUTEX_INITIALIZER;
+    static int64_t *sp4_buf = NULL;
+    static int64_t sp4_cap = 0;
+    pthread_mutex_lock(&sp4_lock);
+    if (sp4_cap < n) {
+        free(sp4_buf);
+        sp4_buf = (int64_t *)malloc((size_t)n * 2 * sizeof(int64_t));
+        if (!sp4_buf) {
+            sp4_cap = 0;
+            pthread_mutex_unlock(&sp4_lock);
+            return FQ_ERR_NOMEM;
+        }
+        sp4_cap = n;
+    }
+    int64_t *a = sp4_buf;
+    int64_t *b = sp4_buf + n;
+    for (int64_t i = 0; i < n; i++) a[i] = i;
+    for (int p = 0; p < passes; p++) {
+        int shift = 8 * p;
+        int64_t pos[256];
+        memset(pos, 0, sizeof(pos));
+        for (int64_t i = 0; i < n; i++)
+            pos[(c0[a[i]] >> shift) & 0xFF]++;
+        int64_t off = 0;
+        for (int d = 0; d < 256; d++) {
+            int64_t c = pos[d];
+            pos[d] = off;
+            off += c;
+        }
+        for (int64_t i = 0; i < n; i++)
+            b[pos[(c0[a[i]] >> shift) & 0xFF]++] = a[i];
+        int64_t *t = a; a = b; b = t;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        int64_t j = a[i];
+        o0[i] = c0[j];
+        o1[i] = c1[j];
+        o2[i] = c2[j];
+        o3[i] = c3[j];
+    }
+    pthread_mutex_unlock(&sp4_lock);
+    return FQ_OK;
+}

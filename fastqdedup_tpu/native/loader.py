@@ -87,6 +87,11 @@ _lib.fq_partition_assemble.argtypes = [
     ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p,
     ctypes.POINTER(ctypes.c_int64)]
 
+_lib.fq_sort_permute4.restype = ctypes.c_int
+_lib.fq_sort_permute4.argtypes = [ctypes.c_int64,
+                                  _i64p, _i64p, _i64p, _i64p,
+                                  _i64p, _i64p, _i64p, _i64p]
+
 _lib.fq_hash_ragged.restype = None
 _lib.fq_hash_ragged.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                 ctypes.c_uint64, ctypes.c_int,
@@ -513,6 +518,25 @@ def union_find_native(n: int, pairs_i: np.ndarray,
         np.ascontiguousarray(pairs_j, dtype=np.int64),
         len(pairs_i), labels)
     return labels
+
+
+def sort_permute4_native(cols: np.ndarray):
+    """Sort a [4, n] int64 column block by ascending row 0 in O(n).
+
+    Returns four new arrays (c0_sorted, c1, c2, c3 permuted alike) —
+    the reorder exchange_merge_key_tables needs to put merged keys in
+    ascending representative-row order.  LSB radix in C; bit-identical
+    to ``order = np.argsort(cols[0], kind="stable"); cols[:, order]``
+    because row-0 values are unique (one gathered row per key).
+    """
+    from ..runtime import big_empty
+    n = cols.shape[1]
+    outs = [big_empty((n,), dtype=np.int64) for _ in range(4)]
+    ins = [np.ascontiguousarray(cols[i], dtype=np.int64) for i in range(4)]
+    rc = _lib.fq_sort_permute4(int(n), *ins, *outs)
+    if rc != _FQ_OK:
+        raise MemoryError("fq_sort_permute4 allocation failed")
+    return tuple(outs)
 
 
 def partition_assemble_native(labels: np.ndarray):

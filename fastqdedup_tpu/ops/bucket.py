@@ -235,7 +235,8 @@ def measured_host_byte_rate() -> float:
 
 
 def choose_host_bucket_cap(sizes: np.ndarray, length: int,
-                           limit: int) -> int:
+                           limit: int,
+                           device_length: "int | None" = None) -> int:
     """Largest bucket size verified on host, from MEASURED rates.
 
     For each candidate cap c, the cost of keeping sizes <= c on host is
@@ -267,7 +268,7 @@ def choose_host_bucket_cap(sizes: np.ndarray, length: int,
     # S*S bytes and scanned) on the host — device MXU time is noise next
     # to these.  ~S * (Lp + 1.2 * S) bytes per bucket at the measured
     # host rate.
-    l_pad = max(-(-max(length, 1) // 16) * 16, 16)
+    l_pad = max(-(-max(device_length or length, 1) // 16) * 16, 16)
     dev_bucket_bytes = first_class * (l_pad + 1.2 * first_class)
     best_cap, best_cost = candidates[-1], float("inf")
     for cap in candidates:
@@ -319,11 +320,25 @@ def _launch_bucket_batches(matrix: np.ndarray,
                            member_lists: List[np.ndarray],
                            size_class: int, alphabet_size: int,
                            max_distance: int,
-                           encode_lut: "np.ndarray | None" = None):
+                           encode_lut: "np.ndarray | None" = None,
+                           exclude_cols: "Tuple[int, int] | None" = None):
     """Enqueue within-bucket all-pairs kernels, yielding
     (members, future, device_bytes) as each batch is dispatched, so the
-    caller can bound total in-flight device memory."""
+    caller can bound total in-flight device memory.
+
+    ``exclude_cols=(s, e)``: ship only the COMPLEMENT of columns [s, e)
+    — the pigeonhole segment the bucket already agrees on.  Members of a
+    (segment, content) bucket match on those columns by construction, so
+    comparing the complement computes the same Hamming distance with
+    1/(d+1) fewer key bytes per row (d=1: 2x less H2D and MXU work).
+    Bucket membership is hash-keyed, so the caller must re-verify
+    segment equality on every emitted pair (_drain_bucket_batches does)
+    to keep the pair set exact under hash collisions.
+    """
     length = matrix.shape[1]
+    if exclude_cols is not None:
+        ex_s, ex_e = exclude_cols
+        length -= ex_e - ex_s
     devices = jax.local_devices()
     k = _buckets_per_call(size_class)
     if jax.default_backend() == "tpu" and size_class % 128 == 0:
@@ -343,7 +358,11 @@ def _launch_bucket_batches(matrix: np.ndarray,
         batch = np.full((k, size_class, length), _PAD_INDEX, dtype=np.uint8)
         for b, idx in enumerate(chunk):
             members[b, :len(idx)] = idx
-            batch[b, :len(idx)] = matrix[idx]
+            if exclude_cols is not None:
+                batch[b, :len(idx), :ex_s] = matrix[idx, :ex_s]
+                batch[b, :len(idx), ex_s:] = matrix[idx, ex_e:]
+            else:
+                batch[b, :len(idx)] = matrix[idx]
         if encode_lut is not None:
             # Raw-byte rows -> alphabet indices, gathered rows only.  The
             # _PAD_INDEX fill survives: lut[0xFF] is UNASSIGNED == 0xFF
@@ -363,16 +382,24 @@ def _launch_bucket_batches(matrix: np.ndarray,
 MAX_INFLIGHT_BYTES = 1 << 29
 
 
-def _drain_bucket_batches(launched):
-    """Resolve launched bucket batches into global index pairs."""
-    for _, future, _ in launched:
+def _drain_bucket_batches(launched, matrix: "np.ndarray | None" = None):
+    """Resolve launched bucket batches into global index pairs.
+
+    Items are ``(members, future, nbytes, seg)``; when ``seg=(s, e)`` is
+    set the batch was compared on the segment COMPLEMENT, and each
+    emitted pair is re-verified for exact equality on columns [s, e)
+    here (O(pairs * w) host bytes — emitted pairs are near-duplicates,
+    so this is noise next to the kernel).  The check makes the pair set
+    exact even when two different segment contents share a 64-bit bucket
+    hash."""
+    for item in launched:
         # D2H is pull-based: start every host copy before blocking on the
         # first, so transfers pipeline instead of paying one RTT each.
         try:
-            future.copy_to_host_async()
+            item[1].copy_to_host_async()
         except AttributeError:  # pragma: no cover - older jax
             pass
-    for members, future, _ in launched:
+    for members, future, _, seg in launched:
         s = members.shape[1]
         within = np.unpackbits(np.asarray(future), axis=-1,
                                bitorder="little")[..., :s]
@@ -380,7 +407,13 @@ def _drain_bucket_batches(launched):
         gi = members[bb, ii]
         gj = members[bb, jj]
         valid = (gi >= 0) & (gj >= 0)
-        yield gi[valid], gj[valid]
+        gi, gj = gi[valid], gj[valid]
+        if seg is not None and matrix is not None and len(gi):
+            seg_s, seg_e = seg
+            same = (matrix[gi, seg_s:seg_e]
+                    == matrix[gj, seg_s:seg_e]).all(axis=1)
+            gi, gj = gi[same], gj[same]
+        yield gi, gj
 
 
 def hamming_neighbor_pairs_bucketed(
@@ -466,7 +499,7 @@ def hamming_neighbor_pairs_bucketed(
                 inflight -= launched[take][2]
                 take += 1
             head, launched = launched[:take], launched[take:]
-            for gi, gj in _drain_bucket_batches(head):
+            for gi, gj in _drain_bucket_batches(head, matrix):
                 pair_src["device"] += len(gi)
                 pair_codes.append(np.minimum(gi, gj) * n +
                                   np.maximum(gi, gj))
@@ -520,6 +553,13 @@ def hamming_neighbor_pairs_bucketed(
         classes = [c for c in SIZE_CLASSES
                    if host_cap < c <= large_bucket_threshold]
         lower = host_cap
+        # Segment-complement comparison: bucket members agree on columns
+        # [seg_start, seg_end) (up to bucket-hash collisions, re-checked
+        # per emitted pair in _drain_bucket_batches), so device kernels
+        # only ship and compare the complement — for d=1 that is 2x less
+        # H2D and 2x fewer MXU ops per pair.  d=0 keeps full rows (the
+        # complement would be empty).
+        seg = (seg_start, seg_end) if max_distance >= 1 else None
         for size_class in classes:
             in_class = (sizes > lower) & (sizes <= size_class) & owned
             lower = size_class
@@ -528,24 +568,35 @@ def hamming_neighbor_pairs_bucketed(
                 member_lists = [order[starts[b]:ends[b]] for b in selected]
                 for item in _launch_bucket_batches(
                         matrix, member_lists, size_class, alphabet_size,
-                        max_distance, encode_lut=encode_lut):
-                    launched.append(item)
+                        max_distance, encode_lut=encode_lut,
+                        exclude_cols=seg):
+                    launched.append(item + (seg,))
                     inflight += item[2]
                     if inflight > MAX_INFLIGHT_BYTES:
                         drain(MAX_INFLIGHT_BYTES // 2)
         over_cutoff = classes[-1] if classes else host_cap
         _mark("launch")
         for b in np.flatnonzero((sizes > over_cutoff) & owned):
-            oversized.append(order[starts[b]:ends[b]])
+            oversized.append((order[starts[b]:ends[b]], seg))
     drain(0)
-    # Oversized buckets: dedicated all-pairs sweep per bucket.
+    # Oversized buckets: dedicated all-pairs sweep per bucket (same
+    # segment-complement reduction + per-pair segment re-check).
     _t0[0] = _time.perf_counter()
-    for idx in oversized:
-        rows = matrix[idx]
+    for idx, seg in oversized:
+        if seg is not None:
+            seg_s, seg_e = seg
+            rows = np.concatenate(
+                [matrix[idx, :seg_s], matrix[idx, seg_e:]], axis=1)
+        else:
+            rows = matrix[idx]
         if encode_lut is not None:
             rows = encode_lut[rows]
         li, lj = neighbor_pairs(rows, alphabet_size, max_distance)
         gi, gj = idx[li], idx[lj]
+        if seg is not None and len(gi):
+            same = (matrix[gi, seg_s:seg_e]
+                    == matrix[gj, seg_s:seg_e]).all(axis=1)
+            gi, gj = gi[same], gj[same]
         pair_src["device"] += len(gi)
         pair_codes.append(np.minimum(gi, gj) * n + np.maximum(gi, gj))
     _mark("oversized")

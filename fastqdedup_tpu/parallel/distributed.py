@@ -511,11 +511,19 @@ def exchange_merge_key_tables(key_data: np.ndarray,
     # Final order: ascending representative row index — which groups
     # reps by host (host segments are contiguous index ranges), so the
     # payload streams below concatenate directly into table order.
-    order = np.argsort(merged[0], kind="stable")
-    rep_all = merged[0][order]
-    cnt_all = merged[1][order]
-    fp_all = merged[2][order]
-    len_all = merged[3][order]
+    # Native path: one fused radix sort + 4-column permute (O(n), ~5x
+    # cheaper than argsort + four fancy-index takes — this reorder is
+    # ~n total keys of work replicated on EVERY host, a non-scaling
+    # term of the exchange budget).
+    try:
+        from ..native.loader import sort_permute4_native
+        rep_all, cnt_all, fp_all, len_all = sort_permute4_native(merged)
+    except (ImportError, AttributeError):
+        order = np.argsort(merged[0], kind="stable")
+        rep_all = merged[0][order]
+        cnt_all = merged[1][order]
+        fp_all = merged[2][order]
+        len_all = merged[3][order]
     release(merged)  # the reorders above are copies
     merged = None
     lo = int(np.searchsorted(rep_all, host_starts[pid]))

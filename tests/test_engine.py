@@ -347,3 +347,76 @@ def test_partition_assemble_native_matches_argsort_grouping():
         np.testing.assert_array_equal(ends, ref_ends)
         np.testing.assert_array_equal(cluster_of, ref_cluster)
         np.testing.assert_array_equal(local_index, ref_local)
+
+
+def _bruteforce_pairs(keys, d):
+    expected = set()
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            if within_distance(keys[i].decode(), keys[j].decode(), d):
+                expected.add((i, j))
+    return expected
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_bucketed_complement_device_classes(monkeypatch, d):
+    """Segment-complement comparison through the batched size classes.
+
+    Keys share pigeonhole segments heavily, so buckets exceed the host
+    cap (forced to its minimum) and route through
+    _launch_bucket_batches with exclude_cols — the pair set must still
+    match brute force exactly.
+    """
+    monkeypatch.setenv("FASTQDEDUP_DISPATCH_S", "1e-9")
+    rng = random.Random(3 + d)
+    length = 12
+    common = [
+        "".join(rng.choice("ACGT") for _ in range(length))
+        for _ in range(3)
+    ]
+    keys = []
+    for base in common:
+        for _ in range(80):
+            row = list(base)
+            # Mutate only one half so one segment stays shared and the
+            # bucket grows past every host cap candidate.
+            pos = rng.randrange(length // 2, length)
+            row[pos] = rng.choice("ACGT")
+            keys.append("".join(row).encode())
+    keys = list(dict.fromkeys(keys))
+    table = EncodeTable("ACGTN")
+    matrix, _ = keys_to_matrix(keys, table)
+    ii, jj = hamming_neighbor_pairs_bucketed(matrix, table.size, d,
+                                             large_bucket_threshold=2048)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    assert got == _bruteforce_pairs(keys, d)
+
+
+@pytest.mark.parametrize("path", ["classes", "oversized"])
+def test_bucketed_complement_exact_under_hash_collisions(monkeypatch, path):
+    """Bucket hashes are allowed to collide: different segment contents
+    landing in one bucket must NOT produce false pairs now that kernels
+    compare only the segment complement (the per-pair segment re-check
+    in _drain_bucket_batches / the oversized sweep prunes them)."""
+    import fastqdedup_tpu.ops.bucket as bucket_mod
+
+    def weak_hash(window, salt, strong=True):
+        # 4 possible values: massive collisions between distinct
+        # segment contents, but still deterministic (equal contents
+        # always collide, preserving completeness).
+        return (window.astype(np.uint64).sum(axis=1) % np.uint64(4))
+
+    monkeypatch.setattr(bucket_mod, "_hash_window_rows", weak_hash)
+    monkeypatch.setenv("FASTQDEDUP_DISPATCH_S", "1e-9")
+    rng = random.Random(11)
+    length = 10
+    keys = list(dict.fromkeys(
+        "".join(rng.choice("ACGT") for _ in range(length)).encode()
+        for _ in range(400)))
+    table = EncodeTable("ACGTN")
+    matrix, _ = keys_to_matrix(keys, table)
+    threshold = 2048 if path == "classes" else 8
+    ii, jj = hamming_neighbor_pairs_bucketed(
+        matrix, table.size, 1, large_bucket_threshold=threshold)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    assert got == _bruteforce_pairs(keys, 1)
