@@ -161,6 +161,11 @@ typedef struct {
     z_stream tail_zs;
     int tail_active;
     struct BgzfAsync *async; /* lazily started on first bgzf fill */
+    int64_t raw_base;        /* file offset of comp[0] */
+    int64_t range_hi;        /* stop before members at >= this offset
+                                (-1: none) */
+    int range_mode;          /* opened with fq_open_range */
+    int64_t cur_unit_end;    /* raw_end of the slot the scanner holds */
     int held_slot;           /* slot the scanner is reading from, or -1 */
     unsigned char *buf0;     /* original owned buffer (freed at close) */
     unsigned char *big_buf;  /* giant-line overflow buffer, or NULL */
@@ -173,6 +178,7 @@ static int bg_refill_comp(FqReader *r) {
         memmove(r->comp, r->comp + r->comp_pos,
                 r->comp_len - r->comp_pos);
         r->comp_len -= r->comp_pos;
+        r->raw_base += (int64_t)r->comp_pos;
         r->comp_pos = 0;
     }
     if (r->comp_len == r->comp_cap) {
@@ -229,6 +235,7 @@ typedef struct {
     unsigned char *data;     /* SLOT_HEADROOM + payload capacity */
     size_t cap;              /* payload capacity */
     size_t len;              /* payload bytes */
+    int64_t raw_end;         /* file offset just past this unit's members */
 } BgzfSlot;
 
 typedef struct BgzfAsync {
@@ -364,6 +371,9 @@ static void *bga_producer(void *arg) {
         while (!r->tail_plain && nblocks < BGZF_BATCH &&
                total_out < SLOT_PAYLOAD) {
             size_t msize, poff, plen, isize;
+            if (r->range_hi >= 0 &&
+                r->raw_base + (int64_t)r->comp_pos >= r->range_hi)
+                break;  /* members past the range belong to the next host */
             int st = bg_parse_member(r->comp + r->comp_pos,
                                      r->comp_len - r->comp_pos,
                                      &msize, &poff, &plen, &isize);
@@ -383,6 +393,14 @@ static void *bga_producer(void *arg) {
             if (st == 0) {
                 /* Non-BGZF member (e.g. plain gzip appended after
                  * blocks): finish queued blocks, stream the rest. */
+                if (r->range_mode) {
+                    /* Byte-range splitting relies on member chaining;
+                     * a non-BGZF member breaks the contract. */
+                    snprintf(r->error, sizeof(r->error),
+                             "non-BGZF gzip member inside a byte range");
+                    err = FQ_ERR_FORMAT;
+                    goto out;
+                }
                 if (nblocks) break;
                 r->tail_plain = 1;
                 break;
@@ -406,7 +424,8 @@ static void *bga_producer(void *arg) {
         }
 
         if (nblocks == 0 && !r->tail_plain)
-            break; /* end of stream */
+            break; /* end of stream (or range exhausted) */
+        int64_t unit_end = r->raw_base + (int64_t)r->comp_pos;
 
         /* 2. Acquire a FREE slot. */
         int idx = -1;
@@ -434,6 +453,7 @@ static void *bga_producer(void *arg) {
                 goto out;
             }
             s->len = total_out;
+            s->raw_end = unit_end;
         } else {
             /* Stream-inflate the non-BGZF remainder (concatenated
              * members handled by inflateReset on Z_STREAM_END). */
@@ -500,6 +520,7 @@ static void *bga_producer(void *arg) {
                 break;
             }
             s->len = produced_total;
+            s->raw_end = r->raw_base + (int64_t)r->comp_pos;
         }
 
         /* 3. Publish the slot. */
@@ -601,6 +622,7 @@ static int bg_consume(FqReader *r) {
     pthread_mutex_unlock(&a->mu);
 
     BgzfSlot *s = &a->slots[idx];
+    r->cur_unit_end = s->raw_end;
     size_t tail = r->buf_len - r->buf_pos;
     int old_held = r->held_slot;
     if (tail <= SLOT_HEADROOM) {
@@ -705,6 +727,7 @@ FqReader *fq_open(const char *path) {
     FqReader *r = (FqReader *)calloc(1, sizeof(FqReader));
     if (!r) return NULL;
     r->error_line = -1;
+    r->range_hi = -1;  /* no range limit */
     /* Sniff for BGZF: gzip magic + FEXTRA + a BC subfield in the first
      * member.  BGZF files take the fd-based parallel-inflate path;
      * everything else (plain gzip, uncompressed) uses zlib's gzFile. */
@@ -2016,5 +2039,206 @@ int fq_sort_permute4(int64_t n,
         o3[i] = c3[j];
     }
     pthread_mutex_unlock(&sp4_lock);
+    return FQ_OK;
+}
+
+/* ---- BGZF byte-range splitting --------------------------------------
+ *
+ * A BGZF file is a chain of independent gzip members (<= 64 KiB each),
+ * so hosts can partition it by COMPRESSED byte ranges: host p owns the
+ * members starting in [B(lo_p), hi_p) where B(x) is the first member
+ * boundary at-or-after x.  Record attribution across the (decompressed)
+ * range edges uses newline counts: each host counts the newlines of its
+ * range once (fq_count_units), the counts allgather, and global line /
+ * record ordinals follow exactly — no parsing, no heuristic resync of
+ * FASTQ structure (quality lines may contain '@', so scanning for
+ * record starts is not sound).  See pipeline._plan_input_ranges. */
+
+/* First BGZF member boundary at offset >= lo, or -1 when none exists
+ * before EOF, or -2 on read error.  Validates the candidate header by
+ * parsing it AND chaining to the next member (depth 2) so a spurious
+ * 1f 8b 08 04 inside compressed payload cannot false-sync.  Members
+ * are <= 64 KiB, so the boundary (if any) lies within 64 KiB + header
+ * of lo; the 256 KiB window also covers validation. */
+static int64_t bg_scan_boundary(int fd, int64_t lo, int64_t fsize) {
+    if (lo >= fsize) return -1;
+    size_t want = 256 << 10;
+    unsigned char *win = (unsigned char *)malloc(want);
+    if (!win) return -2;
+    size_t got = 0;
+    while (got < want) {
+        ssize_t n = pread(fd, win + got, want - got, lo + (int64_t)got);
+        if (n < 0) { free(win); return -2; }
+        if (n == 0) break;
+        got += (size_t)n;
+    }
+    int64_t found = -1;
+    for (size_t c = 0; c + 18 <= got; c++) {
+        if (win[c] != 0x1f || win[c + 1] != 0x8b || win[c + 2] != 8 ||
+            (win[c + 3] & 4) == 0)
+            continue;
+        size_t msize, poff, plen, isize;
+        int st = bg_parse_member(win + c, got - c, &msize, &poff,
+                                 &plen, &isize);
+        if (st != 1) continue;
+        size_t nxt = c + msize;
+        if (lo + (int64_t)nxt == fsize) { found = lo + (int64_t)c; break; }
+        if (nxt + 18 <= got) {
+            size_t m2, p2, l2, i2;
+            if (bg_parse_member(win + nxt, got - nxt, &m2, &p2,
+                                &l2, &i2) != 1)
+                continue;  /* chain broke: c was a false sync */
+        }
+        /* Chain parses (or extends past the window, overwhelmingly
+         * the real boundary): accept. */
+        found = lo + (int64_t)c;
+        break;
+    }
+    free(win);
+    return found;
+}
+
+/* Open a BGZF file restricted to the members starting in [lo, hi)
+ * (hi < 0: to EOF).  Returns NULL when the file is not BGZF (callers
+ * fall back to whole-file strided reading), cannot be opened, or no
+ * member starts inside the range (empty range -> NULL with errno 0 is
+ * indistinguishable from not-BGZF; callers that need the distinction
+ * probe boundaries first via fq_scan_boundary). */
+FqReader *fq_open_range(const char *path, int64_t lo, int64_t hi) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return NULL;
+    unsigned char head[64];
+    ssize_t got = pread(fd, head, sizeof(head), 0);
+    int is_bgzf = 0;
+    if (got >= 18 && head[0] == 0x1f && head[1] == 0x8b &&
+        head[2] == 8 && (head[3] & 4) != 0) {
+        size_t xlen = (size_t)head[10] | ((size_t)head[11] << 8);
+        size_t q = 12;
+        while (q + 4 <= 12 + xlen && (ssize_t)(q + 4) <= got) {
+            size_t slen = (size_t)head[q + 2] | ((size_t)head[q + 3] << 8);
+            if (head[q] == 'B' && head[q + 1] == 'C' && slen == 2)
+                is_bgzf = 1;
+            q += 4 + slen;
+        }
+    }
+    if (!is_bgzf) { close(fd); return NULL; }
+    int64_t fsize = (int64_t)lseek(fd, 0, SEEK_END);
+    if (fsize < 0) { close(fd); return NULL; }
+    int64_t start = 0;
+    if (lo > 0) {
+        start = bg_scan_boundary(fd, lo, fsize);
+        if (start < 0 || (hi >= 0 && start >= hi)) {
+            close(fd);
+            return NULL;  /* empty range */
+        }
+    }
+    if (lseek(fd, start, SEEK_SET) != start) { close(fd); return NULL; }
+    FqReader *r = (FqReader *)calloc(1, sizeof(FqReader));
+    if (!r) { close(fd); return NULL; }
+    r->error_line = -1;
+    r->bgzf = 1;
+    r->fd = fd;
+    r->held_slot = -1;
+    r->raw_base = start;
+    r->range_hi = hi;
+    r->range_mode = 1;
+    r->comp_cap = READ_BUF_SIZE;
+    r->comp = (unsigned char *)malloc(r->comp_cap);
+    r->buf_cap = 64;
+    r->buf = (unsigned char *)malloc(r->buf_cap);
+    r->buf0 = r->buf;
+    if (!r->comp || !r->buf) {
+        close(fd);
+        free(r->comp);
+        free(r->buf);
+        free(r);
+        return NULL;
+    }
+    return r;
+}
+
+/* First member boundary >= lo (for probing), or -1 (none before EOF) /
+ * -2 (IO error) / -3 (not a BGZF file). */
+int64_t fq_scan_boundary(const char *path, int64_t lo) {
+    FqReader *probe = fq_open_range(path, 0, -1);
+    if (!probe) return -3;
+    int fd = probe->fd;
+    int64_t fsize = (int64_t)lseek(fd, 0, SEEK_END);
+    int64_t out = lo <= 0 ? 0 : bg_scan_boundary(fd, lo, fsize);
+    fq_close(probe);
+    return out;
+}
+
+/* Drain a (range-limited) BGZF reader, counting newlines per inflate
+ * unit.  Units are the producer's slot batches (<= 64 members); each
+ * unit reports (raw end offset of its members, newline count).  When
+ * more than `cap` units exist the tail merges into unit cap-1 (the
+ * offsets stay member boundaries, only granularity coarsens).  Returns
+ * FQ_OK and the unit count via *n_out. */
+int fq_count_units(FqReader *r, int64_t cap,
+                   int64_t *ends, int64_t *newlines, int64_t *n_out) {
+    if (!r->bgzf || cap <= 0) return FQ_ERR_FORMAT;
+    int64_t n = 0;
+    for (;;) {
+        if (r->buf_len > r->buf_pos) {
+            const unsigned char *p = r->buf + r->buf_pos;
+            size_t len = r->buf_len - r->buf_pos;
+            int64_t cnt = 0;
+            const unsigned char *q = p;
+            const unsigned char *end = p + len;
+            while ((q = (const unsigned char *)memchr(
+                        q, '\n', (size_t)(end - q))) != NULL) {
+                cnt++;
+                q++;
+            }
+            r->buf_pos = r->buf_len;
+            if (n > 0 && ends[n - 1] == r->cur_unit_end) {
+                newlines[n - 1] += cnt;      /* same slot, partial reads */
+            } else if (n == cap) {
+                ends[n - 1] = r->cur_unit_end;
+                newlines[n - 1] += cnt;      /* merge overflow tail */
+            } else {
+                ends[n] = r->cur_unit_end;
+                newlines[n] = cnt;
+                n++;
+            }
+        }
+        if (r->eof) break;
+        if (r->tail_plain) {
+            snprintf(r->error, sizeof(r->error),
+                     "non-BGZF gzip member inside a byte range");
+            return FQ_ERR_FORMAT;
+        }
+        int rc = fq_fill(r);
+        if (rc != FQ_OK) return rc;
+    }
+    *n_out = n;
+    return FQ_OK;
+}
+
+/* Consume input through the k-th newline (so the next byte read starts
+ * the following line).  Used to align a range reader to a record
+ * boundary computed from global line ordinals. */
+int fq_skip_newlines(FqReader *r, int64_t k) {
+    while (k > 0) {
+        if (r->buf_len > r->buf_pos) {
+            const unsigned char *p = r->buf + r->buf_pos;
+            const unsigned char *nl = (const unsigned char *)memchr(
+                p, '\n', r->buf_len - r->buf_pos);
+            if (nl) {
+                r->buf_pos += (size_t)(nl - p) + 1;
+                k--;
+                continue;
+            }
+            r->buf_pos = r->buf_len;
+        }
+        if (r->eof) {
+            snprintf(r->error, sizeof(r->error),
+                     "byte range ended before the record boundary");
+            return FQ_ERR_FORMAT;
+        }
+        int rc = fq_fill(r);
+        if (rc != FQ_OK) return rc;
+    }
     return FQ_OK;
 }

@@ -87,6 +87,18 @@ _lib.fq_partition_assemble.argtypes = [
     ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p,
     ctypes.POINTER(ctypes.c_int64)]
 
+_lib.fq_open_range.restype = ctypes.c_void_p
+_lib.fq_open_range.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                               ctypes.c_int64]
+_lib.fq_scan_boundary.restype = ctypes.c_int64
+_lib.fq_scan_boundary.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+_lib.fq_count_units.restype = ctypes.c_int
+_lib.fq_count_units.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                _i64p, _i64p,
+                                ctypes.POINTER(ctypes.c_int64)]
+_lib.fq_skip_newlines.restype = ctypes.c_int
+_lib.fq_skip_newlines.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+
 _lib.fq_sort_permute4.restype = ctypes.c_int
 _lib.fq_sort_permute4.argtypes = [ctypes.c_int64,
                                   _i64p, _i64p, _i64p, _i64p,
@@ -122,14 +134,82 @@ _BYTES_PER_RECORD = 256
 _HEAD_BYTES_PER_RECORD = 96
 
 
-def read_fastq_chunks_native(filename: str, chunk_records: int = 1 << 18
+def bgzf_boundary(filename: str, lo: int) -> "int | None":
+    """First BGZF member boundary at byte offset >= ``lo``.
+
+    Returns None when the file is not BGZF; -1 when no member starts
+    before EOF (empty range).  Raises on read errors.
+    """
+    out = _lib.fq_scan_boundary(os.fsencode(filename), int(lo))
+    if out == -3:
+        return None
+    if out == -2:
+        raise OSError(f"could not read {filename!r}")
+    return int(out)
+
+
+def count_bgzf_range_units(filename: str, lo: int, hi: int
+                           ) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Newline counts of the BGZF members starting in ``[lo, hi)``.
+
+    Returns ``(unit_end_offsets, unit_newline_counts)`` — ascending
+    member-boundary offsets with the newline count of the decompressed
+    bytes they delimit — or None when the file is not BGZF.  An empty
+    range returns two empty arrays.  One sequential inflate of the
+    range, no parsing (pipeline._plan_input_ranges phase A).
+    """
+    handle = _lib.fq_open_range(os.fsencode(filename), int(lo), int(hi))
+    if not handle:
+        if bgzf_boundary(filename, 0) is None:
+            return None
+        return (np.empty(0, dtype=np.int64),) * 2  # empty range
+    try:
+        # One unit per <=64-member inflate batch (<=4 MiB decompressed):
+        # a generous fixed capacity; overflow merges into the last unit.
+        cap = 1 << 20
+        ends = np.empty(cap, dtype=np.int64)
+        lines = np.empty(cap, dtype=np.int64)
+        n = ctypes.c_int64(0)
+        rc = _lib.fq_count_units(handle, cap, ends, lines,
+                                 ctypes.byref(n))
+        if rc != _FQ_OK:
+            message = _lib.fq_error(handle).decode("utf-8", "replace")
+            raise OSError(f"{filename}: {message or f'count error {rc}'}")
+        return ends[:n.value].copy(), lines[:n.value].copy()
+    finally:
+        _lib.fq_close(handle)
+
+
+def read_fastq_chunks_native(filename: str, chunk_records: int = 1 << 18,
+                             range_start: "int | None" = None,
+                             skip_newlines: int = 0
                              ) -> Iterator["FastqChunk"]:
-    """Yield columnar FastqChunk batches parsed by the C library."""
+    """Yield columnar FastqChunk batches parsed by the C library.
+
+    ``range_start``: open the file as a BGZF byte range starting at the
+    member boundary ``range_start`` (exact — no scan) and skip the first
+    ``skip_newlines`` newlines, so parsing starts at a record boundary
+    computed from global line ordinals.  The caller bounds the record
+    count (the reader itself runs to EOF).
+    """
     from ..io.fastq import FastqChunk, FastqFormatError
 
-    handle = _lib.fq_open(os.fsencode(filename))
-    if not handle:
-        raise OSError(f"could not open {filename!r}")
+    if range_start is not None:
+        handle = _lib.fq_open_range(os.fsencode(filename),
+                                    int(range_start), -1)
+        if not handle:
+            raise OSError(
+                f"could not open {filename!r} at byte {range_start}")
+        if skip_newlines:
+            rc = _lib.fq_skip_newlines(handle, int(skip_newlines))
+            if rc != _FQ_OK:
+                message = _lib.fq_error(handle).decode("utf-8", "replace")
+                _lib.fq_close(handle)
+                raise OSError(f"{filename}: {message or f'skip error {rc}'}")
+    else:
+        handle = _lib.fq_open(os.fsencode(filename))
+        if not handle:
+            raise OSError(f"could not open {filename!r}")
     payload_cap = chunk_records * _BYTES_PER_RECORD
     head_cap = chunk_records * _HEAD_BYTES_PER_RECORD
     adapted = False

@@ -150,7 +150,25 @@ def _rechunk(source: Iterator[FastqChunk], chunk_records: int
         yield _concat_chunks(pending)
 
 
-def _zip_chunks_serial(input_files: List[str], chunk_records: int
+def _capped_chunks(source: Iterator[FastqChunk], n_records: int
+                   ) -> Iterator[FastqChunk]:
+    """First ``n_records`` records of a chunk stream (range-mode cap:
+    the byte-range reader runs to EOF; the record budget stops it)."""
+    left = n_records
+    for chunk in source:
+        if left <= 0:
+            return
+        if chunk.count <= left:
+            left -= chunk.count
+            yield chunk
+        else:
+            yield _slice_chunk(chunk, 0, left)
+            return
+
+
+def _zip_chunks_serial(input_files: List[str], chunk_records: int,
+                       range_plan: Optional[List[Tuple[int, int, int]]]
+                       = None
                        ) -> Iterator[Tuple[FastqChunk, ...]]:
     """Read all files in lockstep chunks; like zip(), stop at the shortest
     file (matching the reference's zip at __init__.py:180).
@@ -158,9 +176,24 @@ def _zip_chunks_serial(input_files: List[str], chunk_records: int
     With multiple files each file parses on its own thread (the native
     parser releases the GIL inside zlib/parse), so paired-end ingest costs
     one file's wall time, not the sum.
+
+    ``range_plan``: per-file ``(start_offset, skip_newlines, n_records)``
+    byte-range ingest (see :func:`_plan_input_ranges`) — each reader
+    opens at its BGZF member boundary, skips to its record boundary, and
+    is capped at its record budget.
     """
-    iterators = [_rechunk(read_fastq_chunks(f, chunk_records),
-                          chunk_records) for f in input_files]
+    if range_plan is not None:
+        from .native.loader import read_fastq_chunks_native
+        iterators = [
+            _rechunk(_capped_chunks(read_fastq_chunks_native(
+                f, chunk_records,
+                range_start=start,
+                skip_newlines=skip), n_records), chunk_records)
+            for f, (start, skip, n_records)
+            in zip(input_files, range_plan)]
+    else:
+        iterators = [_rechunk(read_fastq_chunks(f, chunk_records),
+                              chunk_records) for f in input_files]
     pool = None
     if len(input_files) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -189,7 +222,9 @@ def _zip_chunks_serial(input_files: List[str], chunk_records: int
 
 
 def _zip_chunks(input_files: List[str], chunk_records: int,
-                prefetch: int = 2) -> Iterator[Tuple[FastqChunk, ...]]:
+                prefetch: int = 2,
+                range_plan: Optional[List[Tuple[int, int, int]]] = None
+                ) -> Iterator[Tuple[FastqChunk, ...]]:
     """Prefetching wrapper around :func:`_zip_chunks_serial`.
 
     Parsing runs on a reader thread (the native chunk parser releases the
@@ -206,7 +241,8 @@ def _zip_chunks(input_files: List[str], chunk_records: int,
 
     def produce():
         try:
-            for chunks in _zip_chunks_serial(input_files, chunk_records):
+            for chunks in _zip_chunks_serial(input_files, chunk_records,
+                                             range_plan):
                 while not stop.is_set():
                     try:
                         q.put(chunks, timeout=0.1)
@@ -497,7 +533,11 @@ class _RecordArenaStore:
         from .native.loader import render_records_native
         rows = np.flatnonzero(is_new).astype(np.int64)
         self.positions.append(base + rows)
-        self.chunk_ids.append(chunk_index)
+        # Part id = the chunk's base record position: globally unique
+        # and ascending in file order across hosts under BOTH strided
+        # and byte-range partitions (chunk indices are host-local in
+        # range mode, so they no longer work as a global order).
+        self.chunk_ids.append(base)
         for f, chunk in enumerate(chunks):
             payload, bounds = render_records_native(
                 chunk.sequences, chunk.qualities, chunk.offsets,
@@ -658,6 +698,84 @@ def _quality_mask(qual_data, qual_offsets, max_average_error_rate
     return keep.astype(np.uint8)
 
 
+def _plan_input_ranges(input_files: List[str], pid: int, nproc: int
+                       ) -> "Optional[Tuple[List[Tuple[int, int, int]], int]]":
+    """Byte-range ingest plan for the default multi-host mode.
+
+    Returns ``(per_file_plan, base_record)`` where ``per_file_plan`` is
+    one ``(start_offset, skip_newlines, n_records)`` per input file —
+    or None when any input is not BGZF / not line-clean (callers fall
+    back to strided chunk ownership, pipeline.py's ``chunk_index %
+    nproc`` partition, which parses the whole input on every host).
+
+    Phase A: every host inflates only its 1/P compressed-byte range of
+    each file (no FASTQ parsing) and counts newlines per inflate unit;
+    the tiny unit tables all-gather, making global line — and hence
+    record — ordinals exact on every host.  Phase B (the caller's parse)
+    then reads records [N*p/P, N*(p+1)/P) per file: inflate work is 2/P
+    of the file total and parse work is 1/P, versus 1 + 1/P for strided
+    ownership.  Correctness does not rely on FASTQ resynchronization
+    heuristics (quality lines may contain '@').
+    """
+    try:
+        from .native.loader import count_bgzf_range_units
+    except ImportError:
+        return None
+    from .parallel.distributed import allgather_int64_cols
+
+    per_file_units = []
+    supported = True
+    for path in input_files:
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            supported = False
+            break
+        lo = size * pid // nproc
+        hi = size * (pid + 1) // nproc if pid < nproc - 1 else -1
+        units = count_bgzf_range_units(path, lo, hi)
+        if units is None:
+            supported = False
+            break
+        per_file_units.append(units)
+    # BGZF-ness is a property of the file bytes, identical on every
+    # host, so this decision is collective-consistent without a vote.
+    if not supported:
+        return None
+
+    plan: List[Tuple[int, int, int]] = []
+    n_min: Optional[int] = None
+    splits: List[Tuple[np.ndarray, np.ndarray]] = []
+    for ends, lines in per_file_units:
+        gathered, _ = allgather_int64_cols(
+            np.ascontiguousarray(np.stack([ends, lines])))
+        g_ends, g_lines = gathered[0], gathered[1]
+        total_lines = int(g_lines.sum())
+        if total_lines % 4 != 0:
+            # Blank/truncated trailing lines: give up on exact record
+            # ordinals and let the strided path's tolerant parser decide.
+            return None
+        n_f = total_lines // 4
+        n_min = n_f if n_min is None else min(n_min, n_f)
+        splits.append((g_ends, np.concatenate(
+            [[0], np.cumsum(g_lines)])))
+    assert n_min is not None
+    rec_lo = n_min * pid // nproc
+    rec_hi = n_min * (pid + 1) // nproc
+    for g_ends, g_cum in splits:
+        target = 4 * rec_lo
+        if target == 0:
+            start, skip = 0, 0
+        else:
+            # Largest unit end with cum_lines <= target - 1, so the
+            # record's first byte cannot precede the start offset.
+            j = int(np.searchsorted(g_cum, target - 1, side="right")) - 1
+            start = int(g_ends[j - 1]) if j >= 1 else 0
+            skip = target - int(g_cum[j])
+        plan.append((start, skip, rec_hi - rec_lo))
+    return plan, rec_lo
+
+
 def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
                            b, base, store=None, chunks=None,
                            recycle_bin=None, chunk_index=0):
@@ -813,6 +931,21 @@ def _deduplicate_cluster_impl(
     from concurrent.futures import ThreadPoolExecutor
 
     accumulator = _make_key_accumulator()
+    # Default multi-host mode: byte-range BGZF splitting — each host
+    # inflates and parses only its 1/P record range (exact global record
+    # ordinals from a newline-count exchange).  Falls back to strided
+    # chunk ownership (parse everything, keep 1/P) for non-BGZF inputs.
+    range_plan = None
+    range_base = 0
+    if nproc > 1 and not sharded_input \
+            and os.environ.get("FASTQDEDUP_RANGE_INPUT", "1") != "0":
+        planned = _plan_input_ranges(input_files, pid, nproc)
+        if planned is not None:
+            range_plan, range_base = planned
+            logger.debug(
+                "byte-range ingest: host %d/%d parses records "
+                "[%d, %d) per file", pid, nproc, range_base,
+                range_base + range_plan[0][2])
     # Record-arena mode (single host, native accumulator): render each
     # new key's first record during pass 1 and skip both the chunk cache
     # and pass 3's re-stream entirely.  Memory: O(unique keys) rendered
@@ -835,7 +968,8 @@ def _deduplicate_cluster_impl(
     global_base = 0
     _p1 = {"iter": 0.0, "cache": 0.0, "keys": 0.0, "submit": 0.0}
     _p1_debug = logger.isEnabledFor(logging.DEBUG)
-    _chunk_iter = iter(_zip_chunks(input_files, chunk_records))
+    _chunk_iter = iter(_zip_chunks(input_files, chunk_records,
+                                   range_plan=range_plan))
     chunk_index = -1
     try:
         while True:
@@ -845,9 +979,10 @@ def _deduplicate_cluster_impl(
             if chunks is None:
                 break
             chunk_index += 1
-            base = shard_base + global_base
+            base = shard_base + range_base + global_base
             global_base += chunks[0].count
-            if not sharded_input and chunk_index % nproc != pid:
+            if range_plan is None and not sharded_input \
+                    and chunk_index % nproc != pid:
                 continue  # another host owns this chunk (strided partition)
             if len(chunks) > 1:
                 _validate_mates(chunks)
@@ -876,7 +1011,7 @@ def _deduplicate_cluster_impl(
                     # into fixed-capacity buffers sized by a per-record byte
                     # estimate; holding the views would pin several times the
                     # actual payload.
-                    cached_chunks.append((chunk_index, tuple(
+                    cached_chunks.append((base, tuple(
                         _compact_chunk(c) for c in chunks)))
             _now = _time.perf_counter()
             _p1["cache"] += _now - _t
@@ -1267,7 +1402,8 @@ def _deduplicate_cluster_impl(
         _filter_and_write(input_files, output_files, check_slices, groups,
                           kept_mask, chunk_records, cached_chunks,
                           pid=pid, nproc=nproc, shard_base=shard_base,
-                          sharded_input=sharded_input)
+                          sharded_input=sharded_input,
+                          range_plan=range_plan, range_base=range_base)
     logger.info(f"Filtered FASTQ files based on distinct reads from each "
                 f"cluster. ({timer.get_difference()}) ")
     # The run is done with the key table: recycle its backing buffers
@@ -1336,7 +1472,7 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
                 if not write_error:
                     if distributed:
                         payload.tofile(os.path.join(
-                            parts_dirs[index], f"{chunk_id:08d}.bin"))
+                            parts_dirs[index], f"{chunk_id:016d}.bin"))
                     else:
                         writers[index].write(payload)
                     del item
@@ -1407,7 +1543,10 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                           List[Tuple[int, Tuple[FastqChunk, ...]]]] = None,
                       pid: int = 0, nproc: int = 1,
                       shard_base: int = 0,
-                      sharded_input: bool = False) -> None:
+                      sharded_input: bool = False,
+                      range_plan: Optional[
+                          List[Tuple[int, int, int]]] = None,
+                      range_base: int = 0) -> None:
     """Second pass: write the first record matching each kept key
     (reference filter_fastq_files_on_set, __init__.py:189-206; no quality
     filter is applied here, matching the reference's behavior).
@@ -1494,23 +1633,28 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     worker = threading.Thread(target=write_worker, daemon=True)
     worker.start()
     if cached_chunks is not None:
-        source = iter(cached_chunks)
+        source = iter(cached_chunks)  # entries carry (base, chunks)
+    elif range_plan is not None:
+        def _range_source():
+            running = range_base
+            for c in _zip_chunks(input_files, chunk_records,
+                                 range_plan=range_plan):
+                yield running, c
+                running += c[0].count
+        source = _range_source()
     else:
-        source = ((i, c) for i, c in
+        source = ((shard_base + i * chunk_records, c) for i, c in
                   enumerate(_zip_chunks(input_files, chunk_records))
                   if sharded_input or i % nproc == pid)
     _acc = {"iter": 0.0, "member": 0.0, "render": 0.0}
     try:
         from .io.fastq import render_fastq_records
         _tl = _time.perf_counter()
-        for chunk_index, chunks in source:
+        for chunk_base, chunks in source:
             _now = _time.perf_counter()
             _acc["iter"] += _now - _tl
             _tl = _now
-            # Chunks are exactly chunk_records long (final chunk aside;
-            # _rechunk guarantees it), so the local index of a chunk's
-            # first record is a product — no cross-chunk running state.
-            local_base = chunk_index * chunk_records
+            local_base = chunk_base - shard_base
             lo = min(local_base, mask_size)
             hi = min(local_base + chunks[0].count, mask_size)
             emit_rows = np.flatnonzero(emit_mask[lo:hi])
@@ -1523,7 +1667,7 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                 if distributed:
                     if len(payload):
                         payload.tofile(os.path.join(
-                            parts_dirs[index], f"{chunk_index:08d}.bin"))
+                            parts_dirs[index], f"{chunk_base:016d}.bin"))
                 elif len(payload):
                     write_queue.put((index, payload))
             _now = _time.perf_counter()

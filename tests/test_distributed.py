@@ -1,6 +1,7 @@
 """Multi-host helpers (single-process behavior + partition laws)."""
 
 import numpy as np
+import pytest
 
 from fastqdedup_tpu.parallel.distributed import (
     merge_kept_keys,
@@ -409,3 +410,94 @@ def test_owned_meta_merge_tournament_rep_valid_and_balanced():
     assert sum(len(r) for r in reps) == n_keys
     # Tournament spreads reps across hosts: no host holds > 40% here.
     assert host_share.max() < 0.4 * n_keys, host_share.tolist()
+
+
+@pytest.mark.parametrize("arena", ["1", "0"])
+def test_two_process_byte_range_ingest_parity(tmp_path, arena):
+    """BGZF inputs in default multi-host mode take the byte-range ingest
+    path (each host inflates+parses only its 1/P record range; record
+    ordinals from the newline-count exchange) and the merged output must
+    stay byte-identical to a single-host run.  Paired files of different
+    compressed sizes force the per-file record realignment.  Runs both
+    pass-3 layouts: record arena and chunk cache."""
+    import gzip
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys
+
+    from fastqdedup_tpu.io.bgzf import BGZF_EOF, compress_block
+
+    rng = random.Random(99)
+    mols = ["".join(rng.choice("ACGT") for _ in range(30))
+            for _ in range(60)]
+    r1, r2 = [], []
+    for i in range(1200):
+        seq = list(rng.choice(mols))
+        if rng.random() < 0.25:
+            seq[rng.randrange(30)] = rng.choice("ACGT")
+        qual = "".join(chr(33 + rng.randrange(25, 40)) for _ in range(30))
+        r1.append(f"@r{i}/1 c\n{''.join(seq)}\n+\n{qual}\n")
+        # Mate file: shorter reads -> different compressed size/splits.
+        seq2 = "".join(rng.choice("ACGT") for _ in range(12))
+        qual2 = "".join(chr(33 + rng.randrange(25, 40)) for _ in range(12))
+        r2.append(f"@r{i}/2 c\n{seq2}\n+\n{qual2}\n")
+    srcs = [tmp_path / "in1.fastq.gz", tmp_path / "in2.fastq.gz"]
+    for path, recs in zip(srcs, (r1, r2)):
+        # Many small blocks so 2-host byte splits land mid-file.
+        data = "".join(recs).encode()
+        with open(path, "wb") as f:
+            for off in range(0, len(data), 4096):
+                f.write(compress_block(data[off:off + 4096], 1))
+            f.write(BGZF_EOF)
+
+    single = [tmp_path / "s1.fastq.gz", tmp_path / "s2.fastq.gz"]
+    from fastqdedup_tpu.pipeline import deduplicate_cluster
+    deduplicate_cluster([str(s) for s in srcs],
+                        [str(o) for o in single], None, 1, 0.001,
+                        chunk_records=64)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    driver = tmp_path / "driver.py"
+    dist = [tmp_path / "d1.fastq.gz", tmp_path / "d2.fastq.gz"]
+    driver.write_text(f"""
+import sys
+import jax
+jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
+                           num_processes=2,
+                           process_id=int(sys.argv[1]))
+assert jax.process_count() == 2, "distributed init was a no-op"
+from fastqdedup_tpu import pipeline
+from fastqdedup_tpu.pipeline import deduplicate_cluster
+
+# Assert the byte-range plan actually activates for BGZF inputs.
+plan = pipeline._plan_input_ranges(
+    [{str(srcs[0])!r}, {str(srcs[1])!r}], jax.process_index(), 2)
+assert plan is not None, "byte-range ingest did not activate"
+per_file, base = plan
+assert per_file[0][2] == per_file[1][2] > 0
+deduplicate_cluster([{str(srcs[0])!r}, {str(srcs[1])!r}],
+                    [{str(dist[0])!r}, {str(dist[1])!r}], None, 1, 0.001,
+                    chunk_records=64)
+""")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["FASTQDEDUP_RECORD_ARENA"] = arena
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+    procs = [subprocess.Popen([sys.executable, str(driver), str(p)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for p in range(2)]
+    outputs = [p.communicate(timeout=180)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out.decode("utf-8", "replace")[-3000:]
+
+    for s_out, d_out in zip(single, dist):
+        assert gzip.open(d_out, "rb").read() == \
+            gzip.open(s_out, "rb").read()
+        assert gzip.open(d_out, "rb").read()
