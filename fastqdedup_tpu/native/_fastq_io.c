@@ -2242,3 +2242,111 @@ int fq_skip_newlines(FqReader *r, int64_t k) {
     }
     return FQ_OK;
 }
+
+/* Owned-metadata merge for exchange_merge_key_tables: one open-address
+ * hash pass over the gathered metadata rows replaces numpy's
+ * argsort + reduceat sequence (~0.4 s/host at 3M gathered rows).
+ * Key identity is (len, h1, h2); ownership is h1 %% nproc; the
+ * representative is the row minimizing mix64(h1 ^ (host+1)*GOLDEN)
+ * (ties: smallest gathered row), exactly the numpy tournament in
+ * parallel/distributed._owned_meta_merge, so native and fallback hosts
+ * can coexist in one job.  Emission order is first-seen (ascending
+ * gathered row of each key's first owned occurrence) — any fixed order
+ * works: the caller canonicalizes by sorting the allgathered columns
+ * on representative row index.  Zero-total-count keys are dropped.
+ * Returns FQ_OK / FQ_ERR_NOMEM. */
+static inline uint64_t fq_mix64(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xFF51AFD7ED558CCDULL;
+    x ^= x >> 33;
+    x *= 0xC4CEB9FE1A85EC53ULL;
+    x ^= x >> 33;
+    return x;
+}
+
+int fq_owned_merge(int64_t n_rows, const int64_t *g_len,
+                   const uint64_t *g_h1, const uint64_t *g_h2,
+                   const int64_t *g_cnt, const int64_t *g_fp,
+                   int64_t pid, int64_t nproc,
+                   const int64_t *host_starts, int64_t n_hosts,
+                   int64_t *rep_out, int64_t *cnt_out,
+                   int64_t *fp_out, int64_t *len_out,
+                   int64_t *n_out) {
+    /* Capacity: power of two >= 2x the ACTUAL owned rows (ownership
+     * can skew arbitrarily — e.g. few distinct h1 values). */
+    int64_t owned = 0;
+    for (int64_t i = 0; i < n_rows; i++)
+        if ((int64_t)(g_h1[i] % (uint64_t)nproc) == pid) owned++;
+    uint64_t cap = 64;
+    while (cap < (uint64_t)owned * 2 + 64)
+        cap <<= 1;
+    int64_t *slot_of = (int64_t *)malloc(cap * sizeof(int64_t));
+    if (!slot_of) return FQ_ERR_NOMEM;
+    for (uint64_t i = 0; i < cap; i++) slot_of[i] = -1;
+    uint64_t mask = cap - 1;
+    /* Per-key state lives in the output arrays; prio/h-copies on the
+     * side for probe compares. */
+    uint64_t *k_h1 = (uint64_t *)malloc(cap * sizeof(uint64_t));
+    uint64_t *k_h2 = (uint64_t *)malloc(cap * sizeof(uint64_t));
+    uint64_t *k_prio = (uint64_t *)malloc(cap * sizeof(uint64_t));
+    if (!k_h1 || !k_h2 || !k_prio) {
+        free(slot_of); free(k_h1); free(k_h2); free(k_prio);
+        return FQ_ERR_NOMEM;
+    }
+    int64_t n_keys = 0;
+    int64_t host = 0;
+    for (int64_t i = 0; i < n_rows; i++) {
+        if ((int64_t)(g_h1[i] % (uint64_t)nproc) != pid) continue;
+        while (host + 1 < n_hosts && i >= host_starts[host + 1]) host++;
+        uint64_t prio = fq_mix64(
+            g_h1[i] ^ ((uint64_t)(host + 1) * 0x9E3779B97F4A7C15ULL));
+        uint64_t h = fq_mix64(g_h1[i] ^ (g_h2[i] * 0x9E3779B97F4A7C15ULL)
+                              ^ (uint64_t)g_len[i]);
+        uint64_t s = h & mask;
+        for (;;) {
+            int64_t k = slot_of[s];
+            if (k < 0) {
+                slot_of[s] = n_keys;
+                k_h1[n_keys] = g_h1[i];
+                k_h2[n_keys] = g_h2[i];
+                k_prio[n_keys] = prio;
+                rep_out[n_keys] = i;
+                cnt_out[n_keys] = g_cnt[i];
+                fp_out[n_keys] = g_fp[i];
+                len_out[n_keys] = g_len[i];
+                n_keys++;
+                break;
+            }
+            if (k_h1[k] == g_h1[i] && k_h2[k] == g_h2[i] &&
+                len_out[k] == g_len[i]) {
+                cnt_out[k] += g_cnt[i];
+                if (g_fp[i] < fp_out[k]) fp_out[k] = g_fp[i];
+                if (prio < k_prio[k] ||
+                    (prio == k_prio[k] && i < rep_out[k])) {
+                    k_prio[k] = prio;
+                    rep_out[k] = i;
+                }
+                break;
+            }
+            s = (s + 1) & mask;
+        }
+    }
+    free(slot_of);
+    free(k_h1);
+    free(k_h2);
+    free(k_prio);
+    /* Drop zero-count keys in place. */
+    int64_t w = 0;
+    for (int64_t k = 0; k < n_keys; k++) {
+        if (cnt_out[k] <= 0) continue;
+        if (w != k) {
+            rep_out[w] = rep_out[k];
+            cnt_out[w] = cnt_out[k];
+            fp_out[w] = fp_out[k];
+            len_out[w] = len_out[k];
+        }
+        w++;
+    }
+    *n_out = w;
+    return FQ_OK;
+}

@@ -20,13 +20,22 @@ def library_path() -> str:
             os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
     cc = sysconfig.get_config_var("CC") or os.environ.get("CC") or "cc"
+    # Unique temp name + atomic replace: concurrent processes (e.g. a
+    # jax.distributed job whose hosts all find the source newer) may
+    # build simultaneously without clobbering each other's output.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = cc.split() + ["-O3", "-pthread", "-shared", "-fPIC", "-o",
-                        _LIB + ".tmp", _SRC, "-lz", "-ldl"]
+                        tmp, _SRC, "-lz", "-ldl"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         detail = getattr(e, "stderr", "") or str(e)
         raise ImportError(
             f"could not build native FASTQ parser: {detail}") from e
-    os.replace(_LIB + ".tmp", _LIB)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     return _LIB

@@ -99,6 +99,13 @@ _lib.fq_count_units.argtypes = [ctypes.c_void_p, ctypes.c_int64,
 _lib.fq_skip_newlines.restype = ctypes.c_int
 _lib.fq_skip_newlines.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 
+_lib.fq_owned_merge.restype = ctypes.c_int
+_lib.fq_owned_merge.argtypes = [ctypes.c_int64, _i64p, _u64p, _u64p,
+                                _i64p, _i64p, ctypes.c_int64,
+                                ctypes.c_int64, _i64p, ctypes.c_int64,
+                                _i64p, _i64p, _i64p, _i64p,
+                                ctypes.POINTER(ctypes.c_int64)]
+
 _lib.fq_sort_permute4.restype = ctypes.c_int
 _lib.fq_sort_permute4.argtypes = [ctypes.c_int64,
                                   _i64p, _i64p, _i64p, _i64p,
@@ -598,6 +605,43 @@ def union_find_native(n: int, pairs_i: np.ndarray,
         np.ascontiguousarray(pairs_j, dtype=np.int64),
         len(pairs_i), labels)
     return labels
+
+
+def owned_merge_native(g_len: np.ndarray, g_h1: np.ndarray,
+                       g_h2: np.ndarray, g_cnt: np.ndarray,
+                       g_fp: np.ndarray, pid: int, nproc: int,
+                       host_starts: np.ndarray):
+    """One-pass hash aggregation of the owned gathered-metadata rows.
+
+    Returns ``(rep_gidx, counts, first_pos, lengths)`` with exactly the
+    semantics of parallel/distributed._owned_meta_merge's tournament
+    path (summed counts, min first positions, salted-mix representative
+    with smallest-row tie-break, zero-count keys dropped) — emission
+    order differs (first-seen vs h1-sorted) but the caller canonicalizes
+    by representative row order, so native and numpy hosts interoperate.
+    """
+    n_rows = len(g_cnt)
+    # Worst case every owned row is a distinct key.
+    rep = np.empty(n_rows, dtype=np.int64)
+    cnt = np.empty(n_rows, dtype=np.int64)
+    fp = np.empty(n_rows, dtype=np.int64)
+    ln = np.empty(n_rows, dtype=np.int64)
+    n_out = ctypes.c_int64(0)
+    rc = _lib.fq_owned_merge(
+        int(n_rows),
+        np.ascontiguousarray(g_len, dtype=np.int64),
+        np.ascontiguousarray(g_h1, dtype=np.uint64),
+        np.ascontiguousarray(g_h2, dtype=np.uint64),
+        np.ascontiguousarray(g_cnt, dtype=np.int64),
+        np.ascontiguousarray(g_fp, dtype=np.int64),
+        int(pid), int(nproc),
+        np.ascontiguousarray(host_starts, dtype=np.int64),
+        len(host_starts), rep, cnt, fp, ln, ctypes.byref(n_out))
+    if rc != _FQ_OK:
+        raise MemoryError("fq_owned_merge allocation failed")
+    k = n_out.value
+    return (rep[:k].copy(), cnt[:k].copy(), fp[:k].copy(),
+            ln[:k].copy())
 
 
 def sort_permute4_native(cols: np.ndarray):

@@ -355,6 +355,20 @@ def _owned_meta_merge(g_len: np.ndarray, g_h1: np.ndarray,
     if not len(sel):
         e64 = np.empty(0, dtype=np.int64)
         return e64, e64.copy(), e64.copy(), e64.copy()
+    if host_starts is not None and len(host_starts) > 2:
+        # Native path: one hash-aggregation pass replaces the
+        # argsort + reduceat + tournament sequence (~0.4 s/host at 3M
+        # gathered rows, a per-host term of the exchange budget).
+        # Same merge and representative semantics; emission order
+        # differs but the caller sorts by representative row, so
+        # native and fallback hosts interoperate in one job.
+        try:
+            from ..native.loader import owned_merge_native
+            return owned_merge_native(
+                g_len, g_h1.view(np.uint64), g_h2.view(np.uint64),
+                g_cnt, g_fp, pid, nproc, host_starts)
+        except (ImportError, AttributeError):
+            pass
     # Sort on h1 alone (stable radix — ~3x cheaper than a 3-key
     # lexsort); h1 is a strong content hash, so equal-key rows land in
     # one run unless two DISTINCT keys collide in h1.  That rare case

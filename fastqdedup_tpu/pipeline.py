@@ -776,6 +776,40 @@ def _plan_input_ranges(input_files: List[str], pid: int, nproc: int
     return plan, rec_lo
 
 
+def _compress_part_payload(payload: np.ndarray, out_name: str) -> np.ndarray:
+    """Compress a raw output part into BGZF members when the final output
+    is gzip.  Hosts compress their own parts in parallel; the rank-0
+    merge then only CONCATENATES part bytes (BGZF members chain) instead
+    of recompressing the whole output serially — the former p0 tail was
+    a per-output-byte non-scaling term every host paid at the final
+    barrier.  Non-gz outputs pass through (merged via the codec layer)."""
+    if not out_name.endswith(".gz") or not len(payload):
+        return payload
+    from .io.bgzf import BLOCK_SIZE, compress_block
+    mv = memoryview(payload)
+    parts = [compress_block(bytes(mv[off:off + BLOCK_SIZE]), 1)
+             for off in range(0, len(mv), BLOCK_SIZE)]
+    return np.frombuffer(b"".join(parts), dtype=np.uint8)
+
+
+def _merge_output_parts(out: str, parts_dir: str) -> None:
+    """Concatenate a parts directory into the final output file."""
+    import shutil
+    if out.endswith(".gz"):
+        from .io.bgzf import BGZF_EOF
+        with open(out, "wb") as writer:
+            for name in sorted(os.listdir(parts_dir)):
+                with open(os.path.join(parts_dir, name), "rb") as part:
+                    shutil.copyfileobj(part, writer, 8 << 20)
+            writer.write(BGZF_EOF)
+    else:
+        with xopen(out, "wb", compresslevel=1) as writer:
+            for name in sorted(os.listdir(parts_dir)):
+                writer.write(np.fromfile(
+                    os.path.join(parts_dir, name), dtype=np.uint8))
+    shutil.rmtree(parts_dir)
+
+
 def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
                            b, base, store=None, chunks=None,
                            recycle_bin=None, chunk_index=0):
@@ -1471,8 +1505,10 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
             try:
                 if not write_error:
                     if distributed:
-                        payload.tofile(os.path.join(
-                            parts_dirs[index], f"{chunk_id:016d}.bin"))
+                        _compress_part_payload(
+                            payload, output_files[index]).tofile(
+                            os.path.join(parts_dirs[index],
+                                         f"{chunk_id:016d}.bin"))
                     else:
                         writers[index].write(payload)
                     del item
@@ -1525,13 +1561,8 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
         from .parallel.distributed import barrier
         barrier("fastqdedup:arena-parts-written")
         if pid == 0:
-            import shutil
             for out, parts_dir in zip(output_files, parts_dirs):
-                with xopen(out, "wb", compresslevel=1) as writer:
-                    for name in sorted(os.listdir(parts_dir)):
-                        writer.write(np.fromfile(
-                            os.path.join(parts_dir, name), dtype=np.uint8))
-                shutil.rmtree(parts_dir)
+                _merge_output_parts(out, parts_dir)
         barrier("fastqdedup:arena-output-merged")
 
 
@@ -1666,8 +1697,10 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
                 payload = render_fastq_records(chunk, emit_rows)
                 if distributed:
                     if len(payload):
-                        payload.tofile(os.path.join(
-                            parts_dirs[index], f"{chunk_base:016d}.bin"))
+                        _compress_part_payload(
+                            payload, output_files[index]).tofile(
+                            os.path.join(parts_dirs[index],
+                                         f"{chunk_base:016d}.bin"))
                 elif len(payload):
                     write_queue.put((index, payload))
             _now = _time.perf_counter()
@@ -1688,11 +1721,6 @@ def _filter_and_write(input_files: List[str], output_files: List[str],
     if distributed:
         barrier("fastqdedup:parts-written")
         if pid == 0:
-            import shutil
             for out, parts_dir in zip(output_files, parts_dirs):
-                with xopen(out, "wb", compresslevel=1) as writer:
-                    for name in sorted(os.listdir(parts_dir)):
-                        writer.write(np.fromfile(
-                            os.path.join(parts_dir, name), dtype=np.uint8))
-                shutil.rmtree(parts_dir)
+                _merge_output_parts(out, parts_dir)
         barrier("fastqdedup:output-merged")
