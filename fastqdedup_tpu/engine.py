@@ -221,11 +221,27 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
         if length:
             padded[idx, :length] = matrix
     keys_dev = lens_dev = None
+    keys_packed = False
+    h2d_rate = 0.0
+    nibble_ok = lmax % 2 == 0 and \
+        max((int(m.max(initial=0)) for m in matrices), default=0) <= 14
     if on_tpu:
-        # Enqueue the key-matrix H2D now: device_put is asynchronous, so
-        # the (tunnel-bound) transfer overlaps the host-side candidate
-        # generation below instead of stalling the first verify batch.
-        keys_dev = jax.device_put(padded)
+        from .ops.bucket import measured_h2d_rate
+        h2d_rate = measured_h2d_rate()
+    if on_tpu and h2d_rate >= 200e6:
+        # Fast interconnect (PCIe/ICI-attached chip): enqueue the
+        # key-matrix H2D now — device_put is asynchronous, so the
+        # transfer overlaps the host-side candidate generation below
+        # instead of stalling the first verify batch.  When every
+        # alphabet index fits 4 bits (<= 14; ACGTN is 5) the matrix
+        # ships nibble-packed at half size and unpacks per gathered
+        # batch on device.
+        if nibble_ok:
+            from .ops.edit import pack_nibble_rows
+            keys_dev = jax.device_put(pack_nibble_rows(padded))
+            keys_packed = True
+        else:
+            keys_dev = jax.device_put(padded)
         lens_dev = jax.device_put(lengths.astype(np.int32))
     cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance)
     pid, nproc = shard
@@ -236,6 +252,32 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
         cand_j = cand_j[pid::nproc]
     if not len(cand_i):
         return cand_i, cand_j
+    if on_tpu and keys_dev is None and max_distance <= 16:
+        # Slow wire (tunneled chip): the matrix was deliberately not
+        # shipped.  Decide now that the pair count is known — the
+        # threaded C band DP verifies ~15M pairs/s/thread, so the wire
+        # must beat (matrix bytes / h2d) + DP-vs-kernel delta to pay
+        # off; below the crossover verify on host.
+        ship_bytes = padded.nbytes // (2 if nibble_ok else 1)
+        device_fixed_s = ship_bytes / max(h2d_rate, 1.0)
+        crossover = int(device_fixed_s * 15e6)
+        if len(cand_i) <= max(crossover, 1 << 20):
+            try:
+                from .native.loader import edit_verify_native
+                keep = edit_verify_native(padded, lengths,
+                                          cand_i, cand_j, max_distance)
+                return cand_i[keep], cand_j[keep]
+            except (ImportError, AttributeError):
+                pass
+        # Above the crossover (or no native lib): ship now and use the
+        # device path after all.
+        if nibble_ok:
+            from .ops.edit import pack_nibble_rows
+            keys_dev = jax.device_put(pack_nibble_rows(padded))
+            keys_packed = True
+        else:
+            keys_dev = jax.device_put(padded)
+        lens_dev = jax.device_put(lengths.astype(np.int32))
     keep = np.empty(len(cand_i), dtype=bool)
     from .ops.edit import EDIT_VERIFY_BATCH
     batch = EDIT_VERIFY_BATCH
@@ -246,7 +288,8 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
         for start in range(0, len(cand_i), batch):
             sl = slice(start, start + batch)
             keep[sl] = edit_verify_indexed(
-                keys_dev, lens_dev, cand_i[sl], cand_j[sl], max_distance)
+                keys_dev, lens_dev, cand_i[sl], cand_j[sl], max_distance,
+                packed=keys_packed)
         return cand_i[keep], cand_j[keep]
     for start in range(0, len(cand_i), batch):
         sl = slice(start, start + batch)

@@ -2350,3 +2350,116 @@ int fq_owned_merge(int64_t n_rows, const int64_t *g_len,
     *n_out = w;
     return FQ_OK;
 }
+
+/* Banded Levenshtein <= band check for candidate index pairs over a
+ * padded key matrix (row stride `stride`, per-row valid length lens).
+ * Classic O(L * (2*band+1)) band DP with early exit when the whole
+ * band exceeds the budget; semantics match the reference's recursive
+ * within_edit_distance (distances.h:33-88) and the Pallas banded
+ * kernel (ops/pallas_edit.py).  Multithreaded over pairs.  Chosen by a
+ * measured cost model in engine._edit_edges_entries: through a slow
+ * host-device wire (tunneled TPU, ~18 MB/s measured) shipping the key
+ * matrix costs 15x the whole DP, while on PCIe-attached chips the
+ * device path wins at scale. */
+typedef struct {
+    const unsigned char *mat;
+    int64_t stride;
+    const int64_t *lens;
+    const int64_t *ci;
+    const int64_t *cj;
+    int64_t lo, hi;
+    int band;
+    unsigned char *keep;
+} EditVerifyWork;
+
+static inline int fq_edit_banded_one(const unsigned char *a, int64_t la,
+                                     const unsigned char *b, int64_t lb,
+                                     int band) {
+    if (la > lb) {
+        const unsigned char *t = a; a = b; b = t;
+        int64_t tl = la; la = lb; lb = tl;
+    }
+    if (lb - la > band) return 0;
+    /* dp over diagonal offsets k in [-band, band]:
+     * row i holds dist(a[:i], b[:i+k]) in cell[k+band]. */
+    int width = 2 * band + 1;
+    int cur[2 * 16 + 1];  /* band <= 16 supported */
+    int nxt[2 * 16 + 1];
+    if (band > 16) return -1;
+    const int BIG = 1 << 20;
+    for (int k = 0; k < width; k++) {
+        int64_t j = k - band;  /* i = 0 */
+        cur[k] = (j >= 0 && j <= lb) ? (int)j : BIG;
+    }
+    for (int64_t i = 1; i <= la; i++) {
+        int rowmin = BIG;
+        for (int k = 0; k < width; k++) {
+            int64_t j = i + k - band;
+            int v = BIG;
+            if (j >= 0 && j <= lb) {
+                if (j > 0) {
+                    int sub = cur[k];  /* (i-1, j-1) same offset */
+                    if (sub < BIG)
+                        sub += (a[i - 1] == b[j - 1]) ? 0 : 1;
+                    v = sub;
+                    if (k > 0 && nxt[k - 1] < BIG &&
+                        nxt[k - 1] + 1 < v)
+                        v = nxt[k - 1] + 1;  /* insert into a: (i, j-1) */
+                } else {
+                    v = (int)i;  /* j == 0 */
+                }
+                if (k + 1 < width && cur[k + 1] < BIG &&
+                    cur[k + 1] + 1 < v)
+                    v = cur[k + 1] + 1;      /* delete from a: (i-1, j) */
+            }
+            nxt[k] = v;
+            if (v < rowmin) rowmin = v;
+        }
+        if (rowmin > band) return 0;
+        memcpy(cur, nxt, (size_t)width * sizeof(int));
+    }
+    int k_end = (int)(lb - la) + band;
+    return cur[k_end] <= band;
+}
+
+static void *edit_verify_worker(void *arg) {
+    EditVerifyWork *w = (EditVerifyWork *)arg;
+    for (int64_t p = w->lo; p < w->hi; p++) {
+        const unsigned char *a = w->mat + w->ci[p] * w->stride;
+        const unsigned char *b = w->mat + w->cj[p] * w->stride;
+        w->keep[p] = (unsigned char)fq_edit_banded_one(
+            a, w->lens[w->ci[p]], b, w->lens[w->cj[p]], w->band);
+    }
+    return NULL;
+}
+
+int fq_edit_verify(const unsigned char *mat, int64_t stride,
+                   const int64_t *lens, const int64_t *ci,
+                   const int64_t *cj, int64_t npairs, int band,
+                   unsigned char *keep_out, int nthreads) {
+    if (band < 0 || band > 16) return FQ_ERR_FORMAT;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > HASH_ROWS_MAX_THREADS)
+        nthreads = HASH_ROWS_MAX_THREADS;
+    if (npairs < 4096) nthreads = 1;
+    EditVerifyWork works[HASH_ROWS_MAX_THREADS];
+    pthread_t tids[HASH_ROWS_MAX_THREADS];
+    int64_t per = npairs / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        works[t].mat = mat;
+        works[t].stride = stride;
+        works[t].lens = lens;
+        works[t].ci = ci;
+        works[t].cj = cj;
+        works[t].lo = t * per;
+        works[t].hi = (t == nthreads - 1) ? npairs : (t + 1) * per;
+        works[t].band = band;
+        works[t].keep = keep_out;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, edit_verify_worker, &works[t]);
+    edit_verify_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+    return FQ_OK;
+}

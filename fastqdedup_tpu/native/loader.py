@@ -99,6 +99,11 @@ _lib.fq_count_units.argtypes = [ctypes.c_void_p, ctypes.c_int64,
 _lib.fq_skip_newlines.restype = ctypes.c_int
 _lib.fq_skip_newlines.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 
+_lib.fq_edit_verify.restype = ctypes.c_int
+_lib.fq_edit_verify.argtypes = [_u8p, ctypes.c_int64, _i64p, _i64p,
+                                _i64p, ctypes.c_int64, ctypes.c_int,
+                                _u8p, ctypes.c_int]
+
 _lib.fq_owned_merge.restype = ctypes.c_int
 _lib.fq_owned_merge.argtypes = [ctypes.c_int64, _i64p, _u64p, _u64p,
                                 _i64p, _i64p, ctypes.c_int64,
@@ -605,6 +610,37 @@ def union_find_native(n: int, pairs_i: np.ndarray,
         np.ascontiguousarray(pairs_j, dtype=np.int64),
         len(pairs_i), labels)
     return labels
+
+
+def edit_verify_native(padded: np.ndarray, lengths: np.ndarray,
+                       cand_i: np.ndarray, cand_j: np.ndarray,
+                       max_distance: int,
+                       nthreads: int = 0) -> np.ndarray:
+    """bool [P]: banded Levenshtein <= max_distance for candidate index
+    pairs over a padded uint8 key matrix — multithreaded host DP.
+
+    Semantics match the reference's within_edit_distance
+    (distances.h:33-88); used when the measured host-device wire makes
+    shipping the key matrix costlier than the whole DP
+    (engine._edit_edges_entries cost model)."""
+    import os as _os
+    n, stride = padded.shape
+    p = len(cand_i)
+    keep = np.empty(p, dtype=np.uint8)
+    if p == 0:
+        return keep.astype(bool)
+    if nthreads <= 0:
+        nthreads = min(_os.cpu_count() or 1, 8)
+    rc = _lib.fq_edit_verify(
+        np.ascontiguousarray(padded), int(stride),
+        np.ascontiguousarray(lengths, dtype=np.int64),
+        np.ascontiguousarray(cand_i, dtype=np.int64),
+        np.ascontiguousarray(cand_j, dtype=np.int64),
+        int(p), int(max_distance), keep, int(nthreads))
+    if rc != _FQ_OK:
+        raise ValueError(
+            f"fq_edit_verify rejected max_distance={max_distance}")
+    return keep.astype(bool)
 
 
 def owned_merge_native(g_len: np.ndarray, g_h1: np.ndarray,

@@ -193,6 +193,35 @@ _dispatch_cache: List[float] = []
 _host_rate_cache: List[float] = []
 
 
+_h2d_rate_cache: List[float] = []
+
+
+def measured_h2d_rate() -> float:
+    """Host->device bytes/s, measured once per process (override via
+    FASTQDEDUP_H2D_RATE).  A tunneled TPU measures ~15-20 MB/s — slower
+    than the banded-DP arithmetic it feeds — while PCIe-attached chips
+    measure GB/s; the edit path picks its verification side from this."""
+    env = os.environ.get("FASTQDEDUP_H2D_RATE")
+    if env:
+        return float(env)
+    if _h2d_rate_cache:
+        return _h2d_rate_cache[0]
+    import time as _time
+
+    import numpy as _np
+    payload = _np.zeros(4 << 20, dtype=_np.uint8)
+    best = float("inf")
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        dev = jax.device_put(payload)
+        # Force the transfer to be complete (block_until_ready can
+        # return early through a tunnel): fetch a data-dependent scalar.
+        _np.asarray(dev[-1])
+        best = min(best, _time.perf_counter() - t0)
+    _h2d_rate_cache.append(payload.nbytes / best)
+    return _h2d_rate_cache[0]
+
+
 def measured_dispatch_seconds() -> float:
     """Seconds for one tiny jitted dispatch + fetch (min of 5, cached)."""
     env = os.environ.get("FASTQDEDUP_DISPATCH_S")

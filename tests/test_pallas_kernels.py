@@ -167,3 +167,36 @@ class TestBandedEdit:
         want = [within_distance(a, b, d, use_edit_distance=True)
                 for a, b in pairs]
         assert list(got) == want
+
+
+def test_edit_verify_gathered_packed_matches_unpacked():
+    """The nibble-packed resident-key verify path (half H2D through the
+    tunnel) must agree with the unpacked path for every candidate pair."""
+    import jax.numpy as jnp
+
+    from fastqdedup_tpu.ops.edit import (
+        _edit_verify_gathered,
+        _edit_verify_gathered_packed,
+        pack_nibble_rows,
+    )
+
+    rng = np.random.default_rng(17)
+    n, l_pad = 300, 32
+    padded = np.full((n, l_pad), 0xFF, dtype=np.uint8)
+    lens = rng.integers(20, l_pad - 2, n).astype(np.int32)
+    for i in range(n):
+        padded[i, :lens[i]] = rng.integers(0, 5, lens[i])
+    # Plant near pairs so some verifications succeed.
+    for i in range(0, n - 1, 3):
+        lens[i + 1] = lens[i]
+        padded[i + 1] = padded[i]
+        padded[i + 1, rng.integers(lens[i])] = rng.integers(5)
+    ci = rng.integers(0, n, 512).astype(np.int32)
+    cj = rng.integers(0, n, 512).astype(np.int32)
+    ref = np.asarray(_edit_verify_gathered(
+        jnp.asarray(padded), jnp.asarray(lens),
+        jnp.asarray(ci), jnp.asarray(cj), 1))
+    got = np.asarray(_edit_verify_gathered_packed(
+        jnp.asarray(pack_nibble_rows(padded)), jnp.asarray(lens),
+        jnp.asarray(ci), jnp.asarray(cj), 1))
+    assert (got == ref).all()
