@@ -476,3 +476,124 @@ def test_bgzf_truncated_mid_block_raises(tmp_path):
     with pytest.raises(Exception, match="truncated|corrupt"):
         for _ in read_fastq_chunks_native(str(path), 512):
             pass
+
+
+def test_sort_permute4_matches_argsort():
+    from fastqdedup_tpu.native.loader import sort_permute4_native
+    rng = np.random.default_rng(21)
+    for n in (0, 1, 5, 4096):
+        c0 = rng.permutation(max(n, 1))[:n].astype(np.int64) * 7
+        cols = np.stack([c0] + [
+            rng.integers(-2**50, 2**50, n).astype(np.int64)
+            for _ in range(3)])
+        got = sort_permute4_native(cols)
+        order = np.argsort(cols[0], kind="stable")
+        for g, c in zip(got, cols):
+            assert (g == c[order]).all()
+
+
+def test_owned_merge_native_matches_numpy_fallback():
+    """The C hash-aggregation owned merge must produce exactly the keys,
+    counts, min first positions, and tournament representatives of the
+    numpy path (canonicalized by representative order — emission order
+    legitimately differs)."""
+    import fastqdedup_tpu.native.loader as loader_mod
+    from fastqdedup_tpu.native.loader import owned_merge_native
+    from fastqdedup_tpu.parallel.distributed import _owned_meta_merge
+
+    rng = np.random.default_rng(22)
+    n, n_keys, nproc = 30_000, 9_000, 3
+    key_ids = rng.integers(0, n_keys, n)
+    h1 = rng.integers(0, 2**63, n_keys, dtype=np.int64)[key_ids]
+    h2 = rng.integers(0, 2**63, n_keys, dtype=np.int64)[key_ids]
+    g_len = rng.integers(20, 30, n).astype(np.int64)[key_ids % n] * 0 + \
+        (key_ids % 7 + 20)
+    g_cnt = rng.integers(0, 3, n).astype(np.int64)
+    g_fp = rng.integers(0, 10**9, n).astype(np.int64)
+    host_starts = np.array([0, n // 3, 2 * n // 3, n], dtype=np.int64)
+    for pid in range(nproc):
+        native = owned_merge_native(
+            g_len, h1.view(np.uint64), h2.view(np.uint64),
+            g_cnt, g_fp, pid, nproc, host_starts)
+        saved = loader_mod.owned_merge_native
+        del loader_mod.owned_merge_native
+        try:
+            ref = _owned_meta_merge(
+                g_len, h1.view(np.uint64), h2.view(np.uint64),
+                g_cnt, g_fp, pid, nproc, host_starts=host_starts)
+        finally:
+            loader_mod.owned_merge_native = saved
+        no, ro = np.argsort(native[0]), np.argsort(ref[0])
+        for a, b in zip(native, ref):
+            assert (a[no] == b[ro]).all()
+
+
+def test_edit_verify_native_matches_reference_semantics():
+    from fastqdedup_tpu.distance import within_distance
+    from fastqdedup_tpu.native.loader import edit_verify_native
+
+    rng = np.random.default_rng(23)
+    n, lp = 120, 32
+    padded = np.full((n, lp), 0xFF, dtype=np.uint8)
+    keys = []
+    alph = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    lens = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        k = alph[rng.integers(0, 5, rng.integers(1, 30))]
+        keys.append(k.tobytes())
+        lens[i] = len(k)
+        padded[i, :len(k)] = k
+    ci = rng.integers(0, n, 2000).astype(np.int64)
+    cj = rng.integers(0, n, 2000).astype(np.int64)
+    for d in (0, 1, 2):
+        got = edit_verify_native(padded, lens, ci, cj, d)
+        want = np.array([
+            within_distance(keys[a].decode(), keys[b].decode(), d,
+                            use_edit_distance=True)
+            for a, b in zip(ci, cj)])
+        assert (got == want).all()
+    with pytest.raises(ValueError):
+        edit_verify_native(padded, lens, ci, cj, 17)
+
+
+def test_bgzf_boundary_and_range_units(tmp_path):
+    """Byte-range primitives: boundary scan finds exact member starts,
+    per-range newline counts tile the file, non-BGZF returns None."""
+    from fastqdedup_tpu.io.bgzf import BGZF_EOF, compress_block
+    from fastqdedup_tpu.native.loader import (
+        bgzf_boundary,
+        count_bgzf_range_units,
+    )
+
+    data = b"".join(b"@r%d\nACGT\n+\n!!!!\n" % i for i in range(5000))
+    path = tmp_path / "t.fastq.gz"
+    blocks = []
+    with open(path, "wb") as f:
+        off = 0
+        for i in range(0, len(data), 3000):
+            blocks.append(off)
+            member = compress_block(data[i:i + 3000], 1)
+            f.write(member)
+            off += len(member)
+        f.write(BGZF_EOF)
+    # Boundary scan from any offset lands on the next true member start.
+    assert bgzf_boundary(str(path), 0) == 0
+    for probe in (1, blocks[1] - 1, blocks[1], blocks[1] + 1):
+        expect = min(b for b in blocks + [off] if b >= probe)
+        assert bgzf_boundary(str(path), probe) == expect
+    # Range newline counts tile to the total.
+    size = off + len(BGZF_EOF)
+    total = 0
+    for p in range(3):
+        lo = size * p // 3
+        hi = size * (p + 1) // 3 if p < 2 else -1
+        ends, lines = count_bgzf_range_units(str(path), lo, hi)
+        total += lines.sum()
+    assert total == data.count(b"\n")
+    # Plain gzip input: not splittable.
+    import gzip as _gzip
+    plain = tmp_path / "plain.fastq.gz"
+    with _gzip.open(plain, "wb") as f:
+        f.write(data)
+    assert count_bgzf_range_units(str(plain), 0, -1) is None
+    assert bgzf_boundary(str(plain), 0) is None
