@@ -187,6 +187,20 @@ def main() -> None:
                             CLUSTER_DISSECTION_METHODS[method], edit)
         return time.perf_counter() - start
 
+    # Load the device programs synchronously BEFORE any timed run: a
+    # service prewarms at boot (python -m fastqdedup_tpu.warmup), and
+    # program loads onto a remote TPU block for seconds each — they are
+    # one-time per-process costs, not steady-state throughput.  The
+    # in-pipeline prewarm thread would otherwise compete with warm run 0.
+    key_len = read_len + umi_len
+    from fastqdedup_tpu.warmup import prewarm_async
+    modes = (False, True) if also_edit else (use_edit,)
+    for mode in modes:
+        thread = prewarm_async(key_len, max_distance=1,
+                               use_edit_distance=mode)
+        if thread is not None:
+            thread.join()
+
     headline = measure_mode(run_one, n_reads, use_edit,
                             warm_src_is_src=(warm_src == src))
     reads_per_sec = n_reads / headline["elapsed"]

@@ -243,13 +243,11 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
         else:
             keys_dev = jax.device_put(padded)
         lens_dev = jax.device_put(lengths.astype(np.int32))
-    cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance)
-    pid, nproc = shard
-    if nproc > 1:
-        # Candidate generation is deterministic and duplicated on every
-        # host; the expensive DP verification strides across hosts.
-        cand_i = cand_i[pid::nproc]
-        cand_j = cand_j[pid::nproc]
+    # Hash-run ownership shards candidate generation (sort + join) AND
+    # the DP verification to ~1/P per host; the union of the per-host
+    # verified edges is the full edge set (ops/bucket.edit_candidate_pairs).
+    cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance,
+                                          shard=shard)
     if not len(cand_i):
         return cand_i, cand_j
     if on_tpu and keys_dev is None and max_distance <= 16:

@@ -729,7 +729,8 @@ def _hash_window_rows(window: np.ndarray, salt: int,
 
 def edit_candidate_pairs(matrices: List[np.ndarray],
                          group_indices: List[np.ndarray],
-                         max_distance: int
+                         max_distance: int,
+                         shard: Tuple[int, int] = (0, 1)
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Candidate (i, j) global-index pairs for the Levenshtein mode.
 
@@ -741,9 +742,17 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
     shift) descriptor; a single global sort of 64-bit content hashes joins
     them — no per-(group, group, shift) Python loops.  Hash collisions can
     only ADD candidates; the exact banded DP verifies every pair.
+
+    ``shard=(pid, nproc)``: each hash RUN is owned by exactly one host
+    (a salted mix of the run's content hash — computable per row before
+    any grouping, so the sort and join shard to ~1/P each); the union
+    of all shards' pairs equals the unsharded output.  Previously
+    candidate generation was duplicated on every host and only the DP
+    verification strided (engine round-3 note).
     """
     d = max_distance
     num_segments = d + 1
+    pid, nproc = shard
     total_keys = max((int(g.max()) + 1 for g in group_indices if len(g)),
                      default=0)
     if total_keys > _PAIR_BASE:
@@ -765,6 +774,8 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
     for matrix, gidx in zip(matrices, group_indices):
         if matrix.shape[1] <= 2 * d:
             short.extend(int(i) for i in gidx)
+    if pid != 0:
+        short = []  # the short-key complete graph is host 0's
     if len(short) > 1:
         arr = np.asarray(short, dtype=np.int64)
         ii, jj = np.triu_indices(len(arr), k=1)
@@ -820,6 +831,16 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
         hashes = np.concatenate(hash_parts)
         gids = np.concatenate(idx_parts).astype(np.int64)
         sides = np.concatenate(side_parts)
+        if nproc > 1:
+            # Run ownership from the row's own hash: every member of a
+            # hash run shares the hash, hence the owner, so dropping
+            # non-owned rows BEFORE the sort shards the expensive
+            # argsort/join ~1/P without splitting any run.
+            mine = _mix64(hashes ^ np.uint64(0xD1B54A32D192ED03)) \
+                % np.uint64(nproc) == np.uint64(pid)
+            hashes = hashes[mine]
+            gids = gids[mine]
+            sides = sides[mine]
         # Unstable sort: runs only need equal hashes adjacent (the
         # probe/window split within a run is rebuilt by the lexsort
         # below), and introsort beats timsort ~2x on uint64 here.
