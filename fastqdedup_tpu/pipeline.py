@@ -728,19 +728,21 @@ def _plan_input_ranges(input_files: List[str], pid: int, nproc: int
     for path in input_files:
         try:
             size = os.path.getsize(path)
+            lo = size * pid // nproc
+            hi = size * (pid + 1) // nproc if pid < nproc - 1 else -1
+            units = count_bgzf_range_units(path, lo, hi)
         except OSError:
-            supported = False
-            break
-        lo = size * pid // nproc
-        hi = size * (pid + 1) // nproc if pid < nproc - 1 else -1
-        units = count_bgzf_range_units(path, lo, hi)
+            units = None
         if units is None:
             supported = False
             break
         per_file_units.append(units)
-    # BGZF-ness is a property of the file bytes, identical on every
-    # host, so this decision is collective-consistent without a vote.
-    if not supported:
+    # BGZF-ness is a property of the file bytes, but IO errors need not
+    # be symmetric (per-host filesystems) — vote so no host proceeds to
+    # the unit-table allgather while another has already given up.
+    from .parallel.distributed import sum_scalars
+    (ok_hosts,) = sum_scalars(int(supported))
+    if ok_hosts != nproc:
         return None
 
     plan: List[Tuple[int, int, int]] = []
