@@ -2463,3 +2463,53 @@ int fq_edit_verify(const unsigned char *mat, int64_t stride,
         pthread_join(tids[t], NULL);
     return FQ_OK;
 }
+
+/* In-place LSB radix sort of uint64 values (8 passes of 8-bit digits,
+ * persistent ping-pong scratch as in fq_sort_permute4).  Feeds the
+ * bucket-grouping composite sort: at 31M keys numpy's introsort
+ * argsort measures 6-8 s while 8 sequential counting passes move the
+ * same data in ~2 s. */
+int fq_radix_sort_u64(int64_t n, uint64_t *a) {
+    if (n <= 1) return FQ_OK;
+    static pthread_mutex_t rs_lock = PTHREAD_MUTEX_INITIALIZER;
+    static uint64_t *rs_buf = NULL;
+    static int64_t rs_cap = 0;
+    pthread_mutex_lock(&rs_lock);
+    if (rs_cap < n) {
+        free(rs_buf);
+        rs_buf = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
+        if (!rs_buf) {
+            rs_cap = 0;
+            pthread_mutex_unlock(&rs_lock);
+            return FQ_ERR_NOMEM;
+        }
+        rs_cap = n;
+    }
+    uint64_t *src = a;
+    uint64_t *dst = rs_buf;
+    for (int p = 0; p < 8; p++) {
+        int shift = 8 * p;
+        int64_t pos[256];
+        memset(pos, 0, sizeof(pos));
+        for (int64_t i = 0; i < n; i++)
+            pos[(src[i] >> shift) & 0xFF]++;
+        int constant = 0;
+        for (int d = 0; d < 256; d++)
+            if (pos[d] == n) { constant = 1; break; }
+        if (constant)  /* every value shares this digit: skip the pass */
+            continue;
+        int64_t off = 0;
+        for (int d = 0; d < 256; d++) {
+            int64_t c = pos[d];
+            pos[d] = off;
+            off += c;
+        }
+        for (int64_t i = 0; i < n; i++)
+            dst[pos[(src[i] >> shift) & 0xFF]++] = src[i];
+        uint64_t *t = src; src = dst; dst = t;
+    }
+    if (src != a)
+        memcpy(a, src, (size_t)n * sizeof(uint64_t));
+    pthread_mutex_unlock(&rs_lock);
+    return FQ_OK;
+}

@@ -99,6 +99,9 @@ _lib.fq_count_units.argtypes = [ctypes.c_void_p, ctypes.c_int64,
 _lib.fq_skip_newlines.restype = ctypes.c_int
 _lib.fq_skip_newlines.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 
+_lib.fq_radix_sort_u64.restype = ctypes.c_int
+_lib.fq_radix_sort_u64.argtypes = [ctypes.c_int64, _u64p]
+
 _lib.fq_edit_verify.restype = ctypes.c_int
 _lib.fq_edit_verify.argtypes = [_u8p, ctypes.c_int64, _i64p, _i64p,
                                 _i64p, ctypes.c_int64, ctypes.c_int,
@@ -610,6 +613,17 @@ def union_find_native(n: int, pairs_i: np.ndarray,
         np.ascontiguousarray(pairs_j, dtype=np.int64),
         len(pairs_i), labels)
     return labels
+
+
+def radix_sort_u64_native(values: np.ndarray) -> np.ndarray:
+    """Sort a uint64 array ascending IN PLACE (returns it).  C LSB radix
+    with constant-digit pass skipping; ~3x numpy's introsort at tens of
+    millions of elements."""
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    rc = _lib.fq_radix_sort_u64(len(values), values)
+    if rc != _FQ_OK:
+        raise MemoryError("fq_radix_sort_u64 allocation failed")
+    return values
 
 
 def edit_verify_native(padded: np.ndarray, lengths: np.ndarray,

@@ -67,8 +67,35 @@ def _bucket_slices(window: np.ndarray
 
 def _bucket_slices_of_hashes(hashes: np.ndarray
                              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(order, starts, ends) of equal-hash runs."""
+    """(order, starts, ends) of equal-hash runs.
+
+    Large inputs sort a COMPOSITE ``(hash high bits << idx_bits) | row``
+    by VALUE through the C radix (no index-gather passes): 2-3x faster
+    than ``np.argsort`` at 31M keys.  Truncating the hash to the top
+    ``64 - idx_bits`` bits can only MERGE runs (equal contents stay
+    equal), which the exact distance verification undoes — same
+    contract as the bucket hash itself — and per-host ownership is
+    decided from the FULL per-row hashes before grouping, so a merged
+    run never splits across hosts.  Gated to >= 38 hash bits (n <= 64M)
+    where expected spurious merges stay in the thousands.
+    """
     n = len(hashes)
+    if n >= (1 << 20) and n <= (1 << 26):
+        try:
+            from ..native.loader import radix_sort_u64_native
+        except ImportError:
+            radix_sort_u64_native = None
+        if radix_sort_u64_native is not None:
+            idx_bits = 26
+            low_mask = np.uint64((1 << idx_bits) - 1)
+            comp = (hashes & ~low_mask) | np.arange(n, dtype=np.uint64)
+            radix_sort_u64_native(comp)
+            order = (comp & low_mask).astype(np.int64)
+            sh = comp >> np.uint64(idx_bits)
+            boundaries = np.flatnonzero(sh[1:] != sh[:-1]) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [n]])
+            return order, starts, ends
     order = np.argsort(hashes)
     sh = hashes[order]
     boundaries = np.flatnonzero(sh[1:] != sh[:-1]) + 1

@@ -420,3 +420,32 @@ def test_bucketed_complement_exact_under_hash_collisions(monkeypatch, path):
         matrix, table.size, 1, large_bucket_threshold=threshold)
     got = set(zip(ii.tolist(), jj.tolist()))
     assert got == _bruteforce_pairs(keys, 1)
+
+
+def test_bucket_slices_composite_radix_contract():
+    """The composite radix grouping path may MERGE hash runs (truncated
+    high bits) but must never split one — exactness then follows from
+    the per-pair verification, as for the bucket hash itself."""
+    import fastqdedup_tpu.native.loader as loader_mod
+    import fastqdedup_tpu.ops.bucket as bucket_mod
+
+    if not hasattr(loader_mod, "radix_sort_u64_native"):
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(31)
+    h = rng.integers(0, 2**63, 1 << 20, dtype=np.int64).view(np.uint64)
+    h[1::3] = h[::3][:len(h[1::3])]  # plant duplicate runs
+    o1, s1, e1 = bucket_mod._bucket_slices_of_hashes(h)
+    saved = loader_mod.radix_sort_u64_native
+    del loader_mod.radix_sort_u64_native
+    try:
+        o2, s2, e2 = bucket_mod._bucket_slices_of_hashes(h)
+    finally:
+        loader_mod.radix_sort_u64_native = saved
+    comp_run_of = np.empty(len(h), dtype=np.int64)
+    for r, (a, b) in enumerate(zip(s1, e1)):
+        comp_run_of[o1[a:b]] = r
+    for a, b in zip(s2, e2):
+        assert len(np.unique(comp_run_of[o2[a:b]])) == 1
+    # Sorted radix output parity while we are here.
+    v = rng.integers(0, 2**63, 65536, dtype=np.int64).view(np.uint64)
+    assert (saved(v.copy()) == np.sort(v)).all()
