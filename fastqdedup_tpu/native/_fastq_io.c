@@ -2513,3 +2513,200 @@ int fq_radix_sort_u64(int64_t n, uint64_t *a) {
     pthread_mutex_unlock(&rs_lock);
     return FQ_OK;
 }
+
+/* ---- Sharded parallel key accumulation ------------------------------
+ *
+ * Pass 1's accumulator insert is single-threaded behind the parse
+ * pipeline; at 100M reads the accumulate backlog drains ~30 s after
+ * parsing finishes.  Sharding the table by high hash bits lets S
+ * threads insert concurrently: every key routes to exactly one shard
+ * (global uniqueness preserved; the exported concatenation of shard
+ * tables is deterministic), and a shard's records are visited in
+ * ascending global order (counting-scatter is an ascending scan), so
+ * first-occurrence semantics are identical to the serial table. */
+
+static int acc_add_rows(KeyAcc *a, const unsigned char *key_data,
+                        const int64_t *key_offsets,
+                        const unsigned char *counted,
+                        const int64_t *rows, int64_t nrows,
+                        int64_t base, unsigned char *is_new,
+                        const uint64_t *hashes) {
+    for (int64_t r = 0; r < nrows; r++) {
+        int64_t i = rows[r];
+        if ((r & 15) == 0) {
+            int64_t hi = r + 16 < nrows ? r + 16 : nrows;
+            size_t pmask = a->cap - 1;
+            for (int64_t k = r; k < hi; k++)
+                __builtin_prefetch(
+                    &a->slots[(size_t)hashes[rows[k]] & pmask]);
+        }
+        const unsigned char *key = key_data + key_offsets[i];
+        size_t len = (size_t)(key_offsets[i + 1] - key_offsets[i]);
+        uint64_t h = hashes[i];
+        size_t mask = a->cap - 1;
+        size_t j = (size_t)h & mask;
+        int inserted = 0;
+        int64_t idx;
+        for (;;) {
+            const AccSlot *e = &a->slots[j];
+            idx = e->idx;
+            if (idx < 0) break;
+            if (e->hash == h &&
+                acc_entry_len(a, idx) == (int64_t)len &&
+                memcmp(a->arena + a->key_off[idx], key, len) == 0)
+                break;
+            j = (j + 1) & mask;
+        }
+        if (idx < 0) {
+            if (a->arena_len + len > a->arena_cap) {
+                size_t nc = a->arena_cap * 2;
+                while (a->arena_len + len > nc) nc *= 2;
+                unsigned char *na = (unsigned char *)realloc(a->arena, nc);
+                if (!na) return FQ_ERR_NOMEM;
+                populate_write(na + a->arena_cap, nc - a->arena_cap);
+                a->arena = na;
+                a->arena_cap = nc;
+            }
+            if (a->used == a->meta_cap) {
+                if (acc_meta_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
+            }
+            memcpy(a->arena + a->arena_len, key, len);
+            for (size_t b = 0; b < len; b++) a->present[key[b]] = 1;
+            idx = (int64_t)a->used;
+            a->slots[j].hash = h;
+            a->slots[j].idx = idx;
+            a->count[idx] = 0;
+            a->first_pos[idx] = base + i;
+            a->key_off[idx] = (int64_t)a->arena_len;
+            a->arena_len += len;
+            a->used++;
+            inserted = 1;
+        }
+        if (is_new) is_new[i] = (unsigned char)inserted;
+        if (!counted || counted[i]) a->count[idx]++;
+        if (base + i < a->first_pos[idx]) a->first_pos[idx] = base + i;
+        if (a->used * 4 > a->cap * 3) {
+            if (acc_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
+        }
+    }
+    return FQ_OK;
+}
+
+typedef struct {
+    KeyAcc *shard;
+    const unsigned char *key_data;
+    const int64_t *key_offsets;
+    const unsigned char *counted;
+    const int64_t *rows;
+    int64_t nrows;
+    int64_t base;
+    unsigned char *is_new;
+    const uint64_t *hashes;
+    int rc;
+} AccShardWork;
+
+typedef struct {
+    const unsigned char *key_data;
+    const int64_t *key_offsets;
+    uint64_t *hashes;
+    int64_t lo, hi;
+} AccHashWork;
+
+static void *acc_shard_worker(void *arg) {
+    AccShardWork *w = (AccShardWork *)arg;
+    w->rc = acc_add_rows(w->shard, w->key_data, w->key_offsets,
+                         w->counted, w->rows, w->nrows, w->base,
+                         w->is_new, w->hashes);
+    return NULL;
+}
+
+static void *acc_hash_worker(void *arg) {
+    AccHashWork *w = (AccHashWork *)arg;
+    for (int64_t i = w->lo; i < w->hi; i++)
+        w->hashes[i] = acc_hash(
+            w->key_data + w->key_offsets[i],
+            (size_t)(w->key_offsets[i + 1] - w->key_offsets[i]));
+    return NULL;
+}
+
+#define ACC_MAX_SHARDS 16
+
+int acc_add_sharded(uint64_t *shard_handles, int nshards,
+                    const unsigned char *key_data,
+                    const int64_t *key_offsets,
+                    const unsigned char *counted,
+                    int64_t n, int64_t base, unsigned char *is_new) {
+    if (nshards < 1 || nshards > ACC_MAX_SHARDS) return FQ_ERR_FORMAT;
+    static pthread_mutex_t as_lock = PTHREAD_MUTEX_INITIALIZER;
+    static uint64_t *as_hashes = NULL;
+    static int64_t *as_rows = NULL;
+    static int64_t as_cap = 0;
+    pthread_mutex_lock(&as_lock);
+    if (as_cap < n) {
+        free(as_hashes);
+        free(as_rows);
+        as_hashes = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
+        as_rows = (int64_t *)malloc((size_t)n * sizeof(int64_t));
+        if (!as_hashes || !as_rows) {
+            free(as_hashes); free(as_rows);
+            as_hashes = NULL; as_rows = NULL; as_cap = 0;
+            pthread_mutex_unlock(&as_lock);
+            return FQ_ERR_NOMEM;
+        }
+        as_cap = n;
+    }
+    /* 1. Hash every key (parallel ranges). */
+    pthread_t tids[ACC_MAX_SHARDS];
+    AccHashWork hw[ACC_MAX_SHARDS];
+    int nht = nshards;
+    int64_t per = n / nht;
+    for (int t = 0; t < nht; t++) {
+        hw[t].key_data = key_data;
+        hw[t].key_offsets = key_offsets;
+        hw[t].hashes = as_hashes;
+        hw[t].lo = t * per;
+        hw[t].hi = (t == nht - 1) ? n : (t + 1) * per;
+    }
+    for (int t = 1; t < nht; t++)
+        pthread_create(&tids[t], NULL, acc_hash_worker, &hw[t]);
+    acc_hash_worker(&hw[0]);
+    for (int t = 1; t < nht; t++)
+        pthread_join(tids[t], NULL);
+    /* 2. Partition record indices by high hash bits (stable ascending
+     * scan keeps global record order within each shard). */
+    int64_t counts_s[ACC_MAX_SHARDS];
+    memset(counts_s, 0, sizeof(counts_s));
+    for (int64_t i = 0; i < n; i++)
+        counts_s[(as_hashes[i] >> 56) % (uint64_t)nshards]++;
+    int64_t starts_s[ACC_MAX_SHARDS + 1];
+    starts_s[0] = 0;
+    for (int s = 0; s < nshards; s++)
+        starts_s[s + 1] = starts_s[s] + counts_s[s];
+    int64_t cursor[ACC_MAX_SHARDS];
+    memcpy(cursor, starts_s, (size_t)nshards * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++)
+        as_rows[cursor[(as_hashes[i] >> 56) % (uint64_t)nshards]++] = i;
+    /* 3. Insert each shard's records concurrently. */
+    AccShardWork works[ACC_MAX_SHARDS];
+    for (int s = 0; s < nshards; s++) {
+        works[s].shard = (KeyAcc *)(uintptr_t)shard_handles[s];
+        works[s].key_data = key_data;
+        works[s].key_offsets = key_offsets;
+        works[s].counted = counted;
+        works[s].rows = as_rows + starts_s[s];
+        works[s].nrows = counts_s[s];
+        works[s].base = base;
+        works[s].is_new = is_new;
+        works[s].hashes = as_hashes;
+        works[s].rc = FQ_OK;
+    }
+    for (int s = 1; s < nshards; s++)
+        pthread_create(&tids[s], NULL, acc_shard_worker, &works[s]);
+    acc_shard_worker(&works[0]);
+    for (int s = 1; s < nshards; s++)
+        pthread_join(tids[s], NULL);
+    pthread_mutex_unlock(&as_lock);
+    for (int s = 0; s < nshards; s++)
+        if (works[s].rc != FQ_OK) return works[s].rc;
+    return FQ_OK;
+}

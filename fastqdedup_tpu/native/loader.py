@@ -99,6 +99,11 @@ _lib.fq_count_units.argtypes = [ctypes.c_void_p, ctypes.c_int64,
 _lib.fq_skip_newlines.restype = ctypes.c_int
 _lib.fq_skip_newlines.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 
+_lib.acc_add_sharded.restype = ctypes.c_int
+_lib.acc_add_sharded.argtypes = [_u64p, ctypes.c_int, _u8p, _i64p,
+                                 ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.c_int64, ctypes.c_void_p]
+
 _lib.fq_radix_sort_u64.restype = ctypes.c_int
 _lib.fq_radix_sort_u64.argtypes = [ctypes.c_int64, _u64p]
 
@@ -613,6 +618,115 @@ def union_find_native(n: int, pairs_i: np.ndarray,
         np.ascontiguousarray(pairs_j, dtype=np.int64),
         len(pairs_i), labels)
     return labels
+
+
+
+class ShardedKeyAccumulator:
+    """KeyAccumulator over S hash shards with threaded inserts.
+
+    Pass 1's single insert thread lags the parse pipeline at large
+    inputs (~30 s of accumulate backlog at 100M reads); routing keys by
+    their high hash bits to S independent tables lets S threads insert
+    concurrently while preserving the serial table's semantics exactly:
+    every key lives in one shard (global uniqueness), shards visit their
+    records in ascending global order (first-occurrence positions
+    unchanged), and ``export`` is the deterministic concatenation of the
+    shard tables (_finalize_groups accepts any fixed order).
+    """
+
+    collapsed = True
+
+    def __init__(self, expected: int = 1 << 20, shards: int = 0):
+        if shards <= 0:
+            shards = min(4, os.cpu_count() or 1)
+        self._handles = []
+        for _ in range(shards):
+            h = _lib.acc_new(int(expected // shards + 1))
+            if not h:
+                raise MemoryError("could not allocate key accumulator")
+            self._handles.append(h)
+        self._harr = np.array(self._handles, dtype=np.uint64)
+
+    def _add(self, key_data, key_offsets, counted, base, is_new):
+        n = len(key_offsets) - 1
+        key_data = np.ascontiguousarray(key_data, dtype=np.uint8)
+        key_offsets = np.ascontiguousarray(key_offsets, dtype=np.int64)
+        if counted is None:
+            cptr = None
+        else:
+            counted = np.ascontiguousarray(counted, dtype=np.uint8)
+            cptr = counted.ctypes.data_as(ctypes.c_void_p)
+        iptr = None if is_new is None else             is_new.ctypes.data_as(ctypes.c_void_p)
+        rc = _lib.acc_add_sharded(self._harr, len(self._handles),
+                                  key_data, key_offsets, cptr,
+                                  n, int(base), iptr)
+        if rc != _FQ_OK:
+            raise MemoryError("key accumulator allocation failure")
+
+    def add(self, key_data, key_offsets, counted, base: int) -> None:
+        self._add(key_data, key_offsets, counted, base, None)
+
+    def add_mark(self, key_data, key_offsets, counted,
+                 base: int) -> np.ndarray:
+        n = len(key_offsets) - 1
+        is_new = np.empty(n, dtype=np.uint8)
+        self._add(key_data, key_offsets, counted, base, is_new)
+        return is_new
+
+    def export(self):
+        """Concatenated shard exports (deterministic shard-major order)."""
+        from ..runtime import big_empty
+        sizes = [int(_lib.acc_size(h)) for h in self._handles]
+        nbytes = [int(_lib.acc_key_bytes(h)) for h in self._handles]
+        n = sum(sizes)
+        total = sum(nbytes)
+        key_out = big_empty(total, dtype=np.uint8)
+        offsets_out = big_empty(n + 1, dtype=np.int64)
+        counts_out = big_empty(n, dtype=np.int64)
+        firstpos_out = big_empty(n, dtype=np.int64)
+        row = 0
+        byte = 0
+        for h, sz, nb in zip(self._handles, sizes, nbytes):
+            # Per-shard export writes shard-relative offsets including
+            # the sentinel; the next shard overwrites the sentinel slot.
+            _lib.acc_export(h, key_out[byte:],
+                            offsets_out[row:], counts_out[row:],
+                            firstpos_out[row:])
+            if byte:
+                offsets_out[row:row + sz + 1] += byte
+            row += sz
+            byte += nb
+        offsets_out[n] = total
+        return key_out, offsets_out, counts_out, firstpos_out
+
+    def export_hashes(self) -> np.ndarray:
+        from ..runtime import big_empty
+        sizes = [int(_lib.acc_size(h)) for h in self._handles]
+        out = big_empty(sum(sizes), dtype=np.uint64)
+        row = 0
+        for h, sz in zip(self._handles, sizes):
+            _lib.acc_export_hashes(h, out[row:])
+            row += sz
+        return out
+
+    def byte_presence(self) -> np.ndarray:
+        acc = np.zeros(256, dtype=np.uint8)
+        tmp = np.zeros(256, dtype=np.uint8)
+        for h in self._handles:
+            _lib.acc_byte_presence(h, tmp)
+            acc |= tmp
+        return acc.astype(bool)
+
+    def close(self) -> None:
+        for h in self._handles:
+            _lib.acc_free(h)
+        self._handles = []
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def radix_sort_u64_native(values: np.ndarray) -> np.ndarray:

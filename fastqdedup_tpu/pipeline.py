@@ -495,9 +495,22 @@ class _NumpyKeyAccumulator:
 
 def _make_key_accumulator(expected: int = 1 << 20):
     try:
+        cpus = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # pragma: no cover - non-Linux
+        cpus = os.cpu_count() or 1
+    shards = int(os.environ.get("FASTQDEDUP_ACC_SHARDS", 0)) or \
+        min(4, cpus)
+    try:
+        if shards > 1:
+            # Threaded insert path: the single accumulate worker lags
+            # the parse pipeline at large inputs (~30 s of backlog
+            # drain at 100M reads); hash-sharded tables insert with
+            # `shards` threads and export deterministically.
+            from .native.loader import ShardedKeyAccumulator
+            return ShardedKeyAccumulator(expected, shards=shards)
         from .native.loader import KeyAccumulator
         return KeyAccumulator(expected)
-    except ImportError:
+    except (ImportError, AttributeError):
         return _NumpyKeyAccumulator(expected)
 
 
