@@ -1213,7 +1213,8 @@ static uint64_t acc_hash(const unsigned char *p, size_t n) {
  * arena are the process's largest recurring C allocations; re-mallocing
  * them every run pays the host's page-creation cost again).  Retention
  * is capped so a one-off giant run cannot pin gigabytes. */
-static KeyAcc *acc_retired = NULL;
+#define ACC_RETIRED_SLOTS 4  /* sharded accumulators retire S tables */
+static KeyAcc *acc_retired[ACC_RETIRED_SLOTS];
 static pthread_mutex_t acc_retired_mu = PTHREAD_MUTEX_INITIALIZER;
 #define ACC_RETAIN_MAX ((size_t)512 << 20)
 
@@ -1224,8 +1225,14 @@ static size_t acc_footprint(const KeyAcc *a) {
 
 KeyAcc *acc_new(int64_t expected) {
     pthread_mutex_lock(&acc_retired_mu);
-    KeyAcc *r = acc_retired;
-    acc_retired = NULL;
+    KeyAcc *r = NULL;
+    for (int s = 0; s < ACC_RETIRED_SLOTS; s++) {
+        if (acc_retired[s]) {
+            r = acc_retired[s];
+            acc_retired[s] = NULL;
+            break;
+        }
+    }
     pthread_mutex_unlock(&acc_retired_mu);
     if (r) {
         for (size_t i = 0; i < r->cap; i++) r->slots[i].idx = -1;
@@ -1260,9 +1267,12 @@ void acc_free(KeyAcc *a) {
     if (!a) return;
     if (acc_footprint(a) <= ACC_RETAIN_MAX) {
         pthread_mutex_lock(&acc_retired_mu);
-        if (!acc_retired) {
-            acc_retired = a;
-            a = NULL;
+        for (int s = 0; s < ACC_RETIRED_SLOTS; s++) {
+            if (!acc_retired[s]) {
+                acc_retired[s] = a;
+                a = NULL;
+                break;
+            }
         }
         pthread_mutex_unlock(&acc_retired_mu);
         if (!a) return;
