@@ -1394,9 +1394,17 @@ static int acc_add_impl(KeyAcc *a, const unsigned char *key_data,
             a->used++;
             inserted = 1;
         }
-        if (is_new) is_new[i] = (unsigned char)inserted;
         if (!counted || counted[i]) a->count[idx]++;
-        if (base + i < a->first_pos[idx]) a->first_pos[idx] = base + i;
+        if (base + i < a->first_pos[idx]) {
+            a->first_pos[idx] = base + i;
+            /* Out-of-order ingest (parallel range readers): this record
+             * BECOMES the key's first occurrence, so the arena must
+             * capture it too; the superseded entry is harmless (pass 3
+             * gathers by exact final first positions).  In-order
+             * streams never take this branch for existing keys. */
+            inserted = 1;
+        }
+        if (is_new) is_new[i] = (unsigned char)inserted;
         if (a->used * 4 > a->cap * 3) {
             if (acc_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
         }
@@ -2592,9 +2600,12 @@ static int acc_add_rows(KeyAcc *a, const unsigned char *key_data,
             a->used++;
             inserted = 1;
         }
-        if (is_new) is_new[i] = (unsigned char)inserted;
         if (!counted || counted[i]) a->count[idx]++;
-        if (base + i < a->first_pos[idx]) a->first_pos[idx] = base + i;
+        if (base + i < a->first_pos[idx]) {
+            a->first_pos[idx] = base + i;
+            inserted = 1;  /* see acc_add_impl: out-of-order first */
+        }
+        if (is_new) is_new[i] = (unsigned char)inserted;
         if (a->used * 4 > a->cap * 3) {
             if (acc_grow(a) != FQ_OK) return FQ_ERR_NOMEM;
         }

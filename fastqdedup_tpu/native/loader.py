@@ -412,10 +412,13 @@ class KeyAccumulator:
     def add_mark(self, key_data: np.ndarray, key_offsets: np.ndarray,
                  counted, base: int) -> np.ndarray:
         """Like :meth:`add`, but also returns a uint8 [n] mask marking the
-        records that inserted a previously-unseen key — i.e. each marked
-        record IS its key's first occurrence (batches arrive in global
-        record order), which is exactly the candidate set pass 3 may emit
-        (record-arena mode)."""
+        records that became their key's first occurrence SO FAR: inserts
+        of unseen keys, plus records that lowered an existing key's
+        first_pos (possible only when batches arrive out of global
+        record order — parallel range ingest).  The final first
+        occurrence of every key is always marked, so the mask is exactly
+        the candidate set pass 3 may emit (record-arena mode);
+        superseded marks are filtered there by position."""
         n = len(key_offsets) - 1
         key_data = np.ascontiguousarray(key_data, dtype=np.uint8)
         key_offsets = np.ascontiguousarray(key_offsets, dtype=np.int64)

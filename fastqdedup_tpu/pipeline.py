@@ -791,6 +791,146 @@ def _plan_input_ranges(input_files: List[str], pid: int, nproc: int
     return plan, rec_lo
 
 
+def _plan_local_ranges(input_files: List[str], n_parts: int
+                       ) -> "Optional[List[Tuple[List[Tuple[int, int, int]], int]]]":
+    """Split this host's inputs into ``n_parts`` record ranges for
+    CONCURRENT readers inside one process (no collectives).
+
+    Returns one ``(per_file_plan, base_record)`` per part — the same
+    shape :func:`_plan_input_ranges` returns per host — or None when any
+    input is not BGZF / not line-clean.  Phase A (the newline count) is
+    itself parallelized across ``n_parts`` byte ranges per file.
+    """
+    try:
+        from .native.loader import count_bgzf_range_units
+    except ImportError:
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+
+    splits: List[Tuple[np.ndarray, np.ndarray]] = []
+    n_min: Optional[int] = None
+    with ThreadPoolExecutor(max_workers=max(n_parts, 1)) as pool:
+        for path in input_files:
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return None
+            bounds = [(size * p // n_parts,
+                       size * (p + 1) // n_parts if p < n_parts - 1
+                       else -1) for p in range(n_parts)]
+            futures = [pool.submit(count_bgzf_range_units, path, lo, hi)
+                       for lo, hi in bounds]
+            try:
+                units = [f.result() for f in futures]
+            except OSError:
+                return None  # serial path surfaces the real error
+            if any(u is None for u in units):
+                return None
+            g_ends = np.concatenate([u[0] for u in units])
+            g_lines = np.concatenate([u[1] for u in units])
+            total_lines = int(g_lines.sum())
+            if total_lines % 4 != 0:
+                return None
+            n_f = total_lines // 4
+            n_min = n_f if n_min is None else min(n_min, n_f)
+            splits.append((g_ends,
+                           np.concatenate([[0], np.cumsum(g_lines)])))
+    assert n_min is not None
+    parts = []
+    for p in range(n_parts):
+        rec_lo = n_min * p // n_parts
+        rec_hi = n_min * (p + 1) // n_parts
+        if rec_hi <= rec_lo:
+            continue  # tiny input: fewer parts than readers
+        plan: List[Tuple[int, int, int]] = []
+        for g_ends, g_cum in splits:
+            target = 4 * rec_lo
+            if target == 0:
+                start, skip = 0, 0
+            else:
+                j = int(np.searchsorted(g_cum, target - 1,
+                                        side="right")) - 1
+                start = int(g_ends[j - 1]) if j >= 1 else 0
+                skip = target - int(g_cum[j])
+            plan.append((start, skip, rec_hi - rec_lo))
+        parts.append((plan, rec_lo))
+    return parts
+
+
+def _parallel_range_chunks(input_files: List[str], chunk_records: int,
+                           parts: List[Tuple[List[Tuple[int, int, int]],
+                                             int]],
+                           queue_depth: int = 2
+                           ) -> Iterator[Tuple[int, Tuple[FastqChunk,
+                                                          ...]]]:
+    """(base, chunks) from len(parts) CONCURRENT range readers.
+
+    The single-threaded record scan in the native parser is the ingest
+    bottleneck once inflate parallelizes; running one reader per record
+    range multiplies scan throughput by the reader count.  Chunks
+    arrive in ARRIVAL order (positions interleave across ranges) —
+    every consumer downstream is position-keyed: the accumulator takes
+    per-key position minima (marking a record as first whenever it
+    lowers the minimum), the arena and chunk cache sort parts by base
+    position before pass 3, and part files are named by base.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(2, queue_depth))
+    stop = threading.Event()
+    _DONE = object()
+
+    def produce(plan, base0):
+        running = base0
+        try:
+            for chunks in _zip_chunks_serial(input_files, chunk_records,
+                                             range_plan=plan):
+                item = (running, chunks)
+                running += chunks[0].count
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            while not stop.is_set():
+                try:
+                    q.put(_DONE, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+        except BaseException as exc:
+            while not stop.is_set():
+                try:
+                    q.put(exc, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    threads = [threading.Thread(target=produce, args=(plan, base0),
+                                daemon=True)
+               for plan, base0 in parts]
+    for t in threads:
+        t.start()
+    done = 0
+    try:
+        while done < len(threads):
+            item = q.get()
+            if item is _DONE:
+                done += 1
+                continue
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=0.5)
+
+
 def _compress_part_payload(payload: np.ndarray, out_name: str) -> np.ndarray:
     """Compress a raw output part into BGZF members when the final output
     is gzip.  Hosts compress their own parts in parallel; the rank-0
@@ -995,6 +1135,22 @@ def _deduplicate_cluster_impl(
                 "byte-range ingest: host %d/%d parses records "
                 "[%d, %d) per file", pid, nproc, range_base,
                 range_base + range_plan[0][2])
+    # Parallel range ingest (within one host): the native parser's record
+    # scan is single-threaded per reader, so once inflate overlaps, the
+    # scan bounds pass-1 throughput.  Splitting this host's inputs into
+    # concurrent BGZF record ranges multiplies scan throughput by the
+    # reader count.  Chunks then arrive out of position order; every
+    # consumer is position-keyed (see _parallel_range_chunks).
+    parallel_parts = None
+    if range_plan is None and (nproc == 1 or sharded_input) \
+            and os.environ.get("FASTQDEDUP_PARALLEL_INGEST", "1") != "0":
+        n_readers = int(os.environ.get("FASTQDEDUP_INGEST_READERS", "0")) \
+            or max(1, min(4, (os.cpu_count() or 2) // 2))
+        if n_readers > 1:
+            parallel_parts = _plan_local_ranges(input_files, n_readers)
+            if parallel_parts is not None:
+                logger.debug("parallel ingest: %d range readers",
+                             len(parallel_parts))
     # Record-arena mode (single host, native accumulator): render each
     # new key's first record during pass 1 and skip both the chunk cache
     # and pass 3's re-stream entirely.  Memory: O(unique keys) rendered
@@ -1017,22 +1173,32 @@ def _deduplicate_cluster_impl(
     global_base = 0
     _p1 = {"iter": 0.0, "cache": 0.0, "keys": 0.0, "submit": 0.0}
     _p1_debug = logger.isEnabledFor(logging.DEBUG)
-    _chunk_iter = iter(_zip_chunks(input_files, chunk_records,
-                                   range_plan=range_plan))
+    if parallel_parts is not None:
+        _chunk_iter: Iterator = iter(_parallel_range_chunks(
+            input_files, chunk_records, parallel_parts))
+    else:
+        _chunk_iter = iter(_zip_chunks(input_files, chunk_records,
+                                       range_plan=range_plan))
     chunk_index = -1
     try:
         while True:
             _t = _time.perf_counter()
-            chunks = next(_chunk_iter, None)
+            item = next(_chunk_iter, None)
             _p1["iter"] += _time.perf_counter() - _t
-            if chunks is None:
+            if item is None:
                 break
             chunk_index += 1
-            base = shard_base + range_base + global_base
-            global_base += chunks[0].count
-            if range_plan is None and not sharded_input \
-                    and chunk_index % nproc != pid:
-                continue  # another host owns this chunk (strided partition)
+            if parallel_parts is not None:
+                part_base, chunks = item
+                base = shard_base + part_base
+                global_base += chunks[0].count
+            else:
+                chunks = item
+                base = shard_base + range_base + global_base
+                global_base += chunks[0].count
+                if range_plan is None and not sharded_input \
+                        and chunk_index % nproc != pid:
+                    continue  # another host owns this chunk (strided mode)
             if len(chunks) > 1:
                 _validate_mates(chunks)
             _t = _time.perf_counter()
@@ -1117,6 +1283,10 @@ def _deduplicate_cluster_impl(
         for buffer in recycle_bin:
             release(buffer)
         recycle_bin.clear()
+    if parallel_parts is not None and cached_chunks:
+        # Range readers interleave arbitrarily; pass 3 walks the cache in
+        # file order.
+        cached_chunks.sort(key=lambda entry: entry[0])
     if _p1_debug:
         _p1["acc-wait"] = _time.perf_counter() - _t
         logger.debug("pass1 totals: " + ", ".join(
@@ -1534,7 +1704,13 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
     worker = threading.Thread(target=write_worker, daemon=True)
     worker.start()
     try:
-        for part_index, positions in enumerate(store.positions):
+        # Parts append in ingest-arrival order, which under parallel range
+        # readers is not position order; the id IS the base position, so
+        # sorting by it restores file order (no-op for serial ingest).
+        part_order = sorted(range(len(store.positions)),
+                            key=store.chunk_ids.__getitem__)
+        for part_index in part_order:
+            positions = store.positions[part_index]
             if not len(positions):
                 continue
             lo = np.searchsorted(kept_sorted, positions[0])
