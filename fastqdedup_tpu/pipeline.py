@@ -711,15 +711,18 @@ def _quality_mask(qual_data, qual_offsets, max_average_error_rate
     return keep.astype(np.uint8)
 
 
-def _plan_input_ranges(input_files: List[str], pid: int, nproc: int
-                       ) -> "Optional[Tuple[List[Tuple[int, int, int]], int]]":
+def _plan_input_ranges(input_files: List[str], pid: int, nproc: int,
+                       n_parts: int = 1
+                       ) -> "Optional[List[Tuple[List[Tuple[int, int, int]], int]]]":
     """Byte-range ingest plan for the default multi-host mode.
 
-    Returns ``(per_file_plan, base_record)`` where ``per_file_plan`` is
-    one ``(start_offset, skip_newlines, n_records)`` per input file —
-    or None when any input is not BGZF / not line-clean (callers fall
-    back to strided chunk ownership, pipeline.py's ``chunk_index %
-    nproc`` partition, which parses the whole input on every host).
+    Returns this host's record window [N*p/P, N*(p+1)/P) split into up
+    to ``n_parts`` concurrent-reader plans, each ``(per_file_plan,
+    base_record)`` with ``per_file_plan`` one ``(start_offset,
+    skip_newlines, n_records)`` per input file — or None when any input
+    is not BGZF / not line-clean (callers fall back to strided chunk
+    ownership, pipeline.py's ``chunk_index % nproc`` partition, which
+    parses the whole input on every host).
 
     Phase A: every host inflates only its 1/P compressed-byte range of
     each file (no FASTQ parsing) and counts newlines per inflate unit;
@@ -758,7 +761,6 @@ def _plan_input_ranges(input_files: List[str], pid: int, nproc: int
     if ok_hosts != nproc:
         return None
 
-    plan: List[Tuple[int, int, int]] = []
     n_min: Optional[int] = None
     splits: List[Tuple[np.ndarray, np.ndarray]] = []
     for ends, lines in per_file_units:
@@ -777,18 +779,45 @@ def _plan_input_ranges(input_files: List[str], pid: int, nproc: int
     assert n_min is not None
     rec_lo = n_min * pid // nproc
     rec_hi = n_min * (pid + 1) // nproc
-    for g_ends, g_cum in splits:
-        target = 4 * rec_lo
-        if target == 0:
-            start, skip = 0, 0
-        else:
-            # Largest unit end with cum_lines <= target - 1, so the
-            # record's first byte cannot precede the start offset.
-            j = int(np.searchsorted(g_cum, target - 1, side="right")) - 1
-            start = int(g_ends[j - 1]) if j >= 1 else 0
-            skip = target - int(g_cum[j])
-        plan.append((start, skip, rec_hi - rec_lo))
-    return plan, rec_lo
+    parts = _range_parts_from_units(splits, rec_lo, rec_hi, n_parts)
+    if not parts:
+        # Empty window (more hosts than records): a zero-budget plan —
+        # NOT None/[], which would divert this host to strided mode
+        # while its peers partition by range (records double-counted).
+        parts = [([(0, 0, 0)] * len(splits), rec_lo)]
+    return parts
+
+
+def _range_parts_from_units(splits: List[Tuple[np.ndarray, np.ndarray]],
+                            rec_lo: int, rec_hi: int, n_parts: int
+                            ) -> List[Tuple[List[Tuple[int, int, int]],
+                                            int]]:
+    """Split the record window ``[rec_lo, rec_hi)`` into up to
+    ``n_parts`` contiguous reader plans — one ``(per_file_plan,
+    base_record)`` each — from per-file BGZF unit tables ``(unit end
+    offsets, [0]+cumsum(unit newline counts))``."""
+    parts: List[Tuple[List[Tuple[int, int, int]], int]] = []
+    span = rec_hi - rec_lo
+    for p in range(n_parts):
+        lo = rec_lo + span * p // n_parts
+        hi = rec_lo + span * (p + 1) // n_parts
+        if hi <= lo:
+            continue  # tiny window: fewer parts than readers
+        plan: List[Tuple[int, int, int]] = []
+        for g_ends, g_cum in splits:
+            target = 4 * lo
+            if target == 0:
+                start, skip = 0, 0
+            else:
+                # Largest unit end with cum_lines <= target - 1, so the
+                # record's first byte cannot precede the start offset.
+                j = int(np.searchsorted(g_cum, target - 1,
+                                        side="right")) - 1
+                start = int(g_ends[j - 1]) if j >= 1 else 0
+                skip = target - int(g_cum[j])
+            plan.append((start, skip, hi - lo))
+        parts.append((plan, lo))
+    return parts
 
 
 def _plan_local_ranges(input_files: List[str], n_parts: int
@@ -836,25 +865,7 @@ def _plan_local_ranges(input_files: List[str], n_parts: int
             splits.append((g_ends,
                            np.concatenate([[0], np.cumsum(g_lines)])))
     assert n_min is not None
-    parts = []
-    for p in range(n_parts):
-        rec_lo = n_min * p // n_parts
-        rec_hi = n_min * (p + 1) // n_parts
-        if rec_hi <= rec_lo:
-            continue  # tiny input: fewer parts than readers
-        plan: List[Tuple[int, int, int]] = []
-        for g_ends, g_cum in splits:
-            target = 4 * rec_lo
-            if target == 0:
-                start, skip = 0, 0
-            else:
-                j = int(np.searchsorted(g_cum, target - 1,
-                                        side="right")) - 1
-                start = int(g_ends[j - 1]) if j >= 1 else 0
-                skip = target - int(g_cum[j])
-            plan.append((start, skip, rec_hi - rec_lo))
-        parts.append((plan, rec_lo))
-    return parts
+    return _range_parts_from_units(splits, 0, n_min, n_parts)
 
 
 def _parallel_range_chunks(input_files: List[str], chunk_records: int,
@@ -1126,31 +1137,41 @@ def _deduplicate_cluster_impl(
     # chunk ownership (parse everything, keep 1/P) for non-BGZF inputs.
     range_plan = None
     range_base = 0
-    if nproc > 1 and not sharded_input \
-            and os.environ.get("FASTQDEDUP_RANGE_INPUT", "1") != "0":
-        planned = _plan_input_ranges(input_files, pid, nproc)
-        if planned is not None:
-            range_plan, range_base = planned
-            logger.debug(
-                "byte-range ingest: host %d/%d parses records "
-                "[%d, %d) per file", pid, nproc, range_base,
-                range_base + range_plan[0][2])
     # Parallel range ingest (within one host): the native parser's record
     # scan is single-threaded per reader, so once inflate overlaps, the
-    # scan bounds pass-1 throughput.  Splitting this host's inputs into
-    # concurrent BGZF record ranges multiplies scan throughput by the
-    # reader count.  Chunks then arrive out of position order; every
+    # scan bounds pass-1 throughput.  Splitting this host's record window
+    # into concurrent BGZF range readers multiplies scan throughput by
+    # the reader count.  Chunks then arrive out of position order; every
     # consumer is position-keyed (see _parallel_range_chunks).
     parallel_parts = None
-    if range_plan is None and (nproc == 1 or sharded_input) \
-            and os.environ.get("FASTQDEDUP_PARALLEL_INGEST", "1") != "0":
+    if os.environ.get("FASTQDEDUP_PARALLEL_INGEST", "1") != "0":
+        try:
+            _cpus = len(os.sched_getaffinity(0))  # respects core pinning
+        except (AttributeError, OSError):  # pragma: no cover - non-Linux
+            _cpus = os.cpu_count() or 2
         n_readers = int(os.environ.get("FASTQDEDUP_INGEST_READERS", "0")) \
-            or max(1, min(4, (os.cpu_count() or 2) // 2))
-        if n_readers > 1:
-            parallel_parts = _plan_local_ranges(input_files, n_readers)
-            if parallel_parts is not None:
-                logger.debug("parallel ingest: %d range readers",
-                             len(parallel_parts))
+            or max(1, min(4, _cpus // 2))
+    else:
+        n_readers = 1
+    if nproc > 1 and not sharded_input \
+            and os.environ.get("FASTQDEDUP_RANGE_INPUT", "1") != "0":
+        planned = _plan_input_ranges(input_files, pid, nproc,
+                                     n_parts=n_readers)
+        if planned:
+            if len(planned) > 1:
+                parallel_parts = planned
+            else:
+                range_plan, range_base = planned[0]
+            logger.debug(
+                "byte-range ingest: host %d/%d parses records "
+                "[%d, %d) per file across %d reader(s)", pid, nproc,
+                planned[0][1],
+                planned[-1][1] + planned[-1][0][0][2], len(planned))
+    elif (nproc == 1 or sharded_input) and n_readers > 1:
+        parallel_parts = _plan_local_ranges(input_files, n_readers)
+        if parallel_parts is not None:
+            logger.debug("parallel ingest: %d range readers",
+                         len(parallel_parts))
     # Record-arena mode (single host, native accumulator): render each
     # new key's first record during pass 1 and skip both the chunk cache
     # and pass 3's re-stream entirely.  Memory: O(unique keys) rendered

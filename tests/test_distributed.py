@@ -412,14 +412,16 @@ def test_owned_meta_merge_tournament_rep_valid_and_balanced():
     assert host_share.max() < 0.4 * n_keys, host_share.tolist()
 
 
-@pytest.mark.parametrize("arena", ["1", "0"])
-def test_two_process_byte_range_ingest_parity(tmp_path, arena):
+@pytest.mark.parametrize("arena,readers", [("1", "1"), ("0", "1"),
+                                           ("1", "3"), ("0", "3")])
+def test_two_process_byte_range_ingest_parity(tmp_path, arena, readers):
     """BGZF inputs in default multi-host mode take the byte-range ingest
     path (each host inflates+parses only its 1/P record range; record
     ordinals from the newline-count exchange) and the merged output must
     stay byte-identical to a single-host run.  Paired files of different
     compressed sizes force the per-file record realignment.  Runs both
-    pass-3 layouts: record arena and chunk cache."""
+    pass-3 layouts (record arena and chunk cache) and, with readers=3,
+    each host's range further split across concurrent readers."""
     import gzip
     import os
     import random
@@ -476,8 +478,8 @@ from fastqdedup_tpu.pipeline import deduplicate_cluster
 # Assert the byte-range plan actually activates for BGZF inputs.
 plan = pipeline._plan_input_ranges(
     [{str(srcs[0])!r}, {str(srcs[1])!r}], jax.process_index(), 2)
-assert plan is not None, "byte-range ingest did not activate"
-per_file, base = plan
+assert plan, "byte-range ingest did not activate"
+per_file, base = plan[0]
 assert per_file[0][2] == per_file[1][2] > 0
 deduplicate_cluster([{str(srcs[0])!r}, {str(srcs[1])!r}],
                     [{str(dist[0])!r}, {str(dist[1])!r}], None, 1, 0.001,
@@ -486,6 +488,7 @@ deduplicate_cluster([{str(srcs[0])!r}, {str(srcs[1])!r}],
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["FASTQDEDUP_RECORD_ARENA"] = arena
+    env["FASTQDEDUP_INGEST_READERS"] = readers
     env.pop("XLA_FLAGS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo
