@@ -1164,6 +1164,15 @@ def _deduplicate_cluster_impl(
         if planned:
             if len(planned) > 1:
                 parallel_parts = planned
+                # Pass 3's re-stream layout reads serially; give it the
+                # whole host window (parts are contiguous, so part 0's
+                # start/skip plus the summed record budget IS the
+                # window).  Pass 1 ignores range_plan while
+                # parallel_parts is set.
+                _total = sum(p[0][0][2] for p in planned)
+                range_plan = [(start, skip, _total)
+                              for (start, skip, _n) in planned[0][0]]
+                range_base = planned[0][1]
             else:
                 range_plan, range_base = planned[0]
             logger.debug(

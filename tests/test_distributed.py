@@ -413,15 +413,18 @@ def test_owned_meta_merge_tournament_rep_valid_and_balanced():
 
 
 @pytest.mark.parametrize("arena,readers", [("1", "1"), ("0", "1"),
-                                           ("1", "3"), ("0", "3")])
+                                           ("1", "3"), ("0", "3"),
+                                           ("restream", "3")])
 def test_two_process_byte_range_ingest_parity(tmp_path, arena, readers):
     """BGZF inputs in default multi-host mode take the byte-range ingest
     path (each host inflates+parses only its 1/P record range; record
     ordinals from the newline-count exchange) and the merged output must
     stay byte-identical to a single-host run.  Paired files of different
-    compressed sizes force the per-file record realignment.  Runs both
-    pass-3 layouts (record arena and chunk cache) and, with readers=3,
-    each host's range further split across concurrent readers."""
+    compressed sizes force the per-file record realignment.  Runs all
+    three pass-3 layouts (record arena, chunk cache, and — with a 1-byte
+    memory limit — the re-stream path, which must re-read only the host
+    window) and, with readers=3, each host's range further split across
+    concurrent readers."""
     import gzip
     import os
     import random
@@ -487,7 +490,11 @@ deduplicate_cluster([{str(srcs[0])!r}, {str(srcs[1])!r}],
 """)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["FASTQDEDUP_RECORD_ARENA"] = arena
+    if arena == "restream":
+        env["FASTQDEDUP_RECORD_ARENA"] = "0"
+        env["FASTQDEDUP_MEMORY_LIMIT"] = "1"
+    else:
+        env["FASTQDEDUP_RECORD_ARENA"] = arena
     env["FASTQDEDUP_INGEST_READERS"] = readers
     env.pop("XLA_FLAGS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
