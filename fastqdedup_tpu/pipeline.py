@@ -539,8 +539,9 @@ class _RecordArenaStore:
 
     def add(self, chunks: Tuple[FastqChunk, ...], is_new: np.ndarray,
             base: int, chunk_index: int = 0) -> None:
-        """Render the marked records of one chunk tuple (accumulate
-        worker; FIFO order keeps part positions globally ascending)."""
+        """Render the marked records of one chunk tuple (single render
+        worker; parts may arrive out of position order under parallel
+        range ingest — the write path orders them by base)."""
         if self.abandoned:
             return
         from .native.loader import render_records_native
@@ -976,30 +977,17 @@ def _merge_output_parts(out: str, parts_dir: str) -> None:
     shutil.rmtree(parts_dir)
 
 
-def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
-                           b, base, store=None, chunks=None,
-                           recycle_bin=None, chunk_index=0):
-    """Add one chunk's keys to the accumulator, gated on its quality mask.
-
-    Runs on the single accumulate worker (FIFO order preserves
-    first-position semantics); the quality reduction runs concurrently on
-    its own worker and is awaited here.  With a live record-arena
-    ``store``, new-key records are rendered into it as a side effect.
-    Returns (records_in, kept).
-    """
-    counted = mask_future.result() if mask_future is not None else None
-    if store is not None and not store.abandoned:
-        is_new = accumulator.add_mark(key_data, key_offsets, counted, base)
-        store.add(chunks, is_new, base, chunk_index)
-    else:
-        accumulator.add(key_data, key_offsets, counted, base)
-    kept = int(counted.sum()) if counted is not None else b
+def _render_and_recycle(store, chunks, is_new, base, chunk_index,
+                        recycle_bin):
+    """Arena render of one chunk's new-key records + parse-buffer
+    recycling (the single render worker — the last pipeline stage that
+    touches chunk memory in arena mode)."""
+    store.add(chunks, is_new, base, chunk_index)
     if recycle_bin is not None:
-        # The PREVIOUS chunk tuple is fully consumed by now (this worker
-        # is the last pipeline stage that touches chunk memory in arena
-        # mode) — recycle its parse buffers so the next parser chunk
-        # reuses already-backed pages.  Deferred by one chunk because
-        # the current tuple's key views are still alive in this frame.
+        # The PREVIOUS chunk tuple is fully consumed by now; recycle its
+        # parse buffers so the next parser chunk reuses already-backed
+        # pages.  Deferred by one chunk because the current tuple was
+        # just rendered in this frame.
         from .runtime import release
         for buffer in recycle_bin:
             release(buffer)
@@ -1008,6 +996,43 @@ def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
             for chunk in chunks:
                 if chunk.pool_bases is not None:
                     recycle_bin.extend(chunk.pool_bases)
+
+
+def _filter_and_accumulate(accumulator, key_data, key_offsets, mask_future,
+                           b, base, store=None, chunks=None,
+                           recycle_bin=None, chunk_index=0,
+                           render_pool=None, render_futures=None):
+    """Add one chunk's keys to the accumulator, gated on its quality mask.
+
+    Runs on the single accumulate worker (serial inserts keep the C
+    tables race-free); the quality reduction runs concurrently on its
+    own worker and is awaited here.  With a live record-arena ``store``,
+    new-key records render on the single render worker, overlapping the
+    next chunk's insert.  Returns (records_in, kept).
+    """
+    counted = mask_future.result() if mask_future is not None else None
+    if store is not None:
+        is_new = accumulator.add_mark(key_data, key_offsets, counted, base) \
+            if not store.abandoned else None
+        if render_pool is not None:
+            # Even after abandonment (is_new None -> add no-ops) the
+            # recycling stays on the render worker so exactly one stage
+            # ever owns a chunk's buffers.
+            render_futures.append(render_pool.submit(
+                _render_and_recycle, store, chunks, is_new, base,
+                chunk_index, recycle_bin))
+            if is_new is None:
+                accumulator.add(key_data, key_offsets, counted, base)
+        elif is_new is not None:
+            _render_and_recycle(store, chunks, is_new, base, chunk_index,
+                                recycle_bin)
+        else:
+            accumulator.add(key_data, key_offsets, counted, base)
+            _render_and_recycle(store, chunks, None, base, chunk_index,
+                                recycle_bin)
+    else:
+        accumulator.add(key_data, key_offsets, counted, base)
+    kept = int(counted.sum()) if counted is not None else b
     return b, kept
 
 
@@ -1202,6 +1227,12 @@ def _deduplicate_cluster_impl(
     accumulate_pool = ThreadPoolExecutor(max_workers=1)
     quality_pool = ThreadPoolExecutor(max_workers=1) \
         if filter_on_quality else None
+    # Arena renders overlap the next chunk's C inserts on their own
+    # worker; both are single-threaded FIFO so part order and recycle
+    # order stay serial.
+    render_pool = ThreadPoolExecutor(max_workers=1) \
+        if record_store is not None else None
+    render_futures: List = []
     accumulate_futures = []
     prewarm_started = False
     global_base = 0
@@ -1290,7 +1321,7 @@ def _deduplicate_cluster_impl(
             accumulate_futures.append(accumulate_pool.submit(
                 _filter_and_accumulate, accumulator, key_data, key_offsets,
                 mask_future, b, base, record_store, chunks, recycle_bin,
-                chunk_index))
+                chunk_index, render_pool, render_futures))
             _p1["submit"] += _time.perf_counter() - _t
 
         _t = _time.perf_counter()
@@ -1298,7 +1329,11 @@ def _deduplicate_cluster_impl(
             b, kept = future.result()  # propagate any accumulation error
             total_kept += kept
             discarded_records += b - kept
+        for future in render_futures:
+            future.result()  # propagate any arena render error
         accumulate_pool.shutdown()
+        if render_pool is not None:
+            render_pool.shutdown()
         if quality_pool is not None:
             quality_pool.shutdown()
     finally:
@@ -1306,6 +1341,8 @@ def _deduplicate_cluster_impl(
         # desync, quality range error re-raised from a worker)
         # must not leak the worker pools' threads.
         accumulate_pool.shutdown(wait=False, cancel_futures=True)
+        if render_pool is not None:
+            render_pool.shutdown(wait=False, cancel_futures=True)
         if quality_pool is not None:
             quality_pool.shutdown(wait=False, cancel_futures=True)
     if recycle_bin:
