@@ -659,7 +659,7 @@ def hamming_neighbor_pairs_bucketed(
 
     if not pair_codes:
         return (np.empty(0, dtype=np.int64),) * 2
-    codes = np.unique(np.concatenate(pair_codes))
+    codes = _sorted_unique_codes(np.concatenate(pair_codes))
     _mark("dedup")
     if _debug:
         total_pairs = pair_src["host"] + pair_src["device"]
@@ -752,6 +752,67 @@ def _hash_window_rows(window: np.ndarray, salt: int,
             np.bitwise_xor(h, tmp, out=h)
     mix_inplace(h)
     return h
+
+
+def _edit_join_runs(hashes: np.ndarray, gids: np.ndarray,
+                    sides: np.ndarray):
+    """Group the salted window hashes into equal-hash runs with probes
+    (side 0) ordered before windows (side 1) inside each run.
+
+    Returns ``(sg2, run_starts, run_ends, n_a, n_b)``: gids in
+    (run, side) order plus per-run probe/window counts.
+
+    Large inputs sort ONE composite ``hash_high | side | row`` u64 by
+    VALUE through the C radix — no argsort index gathers and no second
+    lexsort pass (2-3x faster at 10^8 rows).  Truncating the hash to the
+    top ``63 - idx_bits`` bits can only MERGE runs, which only ADDS
+    candidate pairs for the exact banded-DP verification to discard —
+    the same contract as the window hash itself.
+    """
+    n = len(hashes)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e, e
+    idx_bits = max(int(n - 1).bit_length(), 1)
+    if n >= (1 << 20) and idx_bits + 1 <= 30:
+        try:
+            from ..native.loader import radix_sort_u64_native
+        except ImportError:
+            radix_sort_u64_native = None
+        if radix_sort_u64_native is not None:
+            low_bits = idx_bits + 1
+            low_mask = np.uint64((1 << low_bits) - 1)
+            comp = hashes & ~low_mask
+            comp |= sides.astype(np.uint64) << np.uint64(idx_bits)
+            comp |= np.arange(n, dtype=np.uint64)
+            radix_sort_u64_native(comp)
+            rows = (comp & np.uint64((1 << idx_bits) - 1)).astype(np.int64)
+            sg2 = gids[rows]
+            ss2 = (comp >> np.uint64(idx_bits)) & np.uint64(1)
+            run_key = comp >> np.uint64(low_bits)
+            boundaries = np.flatnonzero(run_key[1:] != run_key[:-1]) + 1
+            run_starts = np.concatenate([[0], boundaries])
+            run_ends = np.concatenate([boundaries, [n]])
+            csum = np.concatenate(
+                [[0], np.cumsum(ss2, dtype=np.int64)])
+            n_b = csum[run_ends] - csum[run_starts]
+            n_a = (run_ends - run_starts) - n_b
+            return sg2, run_starts, run_ends, n_a, n_b
+    # numpy fallback: unstable hash argsort (runs only need equal hashes
+    # adjacent), then a stable per-run re-sort putting probes first.
+    order = np.argsort(hashes)
+    sh, sg, ss = hashes[order], gids[order], sides[order]
+    run_starts = np.concatenate(
+        [[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1])
+    run_ends = np.concatenate([run_starts[1:], [n]])
+    run_of = np.repeat(np.arange(len(run_starts)),
+                       run_ends - run_starts)
+    n_b = np.bincount(run_of, weights=ss,
+                      minlength=len(run_starts)).astype(np.int64)
+    n_a = (run_ends - run_starts) - n_b
+    order2 = np.lexsort((ss, run_of))
+    sg2 = sg[order2]
+    return sg2, run_starts, run_ends, n_a, n_b
 
 
 def edit_candidate_pairs(matrices: List[np.ndarray],
@@ -868,31 +929,11 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
             hashes = hashes[mine]
             gids = gids[mine]
             sides = sides[mine]
-        # Unstable sort: runs only need equal hashes adjacent (the
-        # probe/window split within a run is rebuilt by the lexsort
-        # below), and introsort beats timsort ~2x on uint64 here.
-        order = np.argsort(hashes)
-        sh, sg, ss = hashes[order], gids[order], sides[order]
-        run_starts = np.concatenate(
-            [[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1]) \
-            if len(sh) else np.empty(0, dtype=np.int64)
-        run_ends = np.concatenate([run_starts[1:], [len(sh)]]) \
-            if len(sh) else run_starts
-        # Cross products A x B within each hash run, fully vectorized:
-        # count probes/windows per run, then index arithmetic over the
-        # flattened pair space (probes sort before windows within a run
-        # because the side byte participates via a stable two-key sort).
-        run_of = np.repeat(np.arange(len(run_starts)),
-                           run_ends - run_starts)
-        n_b = np.bincount(run_of, weights=ss,
-                          minlength=len(run_starts)).astype(np.int64)
-        n_a = (run_ends - run_starts) - n_b
+        sg2, run_starts, run_ends, n_a, n_b = _edit_join_runs(
+            hashes, gids, sides)
         pair_counts = n_a * n_b
         active = np.flatnonzero(pair_counts)
         if len(active):
-            # Re-sort each run so probes come first (stable sort on side).
-            order2 = np.lexsort((ss, run_of))
-            sg2 = sg[order2]
             total = int(pair_counts[active].sum())
             run_rep = np.repeat(active, pair_counts[active])
             pair_offsets = np.concatenate(
@@ -912,7 +953,7 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
 
     if not pair_parts:
         return (np.empty(0, dtype=np.int64),) * 2
-    codes = np.unique(np.concatenate(pair_parts))
+    codes = _sorted_unique_codes(np.concatenate(pair_parts))
     return _decode_pair_codes(codes)
 
 
@@ -922,3 +963,22 @@ _PAIR_BASE = 1 << 31
 def _decode_pair_codes(codes: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
     return codes // _PAIR_BASE, codes % _PAIR_BASE
+
+
+def _sorted_unique_codes(codes: np.ndarray) -> np.ndarray:
+    """Ascending unique of non-negative int64 pair codes.  C radix sort
+    when available (~3x numpy's introsort at tens of millions)."""
+    if len(codes) < (1 << 20):
+        return np.unique(codes)
+    try:
+        from ..native.loader import radix_sort_u64_native
+    except ImportError:
+        return np.unique(codes)
+    as_u64 = radix_sort_u64_native(codes.astype(np.uint64, copy=True))
+    out = as_u64.view(np.int64)
+    if len(out) > 1:
+        keep = np.empty(len(out), dtype=bool)
+        keep[0] = True
+        np.not_equal(out[1:], out[:-1], out=keep[1:])
+        out = out[keep]
+    return out
