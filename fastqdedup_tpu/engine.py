@@ -202,7 +202,14 @@ def _host_edit_edges(keys: Sequence[bytes], max_distance: int
 def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
                         shard: Tuple[int, int] = (0, 1)
                         ) -> Tuple[np.ndarray, np.ndarray]:
+    import logging
+    import time as _time
+
     from .ops.edit import within_edit_distance_auto
+
+    _logger = logging.getLogger("fastqdedup")
+    _debug = _logger.isEnabledFor(logging.DEBUG)
+    _t0 = _time.perf_counter()
 
     matrices = [matrix for _, matrix, _ in entries]
     gidx = [idx for _, _, idx in entries]
@@ -246,8 +253,14 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
     # Hash-run ownership shards candidate generation (sort + join) AND
     # the DP verification to ~1/P per host; the union of the per-host
     # verified edges is the full edge set (ops/bucket.edit_candidate_pairs).
+    _t_pad = _time.perf_counter()
     cand_i, cand_j = edit_candidate_pairs(matrices, gidx, max_distance,
                                           shard=shard)
+    _t_cand = _time.perf_counter()
+    if _debug:
+        _logger.debug("edit-edges[n=%d]: pad=%.1fs, candidates=%.1fs "
+                      "(%d pairs)", n, _t_pad - _t0, _t_cand - _t_pad,
+                      len(cand_i))
     if not len(cand_i):
         return cand_i, cand_j
     if on_tpu and keys_dev is None and max_distance <= 16:
@@ -264,6 +277,11 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
                 from .native.loader import edit_verify_native
                 keep = edit_verify_native(padded, lengths,
                                           cand_i, cand_j, max_distance)
+                if _debug:
+                    _logger.debug(
+                        "edit-edges: host-DP verify=%.1fs (%d -> %d)",
+                        _time.perf_counter() - _t_cand, len(cand_i),
+                        int(keep.sum()))
                 return cand_i[keep], cand_j[keep]
             except (ImportError, AttributeError):
                 pass

@@ -874,26 +874,21 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
     seg_by_length = {length: segment_bounds(length, num_segments)
                      for length in set(lengths)}
 
-    hash_parts: List[np.ndarray] = []
-    idx_parts: List[np.ndarray] = []
-    side_parts: List[np.ndarray] = []  # 0 = probe (A), 1 = window (B)
-
     def salt_of(width: int, seg_start: int) -> int:
         return width * 65536 + seg_start
 
+    # One (w_start, width, salt, side) spec per hashed window; side 0 =
+    # probe (the key's own pigeonhole segment), 1 = shifted window.
+    specs: List[Tuple[np.ndarray, np.ndarray, int, int, int, int]] = []
     for matrix, gidx in zip(matrices, group_indices):
         n, length = matrix.shape
         if n == 0 or length == 0:
             continue
-        # A-side: this group's own pigeonhole segments.
         for seg_start, seg_end in seg_by_length[length]:
             width = seg_end - seg_start
-            if width == 0:
-                continue
-            hash_parts.append(_hash_window_rows(
-                matrix[:, seg_start:seg_end], salt_of(width, seg_start)))
-            idx_parts.append(gidx)
-            side_parts.append(np.zeros(n, dtype=np.uint8))
+            if width:
+                specs.append((matrix, gidx, seg_start, width,
+                              salt_of(width, seg_start), 0))
         # B-side: every (width, source-segment-start, shifted window
         # start) descriptor reachable from a source length within +-d.
         descriptors = set()
@@ -909,28 +904,87 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
                     if 0 <= w_start and w_start + width <= length:
                         descriptors.add((width, seg_start, w_start))
         for width, seg_start, w_start in sorted(descriptors):
-            hash_parts.append(_hash_window_rows(
-                matrix[:, w_start:w_start + width],
-                salt_of(width, seg_start)))
-            idx_parts.append(gidx)
-            side_parts.append(np.ones(n, dtype=np.uint8))
+            specs.append((matrix, gidx, w_start, width,
+                          salt_of(width, seg_start), 1))
 
-    if hash_parts:
-        hashes = np.concatenate(hash_parts)
-        gids = np.concatenate(idx_parts).astype(np.int64)
-        sides = np.concatenate(side_parts)
+    total_rows = sum(len(spec[1]) for spec in specs)
+    gid_bits = max(int(max(total_keys - 1, 1)).bit_length(), 1)
+    try:
+        from ..native.loader import radix_sort_u64_native
+    except ImportError:
+        radix_sort_u64_native = None
+    # Window hashes here follow the bucket-grouping contract: a
+    # collision (or a truncated-hash run merge below) only ADDS
+    # candidate pairs that the exact banded DP discards, so the cheap
+    # weak mix is enough.
+    own_salt = np.uint64(0xD1B54A32D192ED03)
+    if radix_sort_u64_native is not None and total_rows >= (1 << 20) \
+            and gid_bits + 1 <= 30:
+        # Composite value sort: hash_high | side | gid in ONE u64 per
+        # row — no hash/gid/side concatenates, no argsort index
+        # gathers, no per-run lexsort, and the sorted key IS the join
+        # output (gid in the low bits).  Truncating the hash to
+        # ``63 - gid_bits`` bits can only merge runs, adding candidates
+        # (and under sharding only SPURIOUS cross-owner candidates are
+        # dropped: every true window match shares the full hash, hence
+        # the owner).
+        low_bits = gid_bits + 1
+        low_mask = np.uint64((1 << low_bits) - 1)
+        side_bit = np.uint64(1 << gid_bits)
+        comp = np.empty(total_rows, dtype=np.uint64)
+        cursor = 0
+        for matrix, gidx, w_start, width, salt, side in specs:
+            h = _hash_window_rows(matrix[:, w_start:w_start + width],
+                                  salt, strong=False)
+            g = gidx
+            if nproc > 1:
+                mine = _mix64(h ^ own_salt) % np.uint64(nproc) \
+                    == np.uint64(pid)
+                h = h[mine]
+                g = gidx[mine]
+            k = len(h)
+            view = comp[cursor:cursor + k]
+            np.bitwise_and(h, ~low_mask, out=view)
+            if side:
+                np.bitwise_or(view, side_bit, out=view)
+            np.bitwise_or(view, g.astype(np.uint64), out=view)
+            cursor += k
+        comp = comp[:cursor]
+        radix_sort_u64_native(comp)
+        sg2 = (comp & np.uint64((1 << gid_bits) - 1)).astype(np.int64)
+        ss2 = (comp >> np.uint64(gid_bits)) & np.uint64(1)
+        run_key = comp >> np.uint64(low_bits)
+        boundaries = np.flatnonzero(run_key[1:] != run_key[:-1]) + 1
+        run_starts = np.concatenate([[0], boundaries])
+        run_ends = np.concatenate([boundaries, [len(comp)]])
+        csum = np.concatenate([[0], np.cumsum(ss2, dtype=np.int64)])
+        n_b = csum[run_ends] - csum[run_starts]
+        n_a = (run_ends - run_starts) - n_b
+    elif specs:
+        hashes = np.concatenate(
+            [_hash_window_rows(m[:, s:s + w], salt, strong=False)
+             for m, _, s, w, salt, _ in specs])
+        gids = np.concatenate([g for _, g, *_ in specs]).astype(np.int64)
+        sides = np.concatenate(
+            [np.full(len(g), side, dtype=np.uint8)
+             for _, g, _, _, _, side in specs])
         if nproc > 1:
             # Run ownership from the row's own hash: every member of a
             # hash run shares the hash, hence the owner, so dropping
             # non-owned rows BEFORE the sort shards the expensive
             # argsort/join ~1/P without splitting any run.
-            mine = _mix64(hashes ^ np.uint64(0xD1B54A32D192ED03)) \
+            mine = _mix64(hashes ^ own_salt) \
                 % np.uint64(nproc) == np.uint64(pid)
             hashes = hashes[mine]
             gids = gids[mine]
             sides = sides[mine]
         sg2, run_starts, run_ends, n_a, n_b = _edit_join_runs(
             hashes, gids, sides)
+    else:
+        sg2 = run_starts = run_ends = n_a = n_b = \
+            np.empty(0, dtype=np.int64)
+
+    if len(run_starts):
         pair_counts = n_a * n_b
         active = np.flatnonzero(pair_counts)
         if len(active):
