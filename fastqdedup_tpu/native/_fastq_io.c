@@ -2532,6 +2532,184 @@ int fq_radix_sort_u64(int64_t n, uint64_t *a) {
     return FQ_OK;
 }
 
+/* ---- Parallel radix sort --------------------------------------------
+ *
+ * One top-byte counting partition (parallel histogram + parallel
+ * scatter with per-(thread, bucket) cursors), then the 256 partitions
+ * are LSB-radix-sorted independently across threads — each partition
+ * ping-pongs between its slice of the scratch and its slice of the
+ * output array, so no extra memory beyond the single n-word scratch
+ * the serial sort already keeps. */
+
+typedef struct {
+    const uint64_t *src;
+    uint64_t *dst;
+    int64_t lo, hi;
+    int64_t *cursor;        /* this thread's 256 scatter cursors */
+    int64_t hist[256];
+} RsScatterWork;
+
+static void *rs_hist_worker(void *arg) {
+    RsScatterWork *w = (RsScatterWork *)arg;
+    memset(w->hist, 0, sizeof(w->hist));
+    for (int64_t i = w->lo; i < w->hi; i++)
+        w->hist[w->src[i] >> 56]++;
+    return NULL;
+}
+
+static void *rs_scatter_worker(void *arg) {
+    RsScatterWork *w = (RsScatterWork *)arg;
+    for (int64_t i = w->lo; i < w->hi; i++)
+        w->dst[w->cursor[w->src[i] >> 56]++] = w->src[i];
+    return NULL;
+}
+
+/* Sort one partition ascending; data starts in part[0..m), result must
+ * end in out[0..m) (their underlying regions do not overlap). */
+static void rs_sort_partition(uint64_t *part, uint64_t *out, int64_t m) {
+    uint64_t *src = part;
+    uint64_t *dst = out;
+    for (int p = 0; p < 7; p++) {   /* top byte is constant by split */
+        int shift = 8 * p;
+        int64_t pos[256];
+        memset(pos, 0, sizeof(pos));
+        for (int64_t i = 0; i < m; i++)
+            pos[(src[i] >> shift) & 0xFF]++;
+        int constant = 0;
+        for (int d = 0; d < 256; d++)
+            if (pos[d] == m) { constant = 1; break; }
+        if (constant)
+            continue;
+        int64_t off = 0;
+        for (int d = 0; d < 256; d++) {
+            int64_t c = pos[d];
+            pos[d] = off;
+            off += c;
+        }
+        for (int64_t i = 0; i < m; i++)
+            dst[pos[(src[i] >> shift) & 0xFF]++] = src[i];
+        uint64_t *t = src; src = dst; dst = t;
+    }
+    if (src != out)
+        memcpy(out, src, (size_t)m * sizeof(uint64_t));
+}
+
+typedef struct {
+    uint64_t *buf;          /* partitioned data                   */
+    uint64_t *a;            /* final output                       */
+    const int64_t *off;     /* [257] partition offsets            */
+    int parts[256];
+    int count;
+} RsPartWork;
+
+static void *rs_parts_worker(void *arg) {
+    RsPartWork *w = (RsPartWork *)arg;
+    for (int k = 0; k < w->count; k++) {
+        int d = w->parts[k];
+        int64_t lo = w->off[d], m = w->off[d + 1] - lo;
+        if (m > 0)
+            rs_sort_partition(w->buf + lo, w->a + lo, m);
+    }
+    return NULL;
+}
+
+int fq_radix_sort_u64_mt(int64_t n, uint64_t *a, int nthreads) {
+    if (nthreads <= 0) {
+        long cores = sysconf(_SC_NPROCESSORS_ONLN);
+        nthreads = cores > 0 ? (int)cores : 1;
+    }
+    if (nthreads > 8) nthreads = 8;
+    if (n < (1 << 22) || nthreads <= 1)
+        return fq_radix_sort_u64(n, a);
+    static pthread_mutex_t mt_lock = PTHREAD_MUTEX_INITIALIZER;
+    static uint64_t *mt_buf = NULL;
+    static int64_t mt_cap = 0;
+    pthread_mutex_lock(&mt_lock);
+    if (mt_cap < n) {
+        free(mt_buf);
+        mt_buf = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
+        if (!mt_buf) {
+            mt_cap = 0;
+            pthread_mutex_unlock(&mt_lock);
+            return FQ_ERR_NOMEM;
+        }
+        mt_cap = n;
+    }
+    RsScatterWork works[8];
+    pthread_t tids[8];
+    for (int t = 0; t < nthreads; t++) {
+        works[t].src = a;
+        works[t].dst = mt_buf;
+        works[t].lo = n * t / nthreads;
+        works[t].hi = n * (t + 1) / nthreads;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, rs_hist_worker, &works[t]);
+    rs_hist_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+    /* Partition offsets + per-(thread, bucket) scatter cursors: thread
+     * t's bucket-d region starts after all earlier threads' d-counts. */
+    int64_t part_off[257];
+    int64_t cursors[8][256];
+    int64_t off = 0;
+    for (int d = 0; d < 256; d++) {
+        part_off[d] = off;
+        for (int t = 0; t < nthreads; t++) {
+            cursors[t][d] = off;
+            off += works[t].hist[d];
+        }
+    }
+    part_off[256] = off;
+    for (int t = 0; t < nthreads; t++)
+        works[t].cursor = cursors[t];
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, rs_scatter_worker, &works[t]);
+    rs_scatter_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+    /* Greedy-balance the partitions across threads by size. */
+    RsPartWork pworks[8];
+    int64_t load[8];
+    for (int t = 0; t < nthreads; t++) {
+        pworks[t].buf = mt_buf;
+        pworks[t].a = a;
+        pworks[t].off = part_off;
+        pworks[t].count = 0;
+        load[t] = 0;
+    }
+    int by_size[256];
+    for (int d = 0; d < 256; d++) by_size[d] = d;
+    for (int i = 1; i < 256; i++) {  /* insertion sort, descending */
+        int d = by_size[i];
+        int64_t sz = part_off[d + 1] - part_off[d];
+        int j = i;
+        while (j > 0 && part_off[by_size[j - 1] + 1]
+                        - part_off[by_size[j - 1]] < sz) {
+            by_size[j] = by_size[j - 1];
+            j--;
+        }
+        by_size[j] = d;
+    }
+    for (int i = 0; i < 256; i++) {
+        int d = by_size[i];
+        int64_t sz = part_off[d + 1] - part_off[d];
+        if (!sz) continue;
+        int best = 0;
+        for (int t = 1; t < nthreads; t++)
+            if (load[t] < load[best]) best = t;
+        pworks[best].parts[pworks[best].count++] = d;
+        load[best] += sz;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, rs_parts_worker, &pworks[t]);
+    rs_parts_worker(&pworks[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+    pthread_mutex_unlock(&mt_lock);
+    return FQ_OK;
+}
+
 /* ---- Sharded parallel key accumulation ------------------------------
  *
  * Pass 1's accumulator insert is single-threaded behind the parse

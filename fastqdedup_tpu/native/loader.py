@@ -106,6 +106,11 @@ _lib.acc_add_sharded.argtypes = [_u64p, ctypes.c_int, _u8p, _i64p,
 
 _lib.fq_radix_sort_u64.restype = ctypes.c_int
 _lib.fq_radix_sort_u64.argtypes = [ctypes.c_int64, _u64p]
+# Additive symbol: guard so a stale .so degrades to the serial sort.
+_radix_mt = getattr(_lib, "fq_radix_sort_u64_mt", None)
+if _radix_mt is not None:
+    _radix_mt.restype = ctypes.c_int
+    _radix_mt.argtypes = [ctypes.c_int64, _u64p, ctypes.c_int]
 
 _lib.fq_edit_verify.restype = ctypes.c_int
 _lib.fq_edit_verify.argtypes = [_u8p, ctypes.c_int64, _i64p, _i64p,
@@ -746,9 +751,14 @@ class ShardedKeyAccumulator:
 def radix_sort_u64_native(values: np.ndarray) -> np.ndarray:
     """Sort a uint64 array ascending IN PLACE (returns it).  C LSB radix
     with constant-digit pass skipping; ~3x numpy's introsort at tens of
-    millions of elements."""
+    millions of elements.  Above 4M elements a top-byte partition
+    parallelizes both the scatter and the per-partition sorts across
+    host threads."""
     values = np.ascontiguousarray(values, dtype=np.uint64)
-    rc = _lib.fq_radix_sort_u64(len(values), values)
+    if _radix_mt is not None and len(values) >= (1 << 22):
+        rc = _radix_mt(len(values), values, 0)
+    else:
+        rc = _lib.fq_radix_sort_u64(len(values), values)
     if rc != _FQ_OK:
         raise MemoryError("fq_radix_sort_u64 allocation failed")
     return values

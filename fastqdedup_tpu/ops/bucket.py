@@ -884,13 +884,22 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
         n, length = matrix.shape
         if n == 0 or length == 0:
             continue
+        own_segments = set()
         for seg_start, seg_end in seg_by_length[length]:
             width = seg_end - seg_start
             if width:
+                own_segments.add((width, seg_start))
                 specs.append((matrix, gidx, seg_start, width,
                               salt_of(width, seg_start), 0))
         # B-side: every (width, source-segment-start, shifted window
-        # start) descriptor reachable from a source length within +-d.
+        # start) descriptor reachable from a source length within +-d —
+        # EXCEPT descriptors that coincide with one of this matrix's own
+        # probe segments: those window rows would duplicate the probe
+        # rows byte for byte (same salt, same content), so the join
+        # pairs probes against later PROBES in the run instead (the
+        # probe-left enumeration below), halving the row count for the
+        # dominant same-length shift-0 family and eliminating the
+        # guaranteed self-match every key otherwise emits.
         descriptors = set()
         for src_length in seg_by_length:
             if abs(src_length - length) > d:
@@ -901,7 +910,9 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
                     continue
                 for shift in range(-d, d + 1):
                     w_start = seg_start + shift
-                    if 0 <= w_start and w_start + width <= length:
+                    if 0 <= w_start and w_start + width <= length \
+                            and not (w_start == seg_start and
+                                     (width, seg_start) in own_segments):
                         descriptors.add((width, seg_start, w_start))
         for width, seg_start, w_start in sorted(descriptors):
             specs.append((matrix, gidx, w_start, width,
@@ -918,6 +929,7 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
     # candidate pairs that the exact banded DP discards, so the cheap
     # weak mix is enough.
     own_salt = np.uint64(0xD1B54A32D192ED03)
+    fallback_runs = None
     if radix_sort_u64_native is not None and total_rows >= (1 << 20) \
             and gid_bits + 1 <= 30:
         # Composite value sort: hash_high | side | gid in ONE u64 per
@@ -927,11 +939,16 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
         # ``63 - gid_bits`` bits can only merge runs, adding candidates
         # (and under sharding only SPURIOUS cross-owner candidates are
         # dropped: every true window match shares the full hash, hence
-        # the owner).
+        # the owner).  All 8-byte-per-row buffers come from the pool and
+        # full-length derived passes reuse ONE scratch: at 31M keys the
+        # fresh 1.5 GB temporaries otherwise dominate this phase on
+        # lazily-backed hosts.
+        from ..runtime import big_empty, release
         low_bits = gid_bits + 1
         low_mask = np.uint64((1 << low_bits) - 1)
         side_bit = np.uint64(1 << gid_bits)
-        comp = np.empty(total_rows, dtype=np.uint64)
+        comp_full = big_empty(total_rows, np.uint64)
+        comp = comp_full
         cursor = 0
         for matrix, gidx, w_start, width, salt, side in specs:
             h = _hash_window_rows(matrix[:, w_start:w_start + width],
@@ -949,17 +966,75 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
                 np.bitwise_or(view, side_bit, out=view)
             np.bitwise_or(view, g.astype(np.uint64), out=view)
             cursor += k
-        comp = comp[:cursor]
+        if cursor != total_rows:
+            comp = comp_full[:cursor]
         radix_sort_u64_native(comp)
-        sg2 = (comp & np.uint64((1 << gid_bits) - 1)).astype(np.int64)
-        ss2 = (comp >> np.uint64(gid_bits)) & np.uint64(1)
-        run_key = comp >> np.uint64(low_bits)
-        boundaries = np.flatnonzero(run_key[1:] != run_key[:-1]) + 1
-        run_starts = np.concatenate([[0], boundaries])
-        run_ends = np.concatenate([boundaries, [len(comp)]])
-        csum = np.concatenate([[0], np.cumsum(ss2, dtype=np.int64)])
-        n_b = csum[run_ends] - csum[run_starts]
-        n_a = (run_ends - run_starts) - n_b
+        n_rows = len(comp)
+        # Only runs whose FIRST element is a probe and whose size is
+        # >= 2 can pair (probes sort before windows), and such a run is
+        # flagged by its first adjacent pair: left element a probe, both
+        # in the same run.  Detect those first-marks with full-array
+        # passes, then recover each pairful run's extent by binary
+        # search on the sorted composite — per-run tables over ALL runs
+        # (mostly size-1 singletons) are never materialized.
+        scratch = big_empty(n_rows, np.uint64)
+        marks = np.empty(0, dtype=np.int64)
+        if n_rows > 1:
+            np.right_shift(comp, np.uint64(gid_bits), out=scratch)
+            diffbuf = big_empty(n_rows, np.uint64)
+            np.subtract(scratch[1:], scratch[:-1], out=diffbuf[1:])
+            # a = run_key << 1 | side.  With the LEFT element a probe
+            # (even a), a[i] - a[i-1] <= 1 forces the same run: a
+            # different run would differ by >= 2.
+            adj = np.less_equal(diffbuf[1:], np.uint64(1))
+            np.bitwise_and(scratch, np.uint64(1), out=scratch)
+            np.logical_and(adj, np.logical_not(scratch[:-1]), out=adj)
+            # Marks within a run are contiguous from its second element,
+            # so a mark whose predecessor is not marked sits exactly one
+            # past the run start.
+            first = adj.copy()
+            np.logical_and(first[1:], np.logical_not(adj[:-1]),
+                           out=first[1:])
+            marks = np.flatnonzero(first) + 1
+            del adj, first
+            release(diffbuf)
+            del diffbuf
+        if len(marks):
+            gid_mask = np.uint64((1 << gid_bits) - 1)
+            start = marks - 1
+            kq = comp[start] >> np.uint64(low_bits)
+            base_val = kq << np.uint64(low_bits)
+            # First window of the run / one past the run's last value
+            # ((kq+1) << lb would overflow at the top of the hash
+            # space, so probe the run's last representable value).
+            t1 = np.searchsorted(comp, base_val | side_bit, side="left")
+            end = np.searchsorted(comp, base_val | low_mask, side="right")
+            n_a = t1 - start
+            # Every left probe pairs with EVERYTHING later in its run —
+            # later probes (the same-segment A x A matches whose window
+            # rows were dropped above) and all windows.
+            tot_a = int(n_a.sum())
+            rep_run = np.repeat(np.arange(len(marks), dtype=np.int64),
+                                n_a)
+            na_off = np.concatenate([[0], np.cumsum(n_a)])
+            probe_pos = start[rep_run] + \
+                (np.arange(tot_a, dtype=np.int64) - na_off[rep_run])
+            cnt = end[rep_run] - probe_pos - 1
+            tot_p = int(cnt.sum())
+            rep2 = np.repeat(np.arange(tot_a, dtype=np.int64), cnt)
+            cnt_off = np.concatenate([[0], np.cumsum(cnt)])
+            right_pos = probe_pos[rep2] + 1 + \
+                (np.arange(tot_p, dtype=np.int64) - cnt_off[rep2])
+            gi = (comp[probe_pos[rep2]] & gid_mask).astype(np.int64)
+            gj = (comp[right_pos] & gid_mask).astype(np.int64)
+            keep = gi != gj
+            gi, gj = gi[keep], gj[keep]
+            pair_parts.append(np.minimum(gi, gj) * _PAIR_BASE +
+                              np.maximum(gi, gj))
+        del comp
+        for _buf in (comp_full, scratch):
+            release(_buf)
+        del comp_full, scratch
     elif specs:
         hashes = np.concatenate(
             [_hash_window_rows(m[:, s:s + w], salt, strong=False)
@@ -978,28 +1053,30 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
             hashes = hashes[mine]
             gids = gids[mine]
             sides = sides[mine]
-        sg2, run_starts, run_ends, n_a, n_b = _edit_join_runs(
-            hashes, gids, sides)
-    else:
-        sg2 = run_starts = run_ends = n_a = n_b = \
-            np.empty(0, dtype=np.int64)
+        fallback_runs = _edit_join_runs(hashes, gids, sides)
 
-    if len(run_starts):
-        pair_counts = n_a * n_b
-        active = np.flatnonzero(pair_counts)
-        if len(active):
-            total = int(pair_counts[active].sum())
-            run_rep = np.repeat(active, pair_counts[active])
-            pair_offsets = np.concatenate(
-                [[0], np.cumsum(pair_counts[active])])
-            p_within = np.arange(total, dtype=np.int64) - \
-                np.repeat(pair_offsets[:-1], pair_counts[active])
-            nb_rep = n_b[run_rep]
-            a_local = p_within // nb_rep
-            b_local = p_within % nb_rep
-            base = run_starts[run_rep]
-            gi = sg2[base + a_local]
-            gj = sg2[base + n_a[run_rep] + b_local]
+    if fallback_runs is not None:
+        sg2, run_starts, run_ends, n_a, n_b = fallback_runs
+        # Probe-left enumeration (same semantics as the composite
+        # branch): every probe pairs with everything later in its run.
+        sel = np.flatnonzero((n_a >= 1) & (run_ends - run_starts >= 2))
+        if len(sel):
+            start = run_starts[sel]
+            end = run_ends[sel]
+            na = np.minimum(n_a[sel], end - start - 1)
+            tot_a = int(na.sum())
+            rep_run = np.repeat(np.arange(len(sel), dtype=np.int64), na)
+            na_off = np.concatenate([[0], np.cumsum(na)])
+            probe_pos = start[rep_run] + \
+                (np.arange(tot_a, dtype=np.int64) - na_off[rep_run])
+            cnt = end[rep_run] - probe_pos - 1
+            tot_p = int(cnt.sum())
+            rep2 = np.repeat(np.arange(tot_a, dtype=np.int64), cnt)
+            cnt_off = np.concatenate([[0], np.cumsum(cnt)])
+            right_pos = probe_pos[rep2] + 1 + \
+                (np.arange(tot_p, dtype=np.int64) - cnt_off[rep2])
+            gi = sg2[probe_pos[rep2]]
+            gj = sg2[right_pos]
             keep = gi != gj
             gi, gj = gi[keep], gj[keep]
             pair_parts.append(np.minimum(gi, gj) * _PAIR_BASE +

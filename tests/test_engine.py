@@ -449,3 +449,49 @@ def test_bucket_slices_composite_radix_contract():
     # Sorted radix output parity while we are here.
     v = rng.integers(0, 2**63, 65536, dtype=np.int64).view(np.uint64)
     assert (saved(v.copy()) == np.sort(v)).all()
+
+
+def test_edit_candidate_completeness_brute_force():
+    """Every true lev<=1 pair (substitutions, insertions, deletions,
+    across lengths) must appear among the generated candidates — the
+    pigeonhole argument with the probe-left join (window rows that
+    coincide with a matrix's own probe segments are dropped; probes
+    pair against later probes in the run instead)."""
+    import numpy as np
+
+    from fastqdedup_tpu.distance import within_distance
+    from fastqdedup_tpu.ops.bucket import edit_candidate_pairs
+
+    rng = np.random.default_rng(5)
+    keys = []
+    for length in (12, 13):
+        for _ in range(40):
+            m = rng.integers(0, 4, size=length, dtype=np.uint8)
+            keys.append(m)
+            v = m.copy()
+            v[rng.integers(0, len(v))] = rng.integers(0, 4)
+            keys.append(v)                                     # sub
+            keys.append(np.delete(m, rng.integers(0, len(m))))  # del
+            keys.append(np.insert(m, rng.integers(0, len(m) + 1),
+                                  rng.integers(0, 4)))          # ins
+    seen = set()
+    uniq = []
+    for k in keys:
+        b = bytes(k)
+        if b not in seen:
+            seen.add(b)
+            uniq.append(k)
+    by_len = {}
+    for i, k in enumerate(uniq):
+        by_len.setdefault(len(k), []).append(i)
+    mats, gs = [], []
+    for length, idxs in by_len.items():
+        mats.append(np.stack([uniq[i] for i in idxs]).astype(np.uint8))
+        gs.append(np.asarray(idxs, dtype=np.int64))
+    ci, cj = edit_candidate_pairs(mats, gs, 1)
+    cand = set(zip(ci.tolist(), cj.tolist()))
+    strs = [bytes(k + 65).decode("latin-1") for k in uniq]
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            if within_distance(strs[i], strs[j], 1, True):
+                assert (i, j) in cand, (strs[i], strs[j])
