@@ -2532,6 +2532,70 @@ int fq_radix_sort_u64(int64_t n, uint64_t *a) {
     return FQ_OK;
 }
 
+/* ---- Hamming pair verification --------------------------------------
+ *
+ * keep[i] = hamming(matrix[gi[i]], matrix[gj[i]]) <= max_distance over
+ * equal-width rows, with the reference's fast-fail early exit
+ * (distances.h:22-30): pairs split across threads, no gathered row
+ * temporaries. */
+
+typedef struct {
+    const unsigned char *m;
+    int64_t stride, width, maxd;
+    const int64_t *gi, *gj;
+    unsigned char *keep;
+    int64_t lo, hi;
+} HamVerifyWork;
+
+static void *ham_verify_worker(void *arg) {
+    HamVerifyWork *w = (HamVerifyWork *)arg;
+    for (int64_t i = w->lo; i < w->hi; i++) {
+        const unsigned char *a = w->m + w->gi[i] * w->stride;
+        const unsigned char *b = w->m + w->gj[i] * w->stride;
+        int64_t mism = 0;
+        int64_t k = 0;
+        for (; k < w->width; k++) {
+            if (a[k] != b[k] && ++mism > w->maxd)
+                break;
+        }
+        w->keep[i] = (unsigned char)(mism <= w->maxd);
+    }
+    return NULL;
+}
+
+int fq_hamming_verify_pairs(const unsigned char *matrix, int64_t stride,
+                            int64_t width, const int64_t *gi,
+                            const int64_t *gj, int64_t n_pairs,
+                            int64_t max_distance, unsigned char *keep,
+                            int nthreads) {
+    if (n_pairs <= 0) return FQ_OK;
+    if (nthreads <= 0) {
+        long cores = sysconf(_SC_NPROCESSORS_ONLN);
+        nthreads = cores > 0 ? (int)cores : 1;
+    }
+    if (nthreads > 8) nthreads = 8;
+    if ((int64_t)nthreads > n_pairs) nthreads = (int)n_pairs;
+    HamVerifyWork works[8];
+    pthread_t tids[8];
+    for (int t = 0; t < nthreads; t++) {
+        works[t].m = matrix;
+        works[t].stride = stride;
+        works[t].width = width;
+        works[t].maxd = max_distance;
+        works[t].gi = gi;
+        works[t].gj = gj;
+        works[t].keep = keep;
+        works[t].lo = n_pairs * t / nthreads;
+        works[t].hi = n_pairs * (t + 1) / nthreads;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, ham_verify_worker, &works[t]);
+    ham_verify_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+    return FQ_OK;
+}
+
 /* ---- Parallel radix sort --------------------------------------------
  *
  * One top-byte counting partition (parallel histogram + parallel

@@ -111,6 +111,12 @@ _radix_mt = getattr(_lib, "fq_radix_sort_u64_mt", None)
 if _radix_mt is not None:
     _radix_mt.restype = ctypes.c_int
     _radix_mt.argtypes = [ctypes.c_int64, _u64p, ctypes.c_int]
+_ham_verify = getattr(_lib, "fq_hamming_verify_pairs", None)
+if _ham_verify is not None:
+    _ham_verify.restype = ctypes.c_int
+    _ham_verify.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                            _i64p, _i64p, ctypes.c_int64,
+                            ctypes.c_int64, _u8p, ctypes.c_int]
 
 _lib.fq_edit_verify.restype = ctypes.c_int
 _lib.fq_edit_verify.argtypes = [_u8p, ctypes.c_int64, _i64p, _i64p,
@@ -762,6 +768,29 @@ def radix_sort_u64_native(values: np.ndarray) -> np.ndarray:
     if rc != _FQ_OK:
         raise MemoryError("fq_radix_sort_u64 allocation failed")
     return values
+
+
+def hamming_verify_pairs_native(matrix: np.ndarray, gi: np.ndarray,
+                                gj: np.ndarray, max_distance: int,
+                                nthreads: int = 0
+                                ) -> "np.ndarray | None":
+    """bool [P]: hamming(matrix[gi], matrix[gj]) <= max_distance over
+    equal-width uint8 rows — threaded C with the reference's fast-fail
+    exit (distances.h:22-30), no gathered row temporaries.  Returns
+    None when the symbol is absent (stale .so) or the layout is not
+    row-major contiguous; callers fall back to numpy."""
+    if _ham_verify is None:
+        return None
+    n, w = matrix.shape
+    if n == 0 or w == 0 or matrix.dtype != np.uint8 \
+            or not matrix.flags.c_contiguous:
+        return None
+    gi = np.ascontiguousarray(gi, dtype=np.int64)
+    gj = np.ascontiguousarray(gj, dtype=np.int64)
+    keep = np.empty(len(gi), dtype=np.uint8)
+    _ham_verify(matrix.reshape(-1), w, w, gi, gj, len(gi),
+                int(max_distance), keep, int(nthreads))
+    return keep.view(bool)
 
 
 def edit_verify_native(padded: np.ndarray, lengths: np.ndarray,

@@ -355,11 +355,21 @@ def _host_small_bucket_pairs(matrix: np.ndarray, order: np.ndarray,
                     np.arange(size, dtype=np.int64)[None, :]]
     gi_all = members[:, ii_t].ravel()
     gj_all = members[:, jj_t].ravel()
+    try:
+        from ..native.loader import hamming_verify_pairs_native
+    except ImportError:
+        hamming_verify_pairs_native = None
     for start in range(0, len(gi_all), batch_pairs):
         gi = gi_all[start:start + batch_pairs]
         gj = gj_all[start:start + batch_pairs]
-        mism = np.count_nonzero(matrix[gi] != matrix[gj], axis=1)
-        keep = mism <= max_distance
+        keep = None
+        if hamming_verify_pairs_native is not None:
+            # Threaded C with fast-fail exit: no gathered row temporaries.
+            keep = hamming_verify_pairs_native(matrix, gi, gj,
+                                               max_distance)
+        if keep is None:
+            mism = np.count_nonzero(matrix[gi] != matrix[gj], axis=1)
+            keep = mism <= max_distance
         yield gi[keep], gj[keep]
 
 

@@ -190,3 +190,54 @@ def test_parallel_ingest_paired_end_parity(tmp_path, monkeypatch):
             chunk_records=41)
         outs[mode] = tuple(_read_gz(p) for p in out)
     assert outs["parallel"] == outs["serial"]
+
+
+def test_parallel_reader_error_surfaces_and_threads_exit(tmp_path):
+    """A corrupt BGZF block inside one reader's range must raise on the
+    consumer and leave no lingering reader threads."""
+    import threading
+    import time
+
+    reads = _reads_with_cross_range_dups(400)
+    path = tmp_path / "in.fastq.gz"
+    _write_bgzf_fastq(path, reads)
+    parts = _plan_local_ranges([str(path)], 3)
+    assert parts is not None
+    # Corrupt a compressed block in the middle third (after the range
+    # plan was computed from the intact file).
+    data = bytearray(path.read_bytes())
+    mid = len(data) // 2
+    for off in range(mid, mid + 64):
+        data[off] ^= 0xFF
+    path.write_bytes(bytes(data))
+
+    before = threading.active_count()
+    with pytest.raises(Exception) as excinfo:
+        for _ in _parallel_range_chunks([str(path)], 29, parts):
+            pass
+    assert not isinstance(excinfo.value, (KeyboardInterrupt, SystemExit))
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_parallel_chunks_consumer_abandons_early(tmp_path):
+    """Closing the consumer generator mid-stream must stop the reader
+    threads (no deadlock on the bounded queue)."""
+    import threading
+    import time
+
+    reads = _reads_with_cross_range_dups(600)
+    path = tmp_path / "in.fastq.gz"
+    _write_bgzf_fastq(path, reads)
+    parts = _plan_local_ranges([str(path)], 3)
+    assert parts is not None
+    before = threading.active_count()
+    gen = _parallel_range_chunks([str(path)], 17, parts)
+    next(gen)
+    gen.close()  # triggers the finally: stop + join
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
