@@ -412,10 +412,11 @@ def test_owned_meta_merge_tournament_rep_valid_and_balanced():
     assert host_share.max() < 0.4 * n_keys, host_share.tolist()
 
 
-@pytest.mark.parametrize("arena,readers", [("1", "1"), ("0", "1"),
-                                           ("1", "3"), ("0", "3"),
-                                           ("restream", "3")])
-def test_two_process_byte_range_ingest_parity(tmp_path, arena, readers):
+@pytest.mark.parametrize("arena,readers,edit", [
+    ("1", "1", False), ("0", "1", False), ("1", "3", False),
+    ("0", "3", False), ("restream", "3", False), ("1", "3", True)])
+def test_two_process_byte_range_ingest_parity(tmp_path, arena, readers,
+                                              edit):
     """BGZF inputs in default multi-host mode take the byte-range ingest
     path (each host inflates+parses only its 1/P record range; record
     ordinals from the newline-count exchange) and the merged output must
@@ -461,7 +462,7 @@ def test_two_process_byte_range_ingest_parity(tmp_path, arena, readers):
     from fastqdedup_tpu.pipeline import deduplicate_cluster
     deduplicate_cluster([str(s) for s in srcs],
                         [str(o) for o in single], None, 1, 0.001,
-                        chunk_records=64)
+                        use_edit_distance=edit, chunk_records=64)
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -486,7 +487,7 @@ per_file, base = plan[0]
 assert per_file[0][2] == per_file[1][2] > 0
 deduplicate_cluster([{str(srcs[0])!r}, {str(srcs[1])!r}],
                     [{str(dist[0])!r}, {str(dist[1])!r}], None, 1, 0.001,
-                    chunk_records=64)
+                    use_edit_distance={edit!r}, chunk_records=64)
 """)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
