@@ -222,8 +222,12 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
         lmax = max(lmax, length)
     # Pad every key to a common width once for gather-based verification
     # (width to a multiple of 16 so the device path needs no re-pad).
+    # Pooled pages: at 31M x 100 B a fresh allocation here costs seconds
+    # of page backing per run on lazily-backed hosts.
+    from .runtime import big_empty
     lmax = -(-lmax // 16) * 16
-    padded = np.full((n, lmax), 0xFF, dtype=np.uint8)
+    padded = big_empty((n, lmax), dtype=np.uint8)
+    padded.fill(0xFF)
     for length, matrix, idx in entries:
         if length:
             padded[idx, :length] = matrix
@@ -261,7 +265,9 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
         _logger.debug("edit-edges[n=%d]: pad=%.1fs, candidates=%.1fs "
                       "(%d pairs)", n, _t_pad - _t0, _t_cand - _t_pad,
                       len(cand_i))
+    from .runtime import release as _release
     if not len(cand_i):
+        _release(padded)
         return cand_i, cand_j
     if on_tpu and keys_dev is None and max_distance <= 16:
         # Slow wire (tunneled chip): the matrix was deliberately not
@@ -282,6 +288,7 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
                         "edit-edges: host-DP verify=%.1fs (%d -> %d)",
                         _time.perf_counter() - _t_cand, len(cand_i),
                         int(keep.sum()))
+                _release(padded)
                 return cand_i[keep], cand_j[keep]
             except (ImportError, AttributeError):
                 pass
@@ -306,12 +313,14 @@ def _edit_edges_entries(entries: Entries, n: int, max_distance: int,
             keep[sl] = edit_verify_indexed(
                 keys_dev, lens_dev, cand_i[sl], cand_j[sl], max_distance,
                 packed=keys_packed)
+        _release(padded)  # refcount-gated no-op if a transfer holds it
         return cand_i[keep], cand_j[keep]
     for start in range(0, len(cand_i), batch):
         sl = slice(start, start + batch)
         keep[sl] = np.asarray(within_edit_distance_auto(
             padded[cand_i[sl]], lengths[cand_i[sl]],
             padded[cand_j[sl]], lengths[cand_j[sl]], max_distance))
+    _release(padded)
     return cand_i[keep], cand_j[keep]
 
 
