@@ -2487,11 +2487,15 @@ int fq_edit_verify(const unsigned char *mat, int64_t stride,
  * bucket-grouping composite sort: at 31M keys numpy's introsort
  * argsort measures 6-8 s while 8 sequential counting passes move the
  * same data in ~2 s. */
-int fq_radix_sort_u64(int64_t n, uint64_t *a) {
-    if (n <= 1) return FQ_OK;
-    static pthread_mutex_t rs_lock = PTHREAD_MUTEX_INITIALIZER;
-    static uint64_t *rs_buf = NULL;
-    static int64_t rs_cap = 0;
+/* One scratch + lock shared by the serial and parallel radix sorts:
+ * the pipeline's sorts are sequential, and sharing halves the retained
+ * high-water scratch.  Call with rs_lock NOT held; returns NULL on
+ * allocation failure (lock released). */
+static pthread_mutex_t rs_lock = PTHREAD_MUTEX_INITIALIZER;
+static uint64_t *rs_buf = NULL;
+static int64_t rs_cap = 0;
+
+static uint64_t *rs_acquire(int64_t n) {
     pthread_mutex_lock(&rs_lock);
     if (rs_cap < n) {
         free(rs_buf);
@@ -2499,10 +2503,17 @@ int fq_radix_sort_u64(int64_t n, uint64_t *a) {
         if (!rs_buf) {
             rs_cap = 0;
             pthread_mutex_unlock(&rs_lock);
-            return FQ_ERR_NOMEM;
+            return NULL;
         }
         rs_cap = n;
     }
+    return rs_buf;
+}
+
+int fq_radix_sort_u64(int64_t n, uint64_t *a) {
+    if (n <= 1) return FQ_OK;
+    if (!rs_acquire(n))
+        return FQ_ERR_NOMEM;
     uint64_t *src = a;
     uint64_t *dst = rs_buf;
     for (int p = 0; p < 8; p++) {
@@ -2685,20 +2696,9 @@ int fq_radix_sort_u64_mt(int64_t n, uint64_t *a, int nthreads) {
     if (nthreads > 8) nthreads = 8;
     if (n < (1 << 22) || nthreads <= 1)
         return fq_radix_sort_u64(n, a);
-    static pthread_mutex_t mt_lock = PTHREAD_MUTEX_INITIALIZER;
-    static uint64_t *mt_buf = NULL;
-    static int64_t mt_cap = 0;
-    pthread_mutex_lock(&mt_lock);
-    if (mt_cap < n) {
-        free(mt_buf);
-        mt_buf = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
-        if (!mt_buf) {
-            mt_cap = 0;
-            pthread_mutex_unlock(&mt_lock);
-            return FQ_ERR_NOMEM;
-        }
-        mt_cap = n;
-    }
+    uint64_t *mt_buf = rs_acquire(n);
+    if (!mt_buf)
+        return FQ_ERR_NOMEM;
     RsScatterWork works[8];
     pthread_t tids[8];
     for (int t = 0; t < nthreads; t++) {
@@ -2770,7 +2770,7 @@ int fq_radix_sort_u64_mt(int64_t n, uint64_t *a, int nthreads) {
     rs_parts_worker(&pworks[0]);
     for (int t = 1; t < nthreads; t++)
         pthread_join(tids[t], NULL);
-    pthread_mutex_unlock(&mt_lock);
+    pthread_mutex_unlock(&rs_lock);
     return FQ_OK;
 }
 

@@ -764,6 +764,34 @@ def _hash_window_rows(window: np.ndarray, salt: int,
     return h
 
 
+def _probe_left_pair_codes(start: np.ndarray, end: np.ndarray,
+                           n_a: np.ndarray, gid_at) -> np.ndarray:
+    """Pair codes from the probe-left enumeration over pairful runs.
+
+    For each run r (``start[r]``..``end[r]``, first ``n_a[r]`` elements
+    probes), every probe pairs with everything later in its run — later
+    probes (same-segment probe-probe matches) and all windows.
+    ``gid_at(positions)`` maps global row positions to key ids.
+    Self-pairs are dropped; the caller dedups codes.
+    """
+    tot_a = int(n_a.sum())
+    rep_run = np.repeat(np.arange(len(start), dtype=np.int64), n_a)
+    na_off = np.concatenate([[0], np.cumsum(n_a)])
+    probe_pos = start[rep_run] + \
+        (np.arange(tot_a, dtype=np.int64) - na_off[rep_run])
+    cnt = end[rep_run] - probe_pos - 1
+    tot_p = int(cnt.sum())
+    rep2 = np.repeat(np.arange(tot_a, dtype=np.int64), cnt)
+    cnt_off = np.concatenate([[0], np.cumsum(cnt)])
+    right_pos = probe_pos[rep2] + 1 + \
+        (np.arange(tot_p, dtype=np.int64) - cnt_off[rep2])
+    gi = gid_at(probe_pos[rep2])
+    gj = gid_at(right_pos)
+    keep = gi != gj
+    gi, gj = gi[keep], gj[keep]
+    return np.minimum(gi, gj) * _PAIR_BASE + np.maximum(gi, gj)
+
+
 def _edit_join_runs(hashes: np.ndarray, gids: np.ndarray,
                     sides: np.ndarray):
     """Group the salted window hashes into equal-hash runs with probes
@@ -1019,28 +1047,10 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
             # space, so probe the run's last representable value).
             t1 = np.searchsorted(comp, base_val | side_bit, side="left")
             end = np.searchsorted(comp, base_val | low_mask, side="right")
-            n_a = t1 - start
-            # Every left probe pairs with EVERYTHING later in its run —
-            # later probes (the same-segment A x A matches whose window
-            # rows were dropped above) and all windows.
-            tot_a = int(n_a.sum())
-            rep_run = np.repeat(np.arange(len(marks), dtype=np.int64),
-                                n_a)
-            na_off = np.concatenate([[0], np.cumsum(n_a)])
-            probe_pos = start[rep_run] + \
-                (np.arange(tot_a, dtype=np.int64) - na_off[rep_run])
-            cnt = end[rep_run] - probe_pos - 1
-            tot_p = int(cnt.sum())
-            rep2 = np.repeat(np.arange(tot_a, dtype=np.int64), cnt)
-            cnt_off = np.concatenate([[0], np.cumsum(cnt)])
-            right_pos = probe_pos[rep2] + 1 + \
-                (np.arange(tot_p, dtype=np.int64) - cnt_off[rep2])
-            gi = (comp[probe_pos[rep2]] & gid_mask).astype(np.int64)
-            gj = (comp[right_pos] & gid_mask).astype(np.int64)
-            keep = gi != gj
-            gi, gj = gi[keep], gj[keep]
-            pair_parts.append(np.minimum(gi, gj) * _PAIR_BASE +
-                              np.maximum(gi, gj))
+            _comp = comp
+            pair_parts.append(_probe_left_pair_codes(
+                start, end, t1 - start,
+                lambda pos: (_comp[pos] & gid_mask).astype(np.int64)))
         del comp
         for _buf in (comp_full, scratch):
             release(_buf)
@@ -1071,26 +1081,10 @@ def edit_candidate_pairs(matrices: List[np.ndarray],
         # branch): every probe pairs with everything later in its run.
         sel = np.flatnonzero((n_a >= 1) & (run_ends - run_starts >= 2))
         if len(sel):
-            start = run_starts[sel]
-            end = run_ends[sel]
-            na = np.minimum(n_a[sel], end - start - 1)
-            tot_a = int(na.sum())
-            rep_run = np.repeat(np.arange(len(sel), dtype=np.int64), na)
-            na_off = np.concatenate([[0], np.cumsum(na)])
-            probe_pos = start[rep_run] + \
-                (np.arange(tot_a, dtype=np.int64) - na_off[rep_run])
-            cnt = end[rep_run] - probe_pos - 1
-            tot_p = int(cnt.sum())
-            rep2 = np.repeat(np.arange(tot_a, dtype=np.int64), cnt)
-            cnt_off = np.concatenate([[0], np.cumsum(cnt)])
-            right_pos = probe_pos[rep2] + 1 + \
-                (np.arange(tot_p, dtype=np.int64) - cnt_off[rep2])
-            gi = sg2[probe_pos[rep2]]
-            gj = sg2[right_pos]
-            keep = gi != gj
-            gi, gj = gi[keep], gj[keep]
-            pair_parts.append(np.minimum(gi, gj) * _PAIR_BASE +
-                              np.maximum(gi, gj))
+            pair_parts.append(_probe_left_pair_codes(
+                run_starts[sel], run_ends[sel],
+                np.minimum(n_a[sel], run_ends[sel] - run_starts[sel] - 1),
+                lambda pos: sg2[pos]))
 
     if not pair_parts:
         return (np.empty(0, dtype=np.int64),) * 2

@@ -230,54 +230,13 @@ def _zip_chunks(input_files: List[str], chunk_records: int,
     Parsing runs on a reader thread (the native chunk parser releases the
     GIL inside zlib/parse), overlapping ingest with device compute and
     host-side batch work.  Greenfield vs the reference, which parses
-    records inline on the single thread (__init__.py:242-252).
+    records inline on the single thread (__init__.py:242-252).  The
+    single-producer special case of :func:`_parallel_range_chunks`.
     """
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    stop = threading.Event()
-    _DONE = object()
-
-    def produce():
-        try:
-            for chunks in _zip_chunks_serial(input_files, chunk_records,
-                                             range_plan):
-                while not stop.is_set():
-                    try:
-                        q.put(chunks, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
-                    return
-            q.put(_DONE)
-        except BaseException as exc:  # surface parse errors on the consumer
-            while not stop.is_set():
-                try:
-                    q.put(exc, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
-
-    thread = threading.Thread(target=produce, daemon=True)
-    thread.start()
-    try:
-        while True:
-            item = q.get()
-            if item is _DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()
-        while thread.is_alive():
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                pass
-            thread.join(timeout=0.05)
+    for _base, chunks in _parallel_range_chunks(
+            input_files, chunk_records, [(range_plan, 0)],
+            queue_depth=prefetch):
+        yield chunks
 
 
 _CACHE_FAULT_THRESHOLD = float(os.environ.get(
@@ -762,22 +721,17 @@ def _plan_input_ranges(input_files: List[str], pid: int, nproc: int,
     if ok_hosts != nproc:
         return None
 
-    n_min: Optional[int] = None
-    splits: List[Tuple[np.ndarray, np.ndarray]] = []
+    gathered_units = []
     for ends, lines in per_file_units:
         gathered, _ = allgather_int64_cols(
             np.ascontiguousarray(np.stack([ends, lines])))
-        g_ends, g_lines = gathered[0], gathered[1]
-        total_lines = int(g_lines.sum())
-        if total_lines % 4 != 0:
-            # Blank/truncated trailing lines: give up on exact record
-            # ordinals and let the strided path's tolerant parser decide.
-            return None
-        n_f = total_lines // 4
-        n_min = n_f if n_min is None else min(n_min, n_f)
-        splits.append((g_ends, np.concatenate(
-            [[0], np.cumsum(g_lines)])))
-    assert n_min is not None
+        gathered_units.append((gathered[0], gathered[1]))
+    made = _splits_from_units(gathered_units)
+    if made is None:
+        # Blank/truncated trailing lines: give up on exact record
+        # ordinals and let the strided path's tolerant parser decide.
+        return None
+    splits, n_min = made
     rec_lo = n_min * pid // nproc
     rec_hi = n_min * (pid + 1) // nproc
     parts = _range_parts_from_units(splits, rec_lo, rec_hi, n_parts)
@@ -787,6 +741,29 @@ def _plan_input_ranges(input_files: List[str], pid: int, nproc: int,
         # while its peers partition by range (records double-counted).
         parts = [([(0, 0, 0)] * len(splits), rec_lo)]
     return parts
+
+
+def _splits_from_units(per_file_units
+                       ) -> "Optional[Tuple[List[Tuple[np.ndarray, np.ndarray]], int]]":
+    """Per-file BGZF unit tables -> (splits, n_min).
+
+    ``splits`` holds one ``(unit_end_offsets, [0]+cumsum(newlines))``
+    per file; ``n_min`` is the record count of the shortest file (zip
+    semantics).  Returns None when any file is not line-clean (total
+    newlines not a multiple of 4 — exact record ordinals impossible).
+    """
+    splits: List[Tuple[np.ndarray, np.ndarray]] = []
+    n_min: Optional[int] = None
+    for ends, lines in per_file_units:
+        total_lines = int(lines.sum())
+        if total_lines % 4 != 0:
+            return None
+        n_f = total_lines // 4
+        n_min = n_f if n_min is None else min(n_min, n_f)
+        splits.append((ends, np.concatenate([[0], np.cumsum(lines)])))
+    if n_min is None:
+        return None
+    return splits, n_min
 
 
 def _range_parts_from_units(splits: List[Tuple[np.ndarray, np.ndarray]],
@@ -837,8 +814,7 @@ def _plan_local_ranges(input_files: List[str], n_parts: int
         return None
     from concurrent.futures import ThreadPoolExecutor
 
-    splits: List[Tuple[np.ndarray, np.ndarray]] = []
-    n_min: Optional[int] = None
+    per_file_units = []
     with ThreadPoolExecutor(max_workers=max(n_parts, 1)) as pool:
         for path in input_files:
             try:
@@ -856,26 +832,25 @@ def _plan_local_ranges(input_files: List[str], n_parts: int
                 return None  # serial path surfaces the real error
             if any(u is None for u in units):
                 return None
-            g_ends = np.concatenate([u[0] for u in units])
-            g_lines = np.concatenate([u[1] for u in units])
-            total_lines = int(g_lines.sum())
-            if total_lines % 4 != 0:
-                return None
-            n_f = total_lines // 4
-            n_min = n_f if n_min is None else min(n_min, n_f)
-            splits.append((g_ends,
-                           np.concatenate([[0], np.cumsum(g_lines)])))
-    assert n_min is not None
+            per_file_units.append(
+                (np.concatenate([u[0] for u in units]),
+                 np.concatenate([u[1] for u in units])))
+    made = _splits_from_units(per_file_units)
+    if made is None:
+        return None
+    splits, n_min = made
     return _range_parts_from_units(splits, 0, n_min, n_parts)
 
 
 def _parallel_range_chunks(input_files: List[str], chunk_records: int,
-                           parts: List[Tuple[List[Tuple[int, int, int]],
-                                             int]],
+                           parts: "List[Tuple[Optional[List[Tuple[int, int, int]]], int]]",
                            queue_depth: int = 2
                            ) -> Iterator[Tuple[int, Tuple[FastqChunk,
                                                           ...]]]:
     """(base, chunks) from len(parts) CONCURRENT range readers.
+
+    A part's plan may be None — read the whole files serially from the
+    top (the single-producer prefetch case, :func:`_zip_chunks`).
 
     The single-threaded record scan in the native parser is the ingest
     bottleneck once inflate parallelizes; running one reader per record
