@@ -1150,11 +1150,13 @@ def _deduplicate_cluster_impl(
         except (AttributeError, OSError):  # pragma: no cover - non-Linux
             _cpus = os.cpu_count() or 2
         # Measured at 100M reads on a 4-core host: 3 readers beat 2
-        # (143 vs 165 s end to end) — the scan threads tolerate sharing
-        # cores with the inflate/accumulate workers better than they
-        # tolerate idling, so leave just one core unclaimed.
+        # (143 vs 165 s end to end) and, once rendering/inserts moved
+        # off the critical path, 4 beat 3 in interleaved reps (165 vs
+        # 177, 144 vs 253) — the scan threads tolerate sharing cores
+        # with the inflate/accumulate workers better than they tolerate
+        # idling.
         n_readers = int(os.environ.get("FASTQDEDUP_INGEST_READERS", "0")) \
-            or max(1, min(4, _cpus - 1))
+            or max(1, min(4, _cpus))
     else:
         n_readers = 1
     if nproc > 1 and not sharded_input \
