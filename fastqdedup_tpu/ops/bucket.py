@@ -76,17 +76,18 @@ def _bucket_slices_of_hashes(hashes: np.ndarray
     equal), which the exact distance verification undoes — same
     contract as the bucket hash itself — and per-host ownership is
     decided from the FULL per-row hashes before grouping, so a merged
-    run never splits across hosts.  Gated to >= 38 hash bits (n <= 64M)
-    where expected spurious merges stay in the thousands.
+    run never splits across hosts.  Gated to >= 36 hash bits (n <=
+    256M): expected spurious merges stay under ~10^6 even at the cap,
+    and each merge only costs one extra fast-fail pair verification.
     """
     n = len(hashes)
-    if n >= (1 << 20) and n <= (1 << 26):
+    if n >= (1 << 20) and n <= (1 << 28):
         try:
             from ..native.loader import radix_sort_u64_native
         except ImportError:
             radix_sort_u64_native = None
         if radix_sort_u64_native is not None:
-            idx_bits = 26
+            idx_bits = max(int(n - 1).bit_length(), 20)
             low_mask = np.uint64((1 << idx_bits) - 1)
             comp = (hashes & ~low_mask) | np.arange(n, dtype=np.uint64)
             radix_sort_u64_native(comp)
