@@ -1515,9 +1515,15 @@ def _deduplicate_cluster_impl(
         if len(ties):
             # Count ties are the COMMON case (two count-1 variants), so
             # the string tie-break is vectorized: first differing byte
-            # decides (keys are distinct, so one always exists).
-            av = member_bytes(a_idx[ties])
-            bv = member_bytes(b_idx[ties])
+            # decides (keys are distinct, so one always exists — for a
+            # strict-prefix pair, edit mode only, the zero pad loses to
+            # any real byte, matching Python str order).  One combined
+            # call so both sides share the same pad width (edit-mode
+            # pairs can mix lengths).
+            both = member_bytes(np.concatenate([a_idx[ties],
+                                                b_idx[ties]]))
+            av = both[:len(ties)]
+            bv = both[len(ties):]
             neq = av != bv
             first = np.argmax(neq, axis=1)
             sel = np.arange(len(ties))

@@ -286,3 +286,23 @@ def test_numpy_fallback_accumulator_and_renderer(tmp_path, monkeypatch):
     monkeypatch.delattr("fastqdedup_tpu.native.loader.KeyAccumulator")
     deduplicate_cluster(inputs, fallback_out, None, 1, 0.001)
     assert _read_out(native_out[0]) == _read_out(fallback_out[0])
+
+
+def test_edit_two_member_mixed_length_count_tie(tmp_path):
+    """Edit mode: a two-member cluster whose keys differ in LENGTH and
+    tie on count must tie-break on string order (the vectorized pad
+    must span both sides' widths — regression: independent padding
+    raised a broadcast error)."""
+    # AAAAAAAA (8) and AAAAAAA (7): lev distance 1, both count 1.
+    reads = [("r0 x", "AAAAAAAA", "IIIIIIII"),
+             ("r1 x", "AAAAAAA", "IIIIIII"),
+             ("r2 x", "CCCCCCCC", "IIIIIIII")]
+    src = str(tmp_path / "in.fastq.gz")
+    _make_fastq(src, reads)
+    got = [str(tmp_path / "got.fastq.gz")]
+    exp = [str(tmp_path / "exp.fastq.gz")]
+    deduplicate_cluster([src], got, None, 1, 1.0,
+                        CLUSTER_DISSECTION_METHODS["directional"], True,
+                        chunk_records=2)
+    oracle_dedup([src], exp, None, 1, 1.0, "directional", True)
+    assert _read_out(got[0]) == _read_out(exp[0])
