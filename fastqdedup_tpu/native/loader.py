@@ -16,7 +16,11 @@ from .build import library_path
 _FQ_OK = 0
 _FQ_ERR_FORMAT = 3
 
-_lib = ctypes.CDLL(library_path())
+# FASTQDEDUP_NATIVE_LIB: load a specific build of the library instead
+# of the auto-built one (e.g. an -fsanitize=address build for sanitizer
+# test runs; LD_PRELOAD the matching runtime first).
+_lib = ctypes.CDLL(os.environ.get("FASTQDEDUP_NATIVE_LIB")
+                   or library_path())
 
 _lib.fq_open.restype = ctypes.c_void_p
 _lib.fq_open.argtypes = [ctypes.c_char_p]
