@@ -1046,6 +1046,69 @@ int64_t fq_avg_error_rates(const unsigned char *qual, const int64_t *offsets,
     return -1;
 }
 
+/* Threaded wrapper: records are independent, so ranges split across
+ * pthreads; per-record arithmetic is the identical sequential float64
+ * loop.  The reported out-of-range byte index is the minimum over
+ * threads — i.e. still the FIRST bad byte of the batch. */
+
+typedef struct {
+    const unsigned char *qual;
+    const int64_t *offsets;
+    int64_t lo, hi;
+    int phred_offset;
+    double *out;
+    int64_t bad;
+} AvgErrWork;
+
+static void *avg_err_worker(void *arg) {
+    AvgErrWork *w = (AvgErrWork *)arg;
+    w->bad = fq_avg_error_rates(w->qual, w->offsets + w->lo,
+                                w->hi - w->lo, w->phred_offset,
+                                w->out + w->lo);
+    return NULL;
+}
+
+int64_t fq_avg_error_rates_mt(const unsigned char *qual,
+                              const int64_t *offsets, int64_t n,
+                              int phred_offset, double *out,
+                              int nthreads) {
+    if (nthreads <= 0) {
+        long cores = sysconf(_SC_NPROCESSORS_ONLN);
+        nthreads = cores > 0 ? (int)cores : 1;
+    }
+    if (nthreads > 8) nthreads = 8;
+    if ((int64_t)nthreads > n) nthreads = n > 0 ? (int)n : 1;
+    if (nthreads <= 1 || n < (1 << 15))
+        return fq_avg_error_rates(qual, offsets, n, phred_offset, out);
+    AvgErrWork works[8];
+    pthread_t tids[8];
+    for (int t = 0; t < nthreads; t++) {
+        works[t].qual = qual;
+        works[t].offsets = offsets;
+        works[t].lo = n * t / nthreads;
+        works[t].hi = n * (t + 1) / nthreads;
+        works[t].phred_offset = phred_offset;
+        works[t].out = out;
+        works[t].bad = -1;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, avg_err_worker, &works[t]);
+    avg_err_worker(&works[0]);
+    int64_t bad = -1;
+    for (int t = 0; t < nthreads; t++) {
+        if (t) pthread_join(tids[t], NULL);
+        if (works[t].bad >= 0) {
+            /* Worker-local index is relative to offsets[lo]'s byte
+             * origin already (fq_avg_error_rates reports absolute byte
+             * positions within qual because the sliced offsets still
+             * hold absolute byte values). */
+            if (bad < 0 || works[t].bad < bad)
+                bad = works[t].bad;
+        }
+    }
+    return bad;
+}
+
 /* ------------------------------------------------------------------ */
 /* Gzip block writer: manual header with MTIME=0 + raw deflate, emitting
  * output byte-identical to CPython's gzip.GzipFile(mtime=0) so runs are

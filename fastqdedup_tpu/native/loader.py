@@ -45,6 +45,11 @@ _f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 _lib.fq_avg_error_rates.restype = ctypes.c_int64
 _lib.fq_avg_error_rates.argtypes = [
     _u8p, _i64p, ctypes.c_int64, ctypes.c_int, _f64p]
+_avg_err_mt = getattr(_lib, "fq_avg_error_rates_mt", None)
+if _avg_err_mt is not None:
+    _avg_err_mt.restype = ctypes.c_int64
+    _avg_err_mt.argtypes = [_u8p, _i64p, ctypes.c_int64, ctypes.c_int,
+                            _f64p, ctypes.c_int]
 
 _lib.acc_new.restype = ctypes.c_void_p
 _lib.acc_new.argtypes = [ctypes.c_int64]
@@ -341,8 +346,15 @@ def average_error_rates_native(qual_data: np.ndarray,
     out = np.empty(n, dtype=np.float64)
     qual_data = np.ascontiguousarray(qual_data, dtype=np.uint8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
-    bad = _lib.fq_avg_error_rates(qual_data, offsets, n,
-                                  int(phred_offset), out)
+    if _avg_err_mt is not None and n >= (1 << 15):
+        # Records split across threads; per-record arithmetic is the
+        # identical sequential loop, and the reported bad byte is the
+        # batch-wide first.
+        bad = _avg_err_mt(qual_data, offsets, n, int(phred_offset),
+                          out, 0)
+    else:
+        bad = _lib.fq_avg_error_rates(qual_data, offsets, n,
+                                      int(phred_offset), out)
     if bad >= 0:
         char = int(qual_data[bad])
         raise ValueError(
