@@ -44,7 +44,16 @@ def argument_parser() -> argparse.ArgumentParser:
     # Flags, defaults, metavars and dest names mirror the reference parser
     # (__init__.py:305-361) so existing invocations keep working; the help
     # prose is this project's own.
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(
+        epilog="Advanced environment knobs (see README for the full list): "
+               "FASTQDEDUP_PROFILE=<dir> captures a jax.profiler trace; "
+               "FASTQDEDUP_INGEST_READERS=<n> sets parallel BGZF range "
+               "readers; FASTQDEDUP_DEVICE_QUALITY=1 moves the quality "
+               "filter to the accelerator (float32 arithmetic — averages "
+               "may differ from the bit-exact host path in the last bits, "
+               "and strict phred range validation is skipped); "
+               "FASTQDEDUP_REQUIRE_MESH=1 makes any device-mesh clustering "
+               "fallback fatal instead of degrading to the host path.")
     parser.add_argument(
         "fastq", metavar="FASTQ", nargs="+",
         help="Input FASTQ file(s): R1, optionally followed by an R2 mate "

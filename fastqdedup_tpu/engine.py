@@ -19,6 +19,7 @@ Each returned cluster carries its member keys, counts, and local adjacency so
 the dissection strategies never recompute a distance.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
@@ -330,11 +331,16 @@ def _component_labels(n: int, ei: np.ndarray, ej: np.ndarray) -> np.ndarray:
     code path the multi-chip dryrun exercises), host union-find otherwise
     (a single tunneled chip loses more to dispatch than union-find costs).
     """
-    if len(ei) >= 1024:
+    min_edges = int(os.environ.get("FASTQDEDUP_MESH_MIN_EDGES", "1024"))
+    if len(ei) >= min_edges:
         from .parallel.sharded import components_on_mesh
         labels = components_on_mesh(n, ei, ej)
         if labels is not None:
             return labels
+    elif os.environ.get("FASTQDEDUP_REQUIRE_MESH", "0") == "1":
+        raise RuntimeError(
+            f"FASTQDEDUP_REQUIRE_MESH=1 but the edge list ({len(ei)}) is "
+            f"below FASTQDEDUP_MESH_MIN_EDGES={min_edges}")
     return connected_components_host(n, ei, ej)
 
 

