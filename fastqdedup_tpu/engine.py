@@ -663,9 +663,22 @@ def build_partition_groups(groups: KeyGroups, max_distance: int,
         ei, ej = allgather_int64_pairs(ei, ej)
         if len(ei):
             # A pair may surface on two hosts (different segment passes);
-            # dedupe so per-cluster edge sets stay canonical.
-            codes = np.unique(np.minimum(ei, ej) * np.int64(n) +
-                              np.maximum(ei, ej))
+            # dedupe so per-cluster edge sets stay canonical.  Native
+            # radix sort + adjacent-unique (~3x numpy's sort-based
+            # np.unique; this dedup over the FULL gathered edge list is
+            # replicated on every host).
+            codes = np.minimum(ei, ej) * np.int64(n) + np.maximum(ei, ej)
+            try:
+                from .native.loader import radix_sort_u64_native
+                codes = radix_sort_u64_native(
+                    codes.view(np.uint64)).view(np.int64)
+                if len(codes) > 1:
+                    keep = np.empty(len(codes), dtype=bool)
+                    keep[0] = True
+                    np.not_equal(codes[1:], codes[:-1], out=keep[1:])
+                    codes = codes[keep]
+            except (ImportError, AttributeError):
+                codes = np.unique(codes)
             ei, ej = codes // n, codes % n
     labels = _component_labels(n, ei, ej)
     _mark("labels")

@@ -1855,6 +1855,115 @@ void fq_hash_rows(const unsigned char *base, int64_t n, int64_t row_stride,
         pthread_join(tids[t], NULL);
 }
 
+/* Fused per-row hash + multi-host ownership select.
+ *
+ * For the P>1 pigeonhole bucket sharding (ops/bucket.py): computes the
+ * weak row hash (bit-identical to fq_hash_rows strong=0), derives the
+ * owning host as hr_mix(hash ^ salt_mix) % nproc (bit-identical to
+ * parallel/distributed.bucket_owner_mask, so the bucket partition is
+ * unchanged), and compacts the row indices + hashes of the rows owned
+ * by `pid` — one pass, replacing three replicated ~n-sized numpy passes
+ * (mix, modulo-compare, flatnonzero) per segment on EVERY host.
+ * Threads each fill a private slab of the output sized by their row
+ * range; the main thread closes the gaps.  Returns the owned count. */
+
+typedef struct {
+    const unsigned char *base;
+    int64_t row_stride, width, lo, hi;
+    uint64_t seed, salt_mix;
+    uint64_t pid, nproc;
+    int64_t *idx_out;     /* slab starting at lo */
+    uint64_t *hash_out;   /* slab starting at lo */
+    int64_t count;
+} HashOwnerWork;
+
+static void *hash_owner_worker(void *arg) {
+    HashOwnerWork *w = (HashOwnerWork *)arg;
+    const int64_t nwords = w->width / 8;
+    const int64_t rem = w->width % 8;
+    /* Power-of-two host counts (the common topologies) replace the
+     * per-row 64-bit modulo with a mask — same result, no divider. */
+    const uint64_t pow2_mask =
+        (w->nproc & (w->nproc - 1)) == 0 ? w->nproc - 1 : 0;
+    const int use_mask = (w->nproc & (w->nproc - 1)) == 0;
+    int64_t k = 0;
+    for (int64_t i = w->lo; i < w->hi; i++) {
+        const unsigned char *p = w->base + i * w->row_stride;
+        uint64_t h = w->seed;
+        for (int64_t c = 0; c < nwords; c++) {
+            uint64_t word;
+            memcpy(&word, p + c * 8, 8);
+            h ^= word;
+            h *= 0x2545F4914F6CDD1DULL;
+            h ^= h >> 29;
+        }
+        if (rem) {
+            uint64_t word = 0;
+            memcpy(&word, p + nwords * 8, (size_t)rem);
+            h ^= word;
+            h *= 0x2545F4914F6CDD1DULL;
+            h ^= h >> 29;
+        }
+        h = hr_mix(h);
+        /* Branchless compaction: always store, conditionally advance —
+         * the 1/nproc-taken branch would mispredict its way to ~2x the
+         * whole loop's cost. */
+        w->idx_out[w->lo + k] = i;
+        w->hash_out[w->lo + k] = h;
+        uint64_t mixed = hr_mix(h ^ w->salt_mix);
+        uint64_t owner = use_mask ? (mixed & pow2_mask)
+                                  : (mixed % w->nproc);
+        k += (int64_t)(owner == w->pid);
+    }
+    w->count = k;
+    return NULL;
+}
+
+int64_t fq_hash_owner_select(const unsigned char *base, int64_t n,
+                             int64_t row_stride, int64_t width,
+                             uint64_t seed, uint64_t salt_mix,
+                             int64_t pid, int64_t nproc, int nthreads,
+                             int64_t *idx_out, uint64_t *hash_out) {
+    if (n <= 0) return 0;
+    if (nproc < 1) nproc = 1;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > HASH_ROWS_MAX_THREADS) nthreads = HASH_ROWS_MAX_THREADS;
+    if (n < 65536) nthreads = 1;
+    HashOwnerWork works[HASH_ROWS_MAX_THREADS];
+    pthread_t tids[HASH_ROWS_MAX_THREADS];
+    int64_t per = n / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        works[t].base = base;
+        works[t].row_stride = row_stride;
+        works[t].width = width;
+        works[t].lo = t * per;
+        works[t].hi = (t == nthreads - 1) ? n : (t + 1) * per;
+        works[t].seed = seed;
+        works[t].salt_mix = salt_mix;
+        works[t].pid = (uint64_t)pid;
+        works[t].nproc = (uint64_t)nproc;
+        works[t].idx_out = idx_out;
+        works[t].hash_out = hash_out;
+        works[t].count = 0;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, hash_owner_worker, &works[t]);
+    hash_owner_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+    int64_t total = works[0].count;
+    for (int t = 1; t < nthreads; t++) {
+        if (works[t].count && total != works[t].lo) {
+            memmove(idx_out + total, idx_out + works[t].lo,
+                    (size_t)works[t].count * sizeof(int64_t));
+            memmove(hash_out + total, hash_out + works[t].lo,
+                    (size_t)works[t].count * sizeof(uint64_t));
+        }
+        total += works[t].count;
+    }
+    return total;
+}
+
 /* Ragged variant: per-row width from an offsets vector (row i spans
  * data[offsets[i]:offsets[i+1]]).  Same word algorithm as fq_hash_rows,
  * so equal byte contents hash equal regardless of layout; used as the

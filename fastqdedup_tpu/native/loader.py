@@ -120,6 +120,14 @@ _radix_mt = getattr(_lib, "fq_radix_sort_u64_mt", None)
 if _radix_mt is not None:
     _radix_mt.restype = ctypes.c_int
     _radix_mt.argtypes = [ctypes.c_int64, _u64p, ctypes.c_int]
+_hash_owner = getattr(_lib, "fq_hash_owner_select", None)
+if _hash_owner is not None:
+    _hash_owner.restype = ctypes.c_int64
+    _hash_owner.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                            ctypes.c_int64, ctypes.c_int64,
+                            ctypes.c_uint64, ctypes.c_uint64,
+                            ctypes.c_int64, ctypes.c_int64,
+                            ctypes.c_int, _i64p, _u64p]
 _ham_verify = getattr(_lib, "fq_hamming_verify_pairs", None)
 if _ham_verify is not None:
     _ham_verify.restype = ctypes.c_int
@@ -591,6 +599,42 @@ def hash_rows_native(window: np.ndarray, seed: int, strong: bool = True,
         ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
         1 if strong else 0, threads, out)
     return out
+
+
+def hash_owner_select_native(window: np.ndarray, seed: int, salt_mix: int,
+                             pid: int, nproc: int, threads: int = 0
+                             ) -> "tuple[np.ndarray, np.ndarray]":
+    """(owned row indices int64, their weak hashes uint64) in one pass.
+
+    Fused multi-host bucket sharding primitive: hashes every row of the
+    uint8 [n, w] window (bit-identical to ``hash_rows_native`` with
+    ``strong=False``), derives each row's owning host exactly as
+    ``parallel.distributed.bucket_owner_mask`` does
+    (``mix64(hash ^ salt_mix) % nproc``), and compacts the rows owned by
+    ``pid`` — replacing three replicated ~n-sized numpy passes per
+    segment on every host.  Raises ValueError for layouts the C loop
+    cannot walk (callers fall back to the numpy path).
+    """
+    n, w = window.shape
+    if _hash_owner is None:
+        raise ValueError("stale _fastq_io.so lacks fq_hash_owner_select")
+    if window.dtype != np.uint8:
+        raise ValueError("window must be uint8")
+    if n and w and (window.strides[1] != 1 or window.strides[0] < w):
+        raise ValueError("rows must be forward-strided, columns contiguous")
+    idx = np.empty(n, dtype=np.int64)
+    hashes = np.empty(n, dtype=np.uint64)
+    if n == 0 or w == 0:
+        return idx[:0], hashes[:0]
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    count = _hash_owner(
+        ctypes.c_void_p(window.__array_interface__["data"][0]),
+        n, window.strides[0], w,
+        ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
+        ctypes.c_uint64(salt_mix & 0xFFFFFFFFFFFFFFFF),
+        pid, nproc, threads, idx, hashes)
+    return idx[:count], hashes[:count]
 
 
 def hash_ragged_native(data: np.ndarray, offsets: np.ndarray,

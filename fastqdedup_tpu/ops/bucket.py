@@ -586,13 +586,27 @@ def hamming_neighbor_pairs_bucketed(
             # of a bucket shares the hash, hence the owner.  Each host
             # then groups only its ~N/P owned rows — the argsort (the
             # expensive part of grouping) shards instead of being
-            # replicated on every host.
-            hashes = _hash_window_rows(window, window.shape[1],
-                                       strong=False)
-            mine = np.flatnonzero(
-                bucket_owner_mask(hashes, seg_index, pid, nproc))
-            _mark("hash")
-            order, starts, ends = _bucket_slices_of_hashes(hashes[mine])
+            # replicated on every host.  The fused C path folds hash +
+            # owner mix + compaction into one pass (bit-identical
+            # ownership); only the raw per-byte hash remains replicated.
+            w = window.shape[1]
+            seed = (0x9E3779B97F4A7C15 * (w + 0x10001)
+                    + 0x85EBCA6B) & _MASK64
+            salt_mix = (0x9E3779B97F4A7C15 * (seg_index + 1)) & _MASK64
+            try:
+                from ..native.loader import hash_owner_select_native
+                mine, owned_hashes = hash_owner_select_native(
+                    window, seed, salt_mix, pid, nproc)
+                _mark("hash")
+                order, starts, ends = _bucket_slices_of_hashes(
+                    owned_hashes)
+            except (ImportError, ValueError):
+                hashes = _hash_window_rows(window, w, strong=False)
+                mine = np.flatnonzero(
+                    bucket_owner_mask(hashes, seg_index, pid, nproc))
+                _mark("hash")
+                order, starts, ends = _bucket_slices_of_hashes(
+                    hashes[mine])
             order = mine[order]
         else:
             hashes = _hash_window_rows(window, window.shape[1],

@@ -553,6 +553,12 @@ def exchange_merge_key_tables(key_data: np.ndarray,
         progress("payload-allgather")
     offsets = np.zeros(len(rep_all) + 1, dtype=np.int64)
     np.cumsum(len_all, out=offsets[1:])
+    # rep_all/len_all are dead here; recycle their ~8 B/key pooled
+    # buffers so the next run's sort_permute4 outputs re-use them
+    # instead of faulting fresh pages (measured: 2x20 MiB of fresh
+    # mappings per rep at 2.5M keys on every host).
+    release(rep_all)
+    release(len_all)
     return data, offsets, cnt_all, fp_all
 
 

@@ -583,21 +583,39 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
     group_pos: List[np.ndarray] = []
     starts: List[int] = []
     n = 0
-    if len(lengths_all) and int(lengths_all.max()) < (1 << 20):
+    uniform_length = len(lengths_all) > 0 and \
+        int(lengths_all[0]) > 0 and \
+        len(key_data) == len(lengths_all) * int(lengths_all[0]) and \
+        bool((lengths_all == lengths_all[0]).all())
+    if uniform_length:
+        # All keys one length (the common case): skip the per-length
+        # bincount/flatnonzero scans — at P>1 every one of these ~n-sized
+        # passes is replicated on every host.
+        unique_lengths = lengths_all[:1]
+    elif len(lengths_all) and int(lengths_all.max()) < (1 << 20):
         # bincount beats np.unique's 31M-element sort for read lengths
         unique_lengths = np.flatnonzero(np.bincount(lengths_all))
     else:
         unique_lengths = np.unique(lengths_all)
     for length in unique_lengths:
-        sel = np.flatnonzero(lengths_all == length)
-        void = rows_as_void(key_data, key_offsets, sel, int(length))
+        if uniform_length:
+            sel = np.arange(len(lengths_all), dtype=np.int64)
+            void = key_data.reshape(len(lengths_all), int(length)).view(
+                np.dtype((np.void, int(length)))).ravel()
+        else:
+            sel = np.flatnonzero(lengths_all == length)
+            void = rows_as_void(key_data, key_offsets, sel, int(length))
         if (single_table and use_hash_order) or pre_merged:
             # Native accumulator export (single_table) or the gathered
             # concatenation of per-host owned merges (pre_merged): unique
             # keys, deterministic order — no sort, no duplicate collapse.
             sv = void
-            sc = counts[sel]
-            sp = first_pos[sel]
+            if uniform_length:
+                sc = counts
+                sp = first_pos
+            else:
+                sc = counts[sel]
+                sp = first_pos[sel]
         else:
             if hashes is not None and length > 0 and len(sel) > 1:
                 # Per-key hashes came out of the native accumulators
@@ -1327,6 +1345,7 @@ def _deduplicate_cluster_impl(
         # variables outlive the loop) so its parse buffers recycle too.
         key_data = key_offsets = qual_data = qual_offsets = None
         mask_future = None
+        item = chunks = None  # FastqChunk views pin the parse buffers
         from .runtime import release
         for buffer in recycle_bin:
             release(buffer)
@@ -1399,6 +1418,10 @@ def _deduplicate_cluster_impl(
             _release(_buf)
         del kd, ko, kc, kp, h1, h2, _buf
         groups = _finalize_groups(kd2, ko2, kc2, kp2, pre_merged=True)
+        # The uniform-length fast path aliases the merged columns into
+        # ``groups`` instead of copying; drop this frame's references so
+        # groups.dispose() can recycle them at the end of the run.
+        del kd2, ko2, kc2, kp2
         debug_phase("finalize/group")
     else:
         groups = _finalize_groups(
@@ -1434,14 +1457,24 @@ def _deduplicate_cluster_impl(
     # (clusters are disjoint, so each key is decided exactly once); pass 3
     # claims first occurrences against these masks — no Python bytes.
     kept_mask = [np.zeros(len(c), dtype=bool) for c in groups.counts]
-    group_of_key = np.searchsorted(groups.starts,
-                                   np.arange(groups.n, dtype=np.int64),
-                                   side="right") - 1
+    # Single length group (the common case): key index == row index, so
+    # the ~n-sized searchsorted map and per-call np.unique grouping are
+    # skipped entirely — they are replicated on every host at P>1.
+    single_group = len(groups.lengths) == 1
+    group_of_key = None if single_group else np.searchsorted(
+        groups.starts, np.arange(groups.n, dtype=np.int64),
+        side="right") - 1
 
     def member_bytes(members: np.ndarray) -> np.ndarray:
         """Raw key bytes of ``members`` as a zero-padded uint8 matrix —
         zero-padding makes row-wise lexicographic comparison match Python
         str order across mixed lengths (shorter prefix sorts first)."""
+        if single_group:
+            length = groups.lengths[0]
+            if not length:
+                return np.zeros((len(members), 1), dtype=np.uint8)
+            return groups.voids[0][members].view(np.uint8).reshape(
+                len(members), length)
         g = group_of_key[members]
         rows = members - groups.starts[g]
         width = max(max((groups.lengths[int(gi)]
@@ -1456,6 +1489,9 @@ def _deduplicate_cluster_impl(
         return padded
 
     def mark_indices(idx: np.ndarray) -> None:
+        if single_group:
+            kept_mask[0][idx] = True
+            return
         g = group_of_key[idx]
         rows = idx - groups.starts[g]
         for gi in np.unique(g):
@@ -1497,6 +1533,14 @@ def _deduplicate_cluster_impl(
     mark_indices(part.order[part.starts[sizes == 1]])
     debug_phase("singletons")
 
+    # Built-in methods at P>1: per-cluster dissection work (two-member
+    # closed form AND the big-cluster paths below) shards across hosts by
+    # cluster index; the kept key indices merge through ONE combined
+    # all-gather at the end.  A user-supplied strategy instead runs
+    # identically on every host (determinism is its documented contract).
+    distribute = nproc > 1 and method_name is not None
+    kept_local: List[np.ndarray] = []
+
     if method_name is not None:
         # Two-member components, closed form: connectivity implies the
         # single within-distance edge exists, so adjacency/highest_count
@@ -1505,6 +1549,8 @@ def _deduplicate_cluster_impl(
         # (reference __init__.py:84,99-101).  Count ties break on key
         # bytes (== latin-1 string order), fetched only when needed.
         pair_starts = part.starts[sizes == 2]
+        if distribute:
+            pair_starts = pair_starts[pid::nproc]
         a_idx = part.order[pair_starts]
         b_idx = part.order[pair_starts + 1]
         ca = counts_arr[a_idx]
@@ -1531,11 +1577,18 @@ def _deduplicate_cluster_impl(
             swap = ties[a_wins]
             hi_idx[swap] = a_idx[swap]
             lo_idx[swap] = b_idx[swap]
-        mark_indices(hi_idx)
+        if distribute:
+            kept_local.append(hi_idx)
+        else:
+            mark_indices(hi_idx)
         if method_name == "directional":
             hi_c = counts_arr[hi_idx]
             lo_c = counts_arr[lo_idx]
-            mark_indices(lo_idx[2 * lo_c - 1 > hi_c])
+            lo_kept = lo_idx[2 * lo_c - 1 > hi_c]
+            if distribute:
+                kept_local.append(lo_kept)
+            else:
+                mark_indices(lo_kept)
         big = np.flatnonzero(sizes >= 3)
         debug_phase("two-member-closed-form")
     else:
@@ -1562,14 +1615,6 @@ def _deduplicate_cluster_impl(
             rank[np.argsort(void, kind="stable")] = \
                 np.arange(len(members), dtype=np.int64)
             return rank
-
-        # Multi-host: big clusters stride across hosts for the built-in
-        # methods (kept indices all-gather afterwards); a user-supplied
-        # strategy instead runs identically on every host — its yielded
-        # strings would otherwise need a ragged exchange, and determinism
-        # is already a documented requirement for it.
-        distribute = nproc > 1 and method_name is not None
-        kept_local: List[np.ndarray] = []
 
         def concat_spans(span_s: np.ndarray, lens: np.ndarray
                          ) -> np.ndarray:
@@ -1639,13 +1684,15 @@ def _deduplicate_cluster_impl(
             # dict.fromkeys: tolerate a custom strategy yielding repeats.
             for string in dict.fromkeys(chosen):
                 mark_key_bytes(string.encode("latin-1"))
-        if distribute:
-            from .parallel.distributed import allgather_int64
-            kept_all = allgather_int64(np.concatenate(kept_local)
-                                       if kept_local
-                                       else np.empty(0, dtype=np.int64))
-            if len(kept_all):
-                mark_indices(kept_all)
+
+    if distribute:
+        # One combined gather for the two-member AND big-cluster shards.
+        from .parallel.distributed import allgather_int64
+        kept_all = allgather_int64(np.concatenate(kept_local)
+                                   if kept_local
+                                   else np.empty(0, dtype=np.int64))
+        if len(kept_all):
+            mark_indices(kept_all)
 
     debug_phase("large-cluster-loop")
     kept_total = int(sum(int(m.sum()) for m in kept_mask))
