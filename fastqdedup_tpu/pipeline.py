@@ -1530,7 +1530,14 @@ def _deduplicate_cluster_impl(
         kept_mask[g][row] = True
 
     # Singleton components (the bulk): kept wholesale, no dissection.
-    mark_indices(part.order[part.starts[sizes == 1]])
+    if single_group and len(part.cluster_of) == groups.n:
+        # Vectorized: key row i is a singleton iff its cluster has one
+        # member — a sequential gather+compare instead of a ~n-sized
+        # random scatter (this mark is inherently global on every host).
+        np.logical_or(kept_mask[0], sizes[part.cluster_of] == 1,
+                      out=kept_mask[0])
+    else:
+        mark_indices(part.order[part.starts[sizes == 1]])
     debug_phase("singletons")
 
     # Built-in methods at P>1: per-cluster dissection work (two-member
