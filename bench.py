@@ -25,7 +25,9 @@ BASELINE_READS_PER_SEC = 1_000_000.0
 
 
 def generate_fastq(path: str, n_reads: int, read_len: int,
-                   umi_len: int, seed: int = 7) -> None:
+                   umi_len: int, seed: int = 7,
+                   dup_factor: int = 5,
+                   error_rate: "float | None" = None) -> None:
     """Vectorized synthetic duplicate-heavy FASTQ, streamed in blocks so
     peak memory stays O(block + molecule pool) — a 100M-read file
     generates without materializing 10+ GB arrays.
@@ -38,7 +40,7 @@ def generate_fastq(path: str, n_reads: int, read_len: int,
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    n_molecules = max(n_reads // 5, 1)
+    n_molecules = max(n_reads // dup_factor, 1)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     # uint8 draws: the int64 default materializes an 8x-larger index
     # temp (16 GB at 100M reads), which on lazily-backed VMs costs
@@ -59,11 +61,19 @@ def generate_fastq(path: str, n_reads: int, read_len: int,
             count = stop - start
             picks = rng.integers(0, n_molecules, size=count)
             seqs = molecules[picks]
-            # ~15% of reads get one substitution error.
-            errored = np.flatnonzero(rng.random(count) < 0.15)
-            pos = rng.integers(0, read_len, size=len(errored))
-            seqs[errored, pos] = bases[
-                rng.integers(0, 4, size=len(errored))]
+            if error_rate is None:
+                # Default profile: ~15% of reads get one substitution.
+                errored = np.flatnonzero(rng.random(count) < 0.15)
+                pos = rng.integers(0, read_len, size=len(errored))
+                seqs[errored, pos] = bases[
+                    rng.integers(0, 4, size=len(errored))]
+            else:
+                # Per-base substitution model (deep-sequencing profiles:
+                # dup_factor 15-60, error_rate 0.003-0.01).
+                err = rng.random(size=seqs.shape) < error_rate
+                seqs = np.where(
+                    err, bases[rng.integers(0, 4, size=seqs.shape,
+                                            dtype=np.uint8)], seqs)
             quals = (33 + rng.integers(
                 30, 41, size=(count, read_len),
                 dtype=np.int8)).astype(np.uint8)

@@ -1855,6 +1855,80 @@ void fq_hash_rows(const unsigned char *base, int64_t n, int64_t row_stride,
         pthread_join(tids[t], NULL);
 }
 
+/* Nibble packing for the device rowwise pair verifier.
+ *
+ * C twin of ops/encode.pack_nibbles: pack a [n, L] index matrix (values
+ * < 16) into uint32 lanes, 8 bases per word, low nibble first, positions
+ * beyond L filled with 0xF.  ``lut`` (optional, 256 entries) translates
+ * raw key bytes to alphabet indices in the same pass, so raw-byte
+ * matrices (engine zero-copy entries) pack without a separate ~n*L
+ * translation sweep.  One pass over the rows vs numpy's ~10; rows split
+ * across pthreads.  Returns FQ_ERR_FORMAT if any index is >= 16. */
+
+typedef struct {
+    const unsigned char *base;
+    const unsigned char *lut;   /* may be NULL */
+    int64_t row_stride, width, lanes, lo, hi;
+    uint32_t *out;
+    int rc;
+} PackNibWork;
+
+static void *pack_nibbles_worker(void *arg) {
+    PackNibWork *w = (PackNibWork *)arg;
+    for (int64_t i = w->lo; i < w->hi; i++) {
+        const unsigned char *p = w->base + i * w->row_stride;
+        uint32_t *row = w->out + i * w->lanes;
+        for (int64_t lane = 0; lane < w->lanes; lane++) {
+            uint32_t word = 0;
+            for (int nib = 0; nib < 8; nib++) {
+                int64_t pos = lane * 8 + nib;
+                uint32_t v;
+                if (pos < w->width) {
+                    v = w->lut ? w->lut[p[pos]] : p[pos];
+                    if (v >= 16) { w->rc = FQ_ERR_FORMAT; return NULL; }
+                } else {
+                    v = 0xF;
+                }
+                word |= v << (4 * nib);
+            }
+            row[lane] = word;
+        }
+    }
+    return NULL;
+}
+
+int fq_pack_nibbles(const unsigned char *base, int64_t n,
+                    int64_t row_stride, int64_t width,
+                    const unsigned char *lut, int64_t lanes,
+                    int nthreads, uint32_t *out) {
+    if (n <= 0) return FQ_OK;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > HASH_ROWS_MAX_THREADS) nthreads = HASH_ROWS_MAX_THREADS;
+    if (n < 65536) nthreads = 1;
+    PackNibWork works[HASH_ROWS_MAX_THREADS];
+    pthread_t tids[HASH_ROWS_MAX_THREADS];
+    int64_t per = n / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        works[t].base = base;
+        works[t].lut = lut;
+        works[t].row_stride = row_stride;
+        works[t].width = width;
+        works[t].lanes = lanes;
+        works[t].lo = t * per;
+        works[t].hi = (t == nthreads - 1) ? n : (t + 1) * per;
+        works[t].out = out;
+        works[t].rc = FQ_OK;
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, pack_nibbles_worker, &works[t]);
+    pack_nibbles_worker(&works[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+    for (int t = 0; t < nthreads; t++)
+        if (works[t].rc != FQ_OK) return works[t].rc;
+    return FQ_OK;
+}
+
 /* Fused per-row hash + multi-host ownership select.
  *
  * For the P>1 pigeonhole bucket sharding (ops/bucket.py): computes the

@@ -69,6 +69,7 @@ _lib.acc_key_bytes.argtypes = [ctypes.c_void_p]
 _lib.acc_export.restype = None
 _lib.acc_export.argtypes = [ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p]
 _u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 _lib.acc_export_hashes.restype = None
 _lib.acc_export_hashes.argtypes = [ctypes.c_void_p, _u64p]
 _lib.acc_byte_presence.restype = None
@@ -120,6 +121,13 @@ _radix_mt = getattr(_lib, "fq_radix_sort_u64_mt", None)
 if _radix_mt is not None:
     _radix_mt.restype = ctypes.c_int
     _radix_mt.argtypes = [ctypes.c_int64, _u64p, ctypes.c_int]
+_pack_nibbles = getattr(_lib, "fq_pack_nibbles", None)
+if _pack_nibbles is not None:
+    _pack_nibbles.restype = ctypes.c_int
+    _pack_nibbles.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_int64,
+                              ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_int, _u32p]
 _hash_owner = getattr(_lib, "fq_hash_owner_select", None)
 if _hash_owner is not None:
     _hash_owner.restype = ctypes.c_int64
@@ -598,6 +606,43 @@ def hash_rows_native(window: np.ndarray, seed: int, strong: bool = True,
         n, window.strides[0] if w else 0, w,
         ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
         1 if strong else 0, threads, out)
+    return out
+
+
+def pack_nibbles_native(matrix: np.ndarray, lanes: int,
+                        lut: "np.ndarray | None" = None,
+                        threads: int = 0) -> np.ndarray:
+    """uint32 [n, lanes] nibble-packed rows (bit-identical to
+    ops.encode.pack_nibbles), optionally translating raw bytes through a
+    uint8[256] ``lut`` in the same pass.  One C pass over the rows vs
+    numpy's ~10; raises ValueError for unsupported layouts/alphabets so
+    callers fall back to the numpy path."""
+    n, w = matrix.shape
+    if _pack_nibbles is None:
+        raise ValueError("stale _fastq_io.so lacks fq_pack_nibbles")
+    if matrix.dtype != np.uint8:
+        raise ValueError("matrix must be uint8")
+    if n and w and (matrix.strides[1] != 1 or matrix.strides[0] < w):
+        raise ValueError("rows must be forward-strided, columns contiguous")
+    if lut is not None:
+        lut = np.ascontiguousarray(lut, dtype=np.uint8)
+        if lut.shape != (256,):
+            raise ValueError("lut must be uint8[256]")
+    out = np.empty((n, lanes), dtype=np.uint32)
+    if n == 0:
+        return out
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    rc = _pack_nibbles(
+        ctypes.c_void_p(matrix.__array_interface__["data"][0]),
+        n, matrix.strides[0] if w else 0, w,
+        ctypes.c_void_p(lut.__array_interface__["data"][0])
+        if lut is not None else None,
+        lanes, threads, out.reshape(-1))
+    if rc == _FQ_ERR_FORMAT:
+        raise ValueError("pack_nibbles requires alphabet indices < 16")
+    if rc != _FQ_OK:
+        raise MemoryError("fq_pack_nibbles failed")
     return out
 
 

@@ -20,7 +20,7 @@ candidates across length differences up to d, verified by the banded DP in
 
 import functools
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -339,30 +339,39 @@ def choose_host_bucket_cap(sizes: np.ndarray, length: int,
     return best_cap
 
 
-def _host_small_bucket_pairs(matrix: np.ndarray, order: np.ndarray,
-                             starts: np.ndarray,
+def _small_bucket_candidates(order: np.ndarray, starts: np.ndarray,
                              selected: np.ndarray, size: int,
-                             max_distance: int,
                              batch_pairs: int = 1 << 21):
-    """Yield (gi, gj) within-distance pairs for all selected buckets of
-    exactly ``size`` members — fully vectorized on host.
+    """Yield (gi, gj) CANDIDATE pair batches for all selected buckets of
+    exactly ``size`` members (every within-bucket pair, unverified).
 
-    Member lists gather into a [K, size] index matrix, pair templates
-    (triu) expand it to flat (i, j) candidates, and one uint8 row compare
-    per batch verifies the real Hamming distance.
+    Member lists gather into a [K, size] index matrix and pair templates
+    (triu) expand it to flat (i, j) candidates.
     """
     ii_t, jj_t = np.triu_indices(size, k=1)
     members = order[starts[selected][:, None] +
                     np.arange(size, dtype=np.int64)[None, :]]
     gi_all = members[:, ii_t].ravel()
     gj_all = members[:, jj_t].ravel()
+    for start in range(0, len(gi_all), batch_pairs):
+        yield (gi_all[start:start + batch_pairs],
+               gj_all[start:start + batch_pairs])
+
+
+def _host_small_bucket_pairs(matrix: np.ndarray, order: np.ndarray,
+                             starts: np.ndarray,
+                             selected: np.ndarray, size: int,
+                             max_distance: int,
+                             batch_pairs: int = 1 << 21):
+    """Yield (gi, gj) within-distance pairs for all selected buckets of
+    exactly ``size`` members — candidates verified by one uint8 row
+    compare per batch (threaded C fast-fail when available)."""
     try:
         from ..native.loader import hamming_verify_pairs_native
     except ImportError:
         hamming_verify_pairs_native = None
-    for start in range(0, len(gi_all), batch_pairs):
-        gi = gi_all[start:start + batch_pairs]
-        gj = gj_all[start:start + batch_pairs]
+    for gi, gj in _small_bucket_candidates(order, starts, selected, size,
+                                           batch_pairs):
         keep = None
         if hamming_verify_pairs_native is not None:
             # Threaded C with fast-fail exit: no gathered row temporaries.
@@ -372,6 +381,95 @@ def _host_small_bucket_pairs(matrix: np.ndarray, order: np.ndarray,
             mism = np.count_nonzero(matrix[gi] != matrix[gj], axis=1)
             keep = mism <= max_distance
         yield gi[keep], gj[keep]
+
+
+_PAIR_VERIFY_BATCH = 1 << 21
+
+
+class _DevicePairVerifier:
+    """Device-side verification of explicit candidate pair lists.
+
+    The nibble-packed key matrix uploads ONCE; each batch then ships only
+    8 B/pair of indices, gathers the packed rows ON DEVICE, and runs the
+    rowwise XOR+popcount Pallas kernel (ops/pallas_hamming.py — measured
+    at the HBM roofline).  This is the efficient small-bucket device
+    route: cost is proportional to pairs with no per-bucket padding, so
+    the crossover beats the host C verifier as soon as
+    pairs * L / host_rate exceeds the (amortized) pack+upload plus
+    8 B/pair of wire — the dup-dense regime where pairs >> n/2.
+    Bit-identical to the host verify: full-row Hamming <= d.
+    """
+
+    def __init__(self, matrix: np.ndarray, encode_lut, max_distance: int):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .pallas_hamming import ROW_BLOCK, rowwise_within_packed
+
+        n, length = matrix.shape
+        lanes = max(-(-length // 8), 1)
+        try:
+            from ..native.loader import pack_nibbles_native
+            packed = pack_nibbles_native(matrix, lanes, lut=encode_lut)
+        except (ImportError, ValueError):
+            from .encode import pack_nibbles
+            idx = matrix if encode_lut is None else encode_lut[matrix]
+            packed = pack_nibbles(idx, lanes)
+        self._packed = jax.device_put(packed)
+        self._row_block = ROW_BLOCK
+
+        @functools.partial(jax.jit, static_argnames=("d",))
+        def _verify(packed_dev, gi, gj, d):
+            a = jnp.take(packed_dev, gi, axis=0)
+            b = jnp.take(packed_dev, gj, axis=0)
+            return rowwise_within_packed(a, b, d)
+
+        self._fn = _verify
+        self._d = max_distance
+
+    def verify(self, gi: np.ndarray, gj: np.ndarray) -> np.ndarray:
+        """bool mask: full-row Hamming(matrix[gi], matrix[gj]) <= d."""
+        p = len(gi)
+        # Pow-of-two padding bounds the compiled-shape family; padding
+        # pairs compare row 0 with itself (trivially within, sliced off).
+        padded = self._row_block
+        while padded < p:
+            padded <<= 1
+        gi_p = np.zeros(padded, dtype=np.int32)
+        gj_p = np.zeros(padded, dtype=np.int32)
+        gi_p[:p] = gi
+        gj_p[:p] = gj
+        out = np.asarray(self._fn(self._packed, gi_p, gj_p, self._d))
+        return out[:p, 0]
+
+
+def _pairlist_device_wins(pairs: int, n: int, length: int,
+                          first_use: bool,
+                          upload_share: float = 1.0) -> bool:
+    """Measured-rate crossover for the explicit-pair-list device route.
+
+    ``upload_share``: fraction of the one-time pack+upload charged to
+    THIS decision — the packed matrix serves every segment pass of the
+    run, so the first segment charges 1/(d+1) on the expectation that
+    the remaining segments carry similar candidate mass (a mis-estimate
+    only flips a near-tie, and each later segment re-decides with the
+    upload already sunk)."""
+    if pairs == 0:
+        return False
+    host_rate = measured_host_byte_rate()
+    h2d = measured_h2d_rate()
+    dispatch = measured_dispatch_seconds()
+    lanes = max(-(-length // 8), 1)
+    host_cost = pairs * length / host_rate
+    dev_cost = (-(-pairs // _PAIR_VERIFY_BATCH)) * dispatch \
+        + pairs * 9 / h2d            # 8 B indices up + 1 bit + overhead
+    if first_use:
+        # One C pass packs (reads n*L, writes n*4*lanes) + the upload.
+        dev_cost += (n * (length + 4 * lanes) / host_rate
+                     + n * 4 * lanes / h2d) * upload_share
+    return dev_cost < host_cost
 
 
 def _buckets_per_call(size_class: int) -> int:
@@ -553,6 +651,7 @@ def hamming_neighbor_pairs_bucketed(
     inflight = 0
     oversized: List[np.ndarray] = []
     pair_src = {"host": 0, "device": 0}
+    dev_verifier: "Optional[_DevicePairVerifier]" = None
 
     def drain(down_to: int) -> None:
         # Resolve oldest batches until in-flight bytes fall to the target;
@@ -622,8 +721,40 @@ def hamming_neighbor_pairs_bucketed(
         host_cap = choose_host_bucket_cap(sizes, length,
                                           large_bucket_threshold)
         small = (sizes > 1) & (sizes <= host_cap) & owned
-        for s in np.unique(sizes[small]):
+        small_sizes = sizes[small]
+        small_pairs = int((small_sizes.astype(np.int64) *
+                           (small_sizes - 1) // 2).sum())
+        # Explicit-pair-list device route: when the measured rates say
+        # shipping 8 B/pair of indices to the rowwise packed kernel
+        # beats the host C verifier (dup-dense inputs on a locally-
+        # attached chip), verify the small buckets' candidates on
+        # device.  Completeness is unaffected — only WHERE candidates
+        # are verified changes, and both verifiers compute the same
+        # full-row Hamming predicate.
+        use_dev_pairs = (
+            small_pairs > 0 and alphabet_size <= 16 and n < (1 << 31)
+            and _pairlist_device_wins(
+                small_pairs, n, length,
+                first_use=dev_verifier is None,
+                upload_share=1.0 / (max_distance + 1)))
+        if use_dev_pairs and dev_verifier is None:
+            try:
+                dev_verifier = _DevicePairVerifier(matrix, encode_lut,
+                                                   max_distance)
+            except Exception:
+                dev_verifier = None
+                use_dev_pairs = False
+        for s in np.unique(small_sizes):
             selected = np.flatnonzero(small & (sizes == s))
+            if use_dev_pairs:
+                for gi, gj in _small_bucket_candidates(
+                        order, starts, selected, int(s)):
+                    keep = dev_verifier.verify(gi, gj)
+                    gi, gj = gi[keep], gj[keep]
+                    pair_src["device"] += len(gi)
+                    pair_codes.append(np.minimum(gi, gj) * n +
+                                      np.maximum(gi, gj))
+                continue
             for gi, gj in _host_small_bucket_pairs(
                     matrix, order, starts, selected, int(s),
                     max_distance):

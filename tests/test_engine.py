@@ -495,3 +495,53 @@ def test_edit_candidate_completeness_brute_force():
         for j in range(i + 1, len(uniq)):
             if within_distance(strs[i], strs[j], 1, True):
                 assert (i, j) in cand, (strs[i], strs[j])
+
+
+def test_pairlist_device_route_matches_host(monkeypatch):
+    import re
+    """Forcing the explicit-pair-list device route (rates that make the
+    rowwise kernel win) must produce the identical pair set."""
+    import numpy as np
+
+    from fastqdedup_tpu.ops.bucket import hamming_neighbor_pairs_bucketed
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 5, size=(30, 40), dtype=np.uint8)
+    rows = [base]
+    for _ in range(7):  # dense near-duplicate neighborhoods: the pair
+        m = base.copy()  # graph must outweigh the modeled pack cost
+        idx = rng.integers(0, 40, size=len(m))
+        m[np.arange(len(m)), idx] = rng.integers(0, 5, size=len(m))
+        rows.append(m)
+    matrix = np.unique(np.concatenate(rows), axis=0)
+
+    want = hamming_neighbor_pairs_bucketed(matrix, 5, 1)
+    monkeypatch.setenv("FASTQDEDUP_DISPATCH_S", "1e-9")
+    monkeypatch.setenv("FASTQDEDUP_H2D_RATE", "1e15")
+    monkeypatch.setenv("FASTQDEDUP_HOST_RATE", "1.0")  # host "slow"
+    import logging
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("fastqdedup")
+    handler = Grab(level=logging.DEBUG)
+    old = logger.level
+    logger.setLevel(logging.DEBUG)
+    logger.addHandler(handler)
+    try:
+        got = hamming_neighbor_pairs_bucketed(matrix, 5, 1)
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old)
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(got[1], want[1])
+    splits = [re.search(r"pairs host=(\d+) device=(\d+)", m)
+              for m in records]
+    splits = [m for m in splits if m]
+    assert splits, "bucketed debug line missing"
+    host = sum(int(m.group(1)) for m in splits)
+    device = sum(int(m.group(2)) for m in splits)
+    assert device > 0 and device >= host, (host, device)
