@@ -276,26 +276,46 @@ def _bucket_group_body(scal_ref, sym_ref, pack_ref, batch_ref, out_ref,
     max_distance = scal_ref[0, 1]
     sym = sym_ref[:]
 
-    def bucket(g, carry):
-        rows = batch_ref[g].astype(jnp.int32)
-        oh = (pltpu.repeat(rows, alphabet_pad, axis=1) == sym).astype(
-            jnp.int8)
-        matches = jax.lax.dot_general(
-            oh, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        within = ((length - matches) <= max_distance).astype(jnp.int8)
-        packed = jax.lax.dot_general(
-            within, pack_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        out_ref[g] = packed.astype(jnp.uint8)
-        return carry
-
-    jax.lax.fori_loop(0, group, bucket, 0)
+    # One BATCHED expansion + contraction for the whole group: the
+    # per-iteration fori_loop overhead (dynamic slab index, per-bucket
+    # dot setup) was this class's binding constraint — measured 10.0%
+    # of MXU peak looped vs batched (BASELINE.md round-5 class table).
+    # VMEM: the [G, S, E] int8 one-hot is ~1.1 MB at G=16, E=560.
+    rows = batch_ref[:].astype(jnp.int32)                 # [G, S, Lp]
+    oh = (pltpu.repeat(rows, alphabet_pad, axis=2)
+          == sym.reshape(1, 1, -1)).astype(jnp.int8)      # [G, S, E]
+    matches = jax.lax.dot_general(
+        oh, oh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                 # [G, S, S]
+    within = ((length - matches) <= max_distance).astype(jnp.int8)
+    packed = jax.lax.dot_general(
+        within, pack_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                 # [G, S, S//8]
+    out_ref[:] = packed.astype(jnp.uint8)
 
 
 # Buckets folded into one grid program for the single-slab size class.
-_BUCKET_GROUP = 16
+# Upper bound; the actual group adapts to the geometry's VMEM footprint.
+_BUCKET_GROUP = 64
+
+
+def _bucket_group(l_pad: int, alphabet_pad: int) -> int:
+    """Buckets per grid program for the S=128 class, from VMEM budget.
+
+    The batched one-hot [G, S, E] int8 and the [G, S, S] int32 match
+    tensor dominate; ~12 MB of the ~16 MB VMEM keeps headroom for the
+    batch/output blocks and Mosaic temporaries.  Larger G amortizes
+    per-program overhead (measured 10.0% -> 27.1% of MXU peak at
+    L=100/A=5 going from per-bucket loops to G=64 batched)."""
+    e = l_pad * alphabet_pad
+    per_bucket = TILE_M * e + TILE_M * TILE_M * 4 \
+        + TILE_M * (l_pad + TILE_M // 8 + TILE_M)
+    budget = (12 << 20) // max(per_bucket, 1)
+    for cand in (64, 32, 16, 8):
+        if budget >= cand:
+            return cand
+    return 8
 
 
 def _bit_pack_matrix(m: int) -> "jax.Array":
@@ -327,13 +347,14 @@ def bucket_within_packed(batch: jax.Array, scalars: jax.Array,
     pos = jnp.arange(expanded, dtype=jnp.int32)
     sym = ((pos // l_pad + pos % l_pad) % alphabet_pad).reshape(1, -1)
     pack = _bit_pack_matrix(s)
-    if s == TILE_M and k % _BUCKET_GROUP == 0:
+    group = _bucket_group(l_pad, alphabet_pad)
+    if s == TILE_M and k % group == 0:
         grouped = functools.partial(_bucket_group_body,
                                     alphabet_pad=alphabet_pad,
-                                    group=_BUCKET_GROUP)
+                                    group=group)
         return pl.pallas_call(
             grouped,
-            grid=(k // _BUCKET_GROUP,),
+            grid=(k // group,),
             in_specs=[
                 pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -341,10 +362,10 @@ def bucket_within_packed(batch: jax.Array, scalars: jax.Array,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((s, s // 8), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BUCKET_GROUP, s, l_pad), lambda i: (i, 0, 0),
+                pl.BlockSpec((group, s, l_pad), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((_BUCKET_GROUP, s, s // 8),
+            out_specs=pl.BlockSpec((group, s, s // 8),
                                    lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((k, s, s // 8), jnp.uint8),
