@@ -91,7 +91,7 @@ _pool_bytes = 0
 
 
 def _default_pool_limit() -> int:
-    """Pool capacity: RAM/6, floor 2 GiB.
+    """Pool capacity: RAM/4, floor 2 GiB.
 
     At 100M-read scale the recyclable working set (3.1 GiB key table,
     ~7 GiB record arena, parse buffers, exchange columns) far exceeds
@@ -108,7 +108,7 @@ def _default_pool_limit() -> int:
         total = page * phys
     except (ValueError, OSError, AttributeError):
         total = 0
-    return max(2 * 1024 ** 3, total // 6)
+    return max(2 * 1024 ** 3, total // 4)
 
 
 _pool_limit = int(os.environ.get("FASTQDEDUP_POOL_LIMIT", 0)) or \
