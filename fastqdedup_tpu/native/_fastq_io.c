@@ -1855,6 +1855,158 @@ void fq_hash_rows(const unsigned char *base, int64_t n, int64_t row_stride,
         pthread_join(tids[t], NULL);
 }
 
+/* Lexicographic rank of fixed-width byte rows (threaded sample sort).
+ *
+ * rank[i] = position of row i in the ascending memcmp order of all m
+ * rows, ties broken by row index — exactly numpy's stable void argsort
+ * (np.argsort(void, kind="stable") then rank[order] = arange), which
+ * the dissection paths need for the reference's lexicographic
+ * tie-breaking (__init__.py:68,99-111) but which numpy computes 5-10x
+ * slower (indirect void comparisons, single thread).
+ *
+ * Parallel plan: sort a sample to pick nthreads-1 splitter rows, bucket
+ * every row by binary search over the splitters (one pass, threaded),
+ * then qsort each bucket on its own thread.  Buckets are contiguous
+ * rank ranges, so rank assignment is a per-bucket sequential sweep. */
+
+typedef struct {
+    const unsigned char *mat;
+    int64_t width;
+} RowCmpCtx;
+
+static int row_cmp_r(const void *a, const void *b, void *arg) {
+    RowCmpCtx *c = (RowCmpCtx *)arg;
+    int64_t ia = *(const int64_t *)a, ib = *(const int64_t *)b;
+    int r = memcmp(c->mat + ia * c->width, c->mat + ib * c->width,
+                   (size_t)c->width);
+    if (r) return r;
+    return ia < ib ? -1 : (ia > ib ? 1 : 0);
+}
+
+typedef struct {
+    const unsigned char *mat;
+    int64_t width, lo, hi, nbuckets;
+    const int64_t *splitters;   /* row ids of nbuckets-1 ascending rows */
+    int64_t *bucket_of;         /* out: bucket id per row */
+    int64_t *counts;            /* out: per-bucket counts (private) */
+} RankClassifyWork;
+
+static void *rank_classify_worker(void *arg) {
+    RankClassifyWork *w = (RankClassifyWork *)arg;
+    for (int64_t i = w->lo; i < w->hi; i++) {
+        int64_t lo = 0, hi = w->nbuckets - 1;  /* buckets [0, n-1] */
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            int64_t s = w->splitters[mid];
+            int r = memcmp(w->mat + i * w->width,
+                           w->mat + s * w->width, (size_t)w->width);
+            if (r < 0 || (r == 0 && i < s)) hi = mid;
+            else lo = mid + 1;
+        }
+        w->bucket_of[i] = lo;
+        w->counts[lo]++;
+    }
+    return NULL;
+}
+
+typedef struct {
+    RowCmpCtx ctx;
+    int64_t *order;     /* this bucket's slice */
+    int64_t count;      /* rows in the bucket */
+    int64_t rank_base;  /* global rank of the bucket's first row */
+    int64_t *rank_out;
+} RankSortWork;
+
+static void *rank_sort_worker(void *arg) {
+    RankSortWork *w = (RankSortWork *)arg;
+    qsort_r(w->order, (size_t)w->count, sizeof(int64_t), row_cmp_r,
+            &w->ctx);
+    for (int64_t k = 0; k < w->count; k++)
+        w->rank_out[w->order[k]] = w->rank_base + k;
+    return NULL;
+}
+
+int fq_rank_rows(const unsigned char *mat, int64_t m, int64_t width,
+                 int nthreads, int64_t *scratch /* >= 2m + 64*threads */,
+                 int64_t *rank_out) {
+    if (m <= 0) return FQ_OK;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > HASH_ROWS_MAX_THREADS) nthreads = HASH_ROWS_MAX_THREADS;
+    if (m < 32768) nthreads = 1;
+    RowCmpCtx ctx = {mat, width};
+    int64_t *order = scratch;            /* [m] */
+    int64_t *bucket_of = scratch + m;    /* [m] */
+    if (nthreads == 1) {
+        for (int64_t i = 0; i < m; i++) order[i] = i;
+        RankSortWork w = {ctx, order, m, 0, rank_out};
+        rank_sort_worker(&w);
+        return FQ_OK;
+    }
+    int64_t nbuckets = nthreads;
+    /* Sample 64 rows per bucket, sort them, take quantile splitters. */
+    int64_t nsample = 64 * nbuckets;
+    if (nsample > m) nsample = m;
+    int64_t *sample = scratch + 2 * m;   /* [nsample] */
+    int64_t step = m / nsample;
+    for (int64_t k = 0; k < nsample; k++) sample[k] = k * step;
+    qsort_r(sample, (size_t)nsample, sizeof(int64_t), row_cmp_r, &ctx);
+    int64_t splitters[HASH_ROWS_MAX_THREADS];
+    for (int64_t b = 0; b + 1 < nbuckets; b++)
+        splitters[b] = sample[(b + 1) * nsample / nbuckets];
+
+    RankClassifyWork cworks[HASH_ROWS_MAX_THREADS];
+    int64_t counts[HASH_ROWS_MAX_THREADS][HASH_ROWS_MAX_THREADS];
+    memset(counts, 0, sizeof(counts));
+    pthread_t tids[HASH_ROWS_MAX_THREADS];
+    int64_t per = m / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        cworks[t].mat = mat;
+        cworks[t].width = width;
+        cworks[t].lo = t * per;
+        cworks[t].hi = (t == nthreads - 1) ? m : (t + 1) * per;
+        cworks[t].nbuckets = nbuckets;
+        cworks[t].splitters = splitters;
+        cworks[t].bucket_of = bucket_of;
+        cworks[t].counts = counts[t];
+    }
+    for (int t = 1; t < nthreads; t++)
+        pthread_create(&tids[t], NULL, rank_classify_worker, &cworks[t]);
+    rank_classify_worker(&cworks[0]);
+    for (int t = 1; t < nthreads; t++)
+        pthread_join(tids[t], NULL);
+
+    /* Bucket starts, then scatter row ids into their bucket slices in
+     * ascending row order (per-thread slices scanned in order keep the
+     * scatter deterministic; ordering within a bucket is finalized by
+     * the qsort anyway). */
+    int64_t bucket_start[HASH_ROWS_MAX_THREADS + 1];
+    bucket_start[0] = 0;
+    for (int64_t b = 0; b < nbuckets; b++) {
+        int64_t total = 0;
+        for (int t = 0; t < nthreads; t++) total += counts[t][b];
+        bucket_start[b + 1] = bucket_start[b] + total;
+    }
+    int64_t cursor[HASH_ROWS_MAX_THREADS];
+    for (int64_t b = 0; b < nbuckets; b++) cursor[b] = bucket_start[b];
+    for (int64_t i = 0; i < m; i++)
+        order[cursor[bucket_of[i]]++] = i;
+
+    RankSortWork sworks[HASH_ROWS_MAX_THREADS];
+    for (int64_t b = 0; b < nbuckets; b++) {
+        sworks[b].ctx = ctx;
+        sworks[b].order = order + bucket_start[b];
+        sworks[b].count = bucket_start[b + 1] - bucket_start[b];
+        sworks[b].rank_base = bucket_start[b];
+        sworks[b].rank_out = rank_out;
+    }
+    for (int64_t b = 1; b < nbuckets; b++)
+        pthread_create(&tids[b], NULL, rank_sort_worker, &sworks[b]);
+    rank_sort_worker(&sworks[0]);
+    for (int64_t b = 1; b < nbuckets; b++)
+        pthread_join(tids[b], NULL);
+    return FQ_OK;
+}
+
 /* Nibble packing for the device rowwise pair verifier.
  *
  * C twin of ops/encode.pack_nibbles: pack a [n, L] index matrix (values

@@ -121,6 +121,12 @@ _radix_mt = getattr(_lib, "fq_radix_sort_u64_mt", None)
 if _radix_mt is not None:
     _radix_mt.restype = ctypes.c_int
     _radix_mt.argtypes = [ctypes.c_int64, _u64p, ctypes.c_int]
+_rank_rows = getattr(_lib, "fq_rank_rows", None)
+if _rank_rows is not None:
+    _rank_rows.restype = ctypes.c_int
+    _rank_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                           ctypes.c_int64, ctypes.c_int,
+                           _i64p, _i64p]
 _pack_nibbles = getattr(_lib, "fq_pack_nibbles", None)
 if _pack_nibbles is not None:
     _pack_nibbles.restype = ctypes.c_int
@@ -607,6 +613,35 @@ def hash_rows_native(window: np.ndarray, seed: int, strong: bool = True,
         ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
         1 if strong else 0, threads, out)
     return out
+
+
+def rank_rows_native(matrix: np.ndarray, threads: int = 0) -> np.ndarray:
+    """int64 [m] lexicographic rank of the rows of a contiguous uint8
+    [m, w] matrix — bit-identical to
+    ``rank[np.argsort(matrix.view(void), kind="stable")] = arange(m)``
+    (memcmp order, ties by row index), via a threaded C sample sort.
+    Raises ValueError for layouts the C loop cannot walk."""
+    m, w = matrix.shape
+    if _rank_rows is None:
+        raise ValueError("stale _fastq_io.so lacks fq_rank_rows")
+    if matrix.dtype != np.uint8:
+        raise ValueError("matrix must be uint8")
+    if m and w and (matrix.strides[1] != 1 or matrix.strides[0] != w):
+        raise ValueError("matrix must be C-contiguous")
+    rank = np.empty(m, dtype=np.int64)
+    if m == 0:
+        return rank
+    if w == 0:
+        return np.arange(m, dtype=np.int64)
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    scratch = np.empty(2 * m + 64 * 8, dtype=np.int64)
+    rc = _rank_rows(
+        ctypes.c_void_p(matrix.__array_interface__["data"][0]),
+        m, w, threads, scratch, rank)
+    if rc != _FQ_OK:
+        raise MemoryError("fq_rank_rows failed")
+    return rank
 
 
 def pack_nibbles_native(matrix: np.ndarray, lanes: int,

@@ -1614,9 +1614,17 @@ def _deduplicate_cluster_impl(
         def member_rank(members: np.ndarray) -> np.ndarray:
             """int64 [m] ascending lexicographic rank of the members' raw
             key strings (shorter-prefix-first across mixed lengths, i.e.
-            Python str order, via zero-padded byte rows)."""
-            padded = member_bytes(members)
-            void = np.ascontiguousarray(padded).view(
+            Python str order, via zero-padded byte rows).  Threaded C
+            sample sort when available (5-10x numpy's void argsort at
+            millions of members); members are distinct keys, so the
+            memcmp order is total either way."""
+            padded = np.ascontiguousarray(member_bytes(members))
+            try:
+                from .native.loader import rank_rows_native
+                return rank_rows_native(padded)
+            except (ImportError, ValueError):
+                pass
+            void = padded.view(
                 np.dtype((np.void, padded.shape[1]))).ravel()
             rank = np.empty(len(members), dtype=np.int64)
             rank[np.argsort(void, kind="stable")] = \
@@ -1650,12 +1658,16 @@ def _deduplicate_cluster_impl(
             moffs = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=moffs[1:])
             eoff = np.repeat(moffs, elens)
-            padded = member_bytes(members_b)
-            void_b = np.ascontiguousarray(padded).view(
-                np.dtype((np.void, padded.shape[1]))).ravel()
-            rank_b = np.empty(len(members_b), dtype=np.int64)
-            rank_b[np.argsort(void_b, kind="stable")] = \
-                np.arange(len(members_b), dtype=np.int64)
+            padded = np.ascontiguousarray(member_bytes(members_b))
+            try:
+                from .native.loader import rank_rows_native
+                rank_b = rank_rows_native(padded)
+            except (ImportError, ValueError):
+                void_b = padded.view(
+                    np.dtype((np.void, padded.shape[1]))).ravel()
+                rank_b = np.empty(len(members_b), dtype=np.int64)
+                rank_b[np.argsort(void_b, kind="stable")] = \
+                    np.arange(len(members_b), dtype=np.int64)
             kept_b = dissect_indices_batched(
                 method_name, counts_arr[members_b], rank_b, lens,
                 el_i[epos] + eoff, el_j[epos] + eoff)

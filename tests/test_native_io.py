@@ -597,3 +597,21 @@ def test_bgzf_boundary_and_range_units(tmp_path):
         f.write(data)
     assert count_bgzf_range_units(str(plain), 0, -1) is None
     assert bgzf_boundary(str(plain), 0) is None
+
+
+def test_rank_rows_native_matches_stable_void_argsort():
+    import numpy as np
+
+    from fastqdedup_tpu.native.loader import rank_rows_native
+
+    rng = np.random.default_rng(4)
+    for m, w in ((1, 5), (37, 3), (4096, 17), (100000, 64)):
+        mat = rng.integers(0, 256, size=(m, w), dtype=np.uint8)
+        if m > 10:
+            mat[m // 2:m // 2 + 4] = mat[0]      # exact duplicates
+            mat[1:m:5, :w // 2] = mat[0, :w // 2]  # shared prefixes
+        void = np.ascontiguousarray(mat).view(
+            np.dtype((np.void, w))).ravel()
+        want = np.empty(m, dtype=np.int64)
+        want[np.argsort(void, kind="stable")] = np.arange(m)
+        assert np.array_equal(rank_rows_native(mat), want), (m, w)
