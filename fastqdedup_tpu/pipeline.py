@@ -1748,7 +1748,13 @@ def _deduplicate_cluster_impl(
     # The run is done with the key table: recycle its backing buffers
     # (the accumulator export / merged-exchange columns, ~L bytes/key)
     # into the process buffer pool so the next run skips re-faulting
-    # them.  Refcount-gated — a live view anywhere makes it a no-op.
+    # them.  Refcount-gated — a live view anywhere makes it a no-op,
+    # so collect cyclic garbage first: a traceback/frame cycle that
+    # happens to reference a column view silently blocks the recycle of
+    # a multi-GiB table (measured: per-rep finalize flapping 2 s <-> 18 s
+    # at 100M reads with the reject tracing to gc-pending referrers).
+    import gc
+    gc.collect()
     groups.dispose()
 
 
