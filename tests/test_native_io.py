@@ -615,3 +615,57 @@ def test_rank_rows_native_matches_stable_void_argsort():
         want = np.empty(m, dtype=np.int64)
         want[np.argsort(void, kind="stable")] = np.arange(m)
         assert np.array_equal(rank_rows_native(mat), want), (m, w)
+
+
+def test_pack_nibbles_native_matches_numpy():
+    import numpy as np
+
+    from fastqdedup_tpu.native.loader import pack_nibbles_native
+    from fastqdedup_tpu.ops.encode import pack_nibbles
+
+    rng = np.random.default_rng(6)
+    for m, w in ((1, 1), (33, 7), (5000, 100)):
+        lanes = max(-(-w // 8), 1)
+        mat = rng.integers(0, 5, size=(m, w), dtype=np.uint8)
+        assert np.array_equal(pack_nibbles_native(mat, lanes),
+                              pack_nibbles(mat, lanes))
+    # raw bytes through a LUT in the same pass
+    lut = np.full(256, 255, np.uint8)
+    for i, c in enumerate(b"ACGTN"):
+        lut[c] = i
+    idx = rng.integers(0, 5, size=(2000, 57), dtype=np.uint8)
+    raw = np.frombuffer(b"ACGTN", dtype=np.uint8)[idx]
+    assert np.array_equal(pack_nibbles_native(raw, 8, lut=lut),
+                          pack_nibbles(idx, 8))
+    # out-of-range index raises
+    import pytest
+    bad = np.full((10, 4), 16, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        pack_nibbles_native(bad, 1)
+
+
+def test_hash_owner_select_native_matches_numpy():
+    import numpy as np
+
+    from fastqdedup_tpu.native.loader import hash_owner_select_native
+    from fastqdedup_tpu.ops.bucket import _MASK64, _hash_window_rows
+    from fastqdedup_tpu.parallel.distributed import bucket_owner_mask
+
+    rng = np.random.default_rng(7)
+    win = rng.integers(0, 256, size=(70000, 50), dtype=np.uint8)
+    w = 50
+    seed = (0x9E3779B97F4A7C15 * (w + 0x10001) + 0x85EBCA6B) & _MASK64
+    ref_h = _hash_window_rows(win, w, strong=False)
+    for seg in (0, 1):
+        salt_mix = (0x9E3779B97F4A7C15 * (seg + 1)) & _MASK64
+        for nproc in (2, 3, 4):
+            got_union = 0
+            for pid in range(nproc):
+                want = np.flatnonzero(
+                    bucket_owner_mask(ref_h, seg, pid, nproc))
+                idx, h = hash_owner_select_native(
+                    win, seed, salt_mix, pid, nproc)
+                assert np.array_equal(idx, want), (seg, nproc, pid)
+                assert np.array_equal(h, ref_h[want])
+                got_union += len(idx)
+            assert got_union == len(win)  # every row owned exactly once
