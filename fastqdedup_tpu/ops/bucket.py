@@ -653,6 +653,40 @@ def hamming_neighbor_pairs_bucketed(
     pair_src = {"host": 0, "device": 0}
     dev_verifier: "Optional[_DevicePairVerifier]" = None
 
+    # Multi-host: shard the per-row bucket hashing itself.  Each host
+    # hashes only its 1/P row block for EVERY segment, one column
+    # all-gather distributes the u64 hashes (8 B/row/segment — far less
+    # than re-reading the full key table per segment on every host), and
+    # ownership + owned-row compaction run locally from the gathered
+    # values with the exact formula of the fused C path
+    # (mix64(hash ^ salt_mix) % nproc), so the bucket->host partition is
+    # unchanged.  This removes the last ~n-proportional replicated term
+    # of pair generation (BASELINE.md round-4 budget: ~0.15 s/host at
+    # P=4, 2.5M keys).  Gated to large tables: each call adds one
+    # collective, which only pays for itself once the replicated hash
+    # work dominates the collective's latency floor.
+    seg_list = segment_bounds(length, max_distance + 1)
+    gathered_hashes: "Optional[np.ndarray]" = None
+    shard_hash_min = int(os.environ.get(
+        "FASTQDEDUP_SHARD_HASH_MIN_ROWS", str(1 << 20)))
+    if nproc > 1 and n >= shard_hash_min and _live_process_count() == nproc:
+        # The process-count check keeps the single-process simulated
+        # sharding contract intact (tests call shard=(p, P) in ONE
+        # process, where the all-gather would be a no-op and the
+        # gathered block would silently stand in for the full table).
+        blk_lo = pid * n // nproc
+        blk_hi = (pid + 1) * n // nproc
+        local = np.empty((len(seg_list), blk_hi - blk_lo), dtype=np.int64)
+        for si, (a, b) in enumerate(seg_list):
+            local[si] = _hash_window_rows(
+                matrix[blk_lo:blk_hi, a:b], b - a,
+                strong=False).view(np.int64)
+        from ..parallel.distributed import allgather_int64_cols
+        g, _ = allgather_int64_cols(local)
+        gathered_hashes = g.view(np.uint64)
+        del g  # keep exactly one live view so release() can recycle
+        _mark("hash")
+
     def drain(down_to: int) -> None:
         # Resolve oldest batches until in-flight bytes fall to the target;
         # device compute and D2H of the still-queued batches overlap the
@@ -675,11 +709,20 @@ def hamming_neighbor_pairs_bucketed(
     # whenever total in-flight device memory would exceed the budget —
     # inputs with many near-threshold buckets must not pile unbounded
     # [K,S,S] outputs onto the device.
-    for seg_index, (seg_start, seg_end) in enumerate(
-            segment_bounds(length, max_distance + 1)):
+    for seg_index, (seg_start, seg_end) in enumerate(seg_list):
         _t0[0] = _time.perf_counter()
         window = matrix[:, seg_start:seg_end]
-        if nproc > 1:
+        if gathered_hashes is not None:
+            h = gathered_hashes[seg_index]
+            salt_mix = np.uint64(
+                (0x9E3779B97F4A7C15 * (seg_index + 1)) & _MASK64)
+            owner = _mix64(h ^ salt_mix)
+            owner %= np.uint64(nproc)
+            mine = np.flatnonzero(owner == np.uint64(pid))
+            _mark("hash")
+            order, starts, ends = _bucket_slices_of_hashes(h[mine])
+            order = mine[order]
+        elif nproc > 1:
             # Ownership is a salted mix of the segment-content hash, so
             # it is computable PER ROW before any grouping: every member
             # of a bucket shares the hash, hence the owner.  Each host
@@ -790,6 +833,11 @@ def hamming_neighbor_pairs_bucketed(
         _mark("launch")
         for b in np.flatnonzero((sizes > over_cutoff) & owned):
             oversized.append((order[starts[b]:ends[b]], seg))
+    if gathered_hashes is not None:
+        from ..runtime import release
+        del h  # the last per-segment view into the gathered buffer
+        release(gathered_hashes)
+        gathered_hashes = None
     drain(0)
     # Oversized buckets: dedicated all-pairs sweep per bucket (same
     # segment-complement reduction + per-pair segment re-check).
@@ -830,6 +878,15 @@ def hamming_neighbor_pairs_bucketed(
 
 
 _MASK64 = (1 << 64) - 1
+
+
+def _live_process_count() -> int:
+    """Actual jax.distributed process count (1 when uninitialized)."""
+    try:
+        import jax
+        return jax.process_count()
+    except Exception:
+        return 1
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:

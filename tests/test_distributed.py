@@ -65,12 +65,18 @@ def test_bucket_round_robin_multi_device():
     assert got == set(zip(wi.tolist(), wj.tolist()))
 
 
-def test_two_process_jax_distributed_parity(tmp_path):
+@pytest.mark.parametrize("shard_hash", [False, True])
+def test_two_process_jax_distributed_parity(tmp_path, shard_hash):
     """Real 2-process jax.distributed run: both processes execute the SAME
     deduplicate_cluster invocation on the same inputs; the merged output
     must be byte-identical to a single-host run.  (VERDICT round 1 item 1:
     per-host chunk shards, bucket-hash pair ownership, vectorized kept-key
-    exchange.)"""
+    exchange.)
+
+    ``shard_hash=True`` forces the sharded bucket-hash exchange (each
+    host hashes 1/P of the rows, one hash-column all-gather; production
+    gate is >= 2^20 rows) so its collective path is exercised by a real
+    multi-process run, not just the simulated-shard contract tests."""
     import gzip
     import os
     import random
@@ -117,6 +123,8 @@ deduplicate_cluster([{str(src)!r}], [{str(dist_out)!r}], None, 1, 0.001,
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    if shard_hash:
+        env["FASTQDEDUP_SHARD_HASH_MIN_ROWS"] = "1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # Deliberately EXCLUDE any inherited PYTHONPATH: this machine's
     # sitecustomize imports jax at interpreter startup, which initializes
