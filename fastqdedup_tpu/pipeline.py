@@ -611,8 +611,16 @@ def _finalize_groups(key_data: np.ndarray, key_offsets: np.ndarray,
             # keys, deterministic order — no sort, no duplicate collapse.
             sv = void
             if uniform_length:
-                sc = counts
-                sp = first_pos
+                # Full-slice views, NOT the caller's array objects: the
+                # runtime pool's refcount gate detects aliasing by
+                # counting view objects on the base, so handing the SAME
+                # object to both ``groups`` and a caller that later
+                # release()s its export would let the buffer recycle
+                # while groups still reads it (measured: corrupted
+                # counts at 100M when the partition's composite-sort
+                # scratch landed on the recycled counts base).
+                sc = counts[:]
+                sp = first_pos[:]
             else:
                 sc = counts[sel]
                 sp = first_pos[sel]
@@ -982,9 +990,11 @@ def _render_and_recycle(store, chunks, is_new, base, chunk_index,
         # pages.  Deferred by one chunk because the current tuple was
         # just rendered in this frame.
         from .runtime import release
-        for buffer in recycle_bin:
-            release(buffer)
-        recycle_bin.clear()
+        # pop() before release: iterating leaves both the list entry and
+        # the loop variable alive during the call, which trips the
+        # refcount gate for entries that are base arrays.
+        while recycle_bin:
+            release(recycle_bin.pop())
         if chunks is not None:
             for chunk in chunks:
                 if chunk.pool_bases is not None:
@@ -1347,9 +1357,11 @@ def _deduplicate_cluster_impl(
         mask_future = None
         item = chunks = None  # FastqChunk views pin the parse buffers
         from .runtime import release
-        for buffer in recycle_bin:
-            release(buffer)
-        recycle_bin.clear()
+        # pop() before release: iterating leaves both the list entry and
+        # the loop variable alive during the call, which trips the
+        # refcount gate for entries that are base arrays.
+        while recycle_bin:
+            release(recycle_bin.pop())
     if parallel_parts is not None and cached_chunks:
         # Range readers interleave arbitrarily; pass 3 walks the cache in
         # file order.
@@ -1424,9 +1436,18 @@ def _deduplicate_cluster_impl(
         del kd2, ko2, kc2, kp2
         debug_phase("finalize/group")
     else:
+        kd, ko, kc, kp = allgather_key_tables(*accumulator.export())
         groups = _finalize_groups(
-            *allgather_key_tables(*accumulator.export()),
-            single_table=(nproc == 1 and collapsed))
+            kd, ko, kc, kp, single_table=(nproc == 1 and collapsed))
+        # Recycle whichever export columns _finalize_groups did NOT
+        # alias into ``groups`` (the refcount gate makes release a no-op
+        # for aliased ones — those recycle at groups.dispose()).  The
+        # offsets column in particular is never aliased, and without
+        # this it re-faulted 240 MiB per run at 100M reads.
+        from .runtime import release as _release
+        for _buf in (kd, ko, kc, kp):
+            _release(_buf)
+        del kd, ko, kc, kp, _buf
     accumulator.close()
     debug_phase("finalize-key-tables")
     if logger.isEnabledFor(logging.DEBUG):
@@ -1808,9 +1829,16 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
     write_error: List[BaseException] = []
 
     def write_worker():
+        # Release DEFERRED by one item: an immediate release races the
+        # producer's `selected = None` (the producer may still bind the
+        # buffer for a few instructions after put()), which silently
+        # failed the refcount gate for ~2-3 gather buffers per run.
+        pending = None
         while True:
             item = write_queue.get()
             if item is None:
+                if pending is not None:
+                    release(pending)
                 return
             index, chunk_id, payload = item
             try:
@@ -1823,7 +1851,10 @@ def _write_from_record_store(output_files: List[str], groups: KeyGroups,
                     else:
                         writers[index].write(payload)
                     del item
-                    release(payload)  # refcount-gated; no-op if aliased
+                    if pending is not None:
+                        release(pending)  # refcount-gated
+                    pending = payload
+                    payload = None
             except BaseException as exc:  # surfaced after join
                 write_error.append(exc)
 

@@ -185,6 +185,23 @@ def _reject_debug(arr: np.ndarray, base: np.ndarray, why: str) -> None:
     print(f"pool-reject[{why}] {base.nbytes >> 20}MiB "
           f"rc={_sys.getrefcount(base)} owndata={base.flags.owndata} "
           f"via {site}", file=_sys.stderr, flush=True)
+    if why == "refcount" and os.environ.get(
+            "FASTQDEDUP_POOL_REFTRACE") == "1":
+        # Name live frame locals (across all threads) aliasing the base.
+        for tid, frame in _sys._current_frames().items():
+            f = frame
+            while f is not None:
+                for name, val in list(f.f_locals.items()):
+                    hit = val is base or (
+                        isinstance(val, np.ndarray)
+                        and val.base is base)
+                    if hit:
+                        print(f"  alias: thread {tid} "
+                              f"{os.path.basename(f.f_code.co_filename)}:"
+                              f"{f.f_lineno} {f.f_code.co_name}() "
+                              f"local '{name}'",
+                              file=_sys.stderr, flush=True)
+                f = f.f_back
 
 
 def big_empty(shape, dtype=np.uint8) -> np.ndarray:
@@ -273,7 +290,9 @@ def tune_host_allocator() -> None:
         #    tables): served by mmap, whose fresh-page faults measure
         #    ~0.8 s/GiB here versus 5-18 s/GiB for brk-grown heap pages,
         #    and whose realloc growth is an mremap instead of a copy.
-        libc.mallopt(-3, 128 << 20)  # M_MMAP_THRESHOLD
+        mmap_threshold = int(os.environ.get(
+            "FASTQDEDUP_MMAP_THRESHOLD", str(128 << 20)))
+        libc.mallopt(-3, mmap_threshold)  # M_MMAP_THRESHOLD
         libc.mallopt(-1, (1 << 31) - (1 << 12))  # M_TRIM_THRESHOLD
         # M_TRIM_THRESHOLD only governs the main arena's sbrk trim.  The
         # worker threads (parse, inflate, accumulate, render, writer)
