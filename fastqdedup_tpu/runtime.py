@@ -91,7 +91,7 @@ _pool_bytes = 0
 
 
 def _default_pool_limit() -> int:
-    """Pool capacity: RAM/4, floor 2 GiB.
+    """Pool capacity: 2/5 of RAM, floor 2 GiB.
 
     At 100M-read scale the recyclable working set (3.1 GiB key table,
     ~7 GiB record arena, parse buffers, exchange columns) far exceeds
@@ -100,7 +100,10 @@ def _default_pool_limit() -> int:
     buffers stay MAPPED, and mapped pages stay cheap under virtio free
     page reporting — retaining them across runs is the documented
     mitigation (BASELINE.md "Measurement environment"), and a service
-    holding its steady-state working set resident is the intent.
+    holding its steady-state working set resident is the intent.  RAM/4
+    proved exactly one buffer too small at 100M reads: the ~21 GiB of
+    parse chunks released at run end filled the cap, so the 3 GiB key
+    table — released last, re-needed first — was the one dropped.
     FASTQDEDUP_POOL_LIMIT overrides (bytes)."""
     try:
         page = os.sysconf("SC_PAGE_SIZE")
@@ -108,7 +111,7 @@ def _default_pool_limit() -> int:
         total = page * phys
     except (ValueError, OSError, AttributeError):
         total = 0
-    return max(2 * 1024 ** 3, total // 4)
+    return max(2 * 1024 ** 3, total * 2 // 5)
 
 
 _pool_limit = int(os.environ.get("FASTQDEDUP_POOL_LIMIT", 0)) or \
@@ -282,16 +285,20 @@ def tune_host_allocator() -> None:
         import ctypes
 
         libc = ctypes.CDLL(None)
-        # Two regimes, split at 128 MiB:
-        #  * below — per-chunk parse/render buffers: recycled through the
-        #    heap (huge trim threshold), so their first-touch cost is
-        #    paid once per size class, not once per chunk;
-        #  * above — one-shot giants (accumulator arena/slots, gathered
-        #    tables): served by mmap, whose fresh-page faults measure
-        #    ~0.8 s/GiB here versus 5-18 s/GiB for brk-grown heap pages,
-        #    and whose realloc growth is an mremap instead of a copy.
+        # Route even multi-GiB C allocations (accumulator tables, arena
+        # slots) through the heap: mmap-served giants are munmapped on
+        # free, so a repeated run re-faults every page (measured at 100M
+        # reads: ~5.5 GiB of fresh mappings per run, steady reps 117-131
+        # s), while heap-served giants stay mapped under the huge trim
+        # threshold and reuse warm pages (same session: ~3.4 GiB fewer
+        # fresh mappings, steady reps 100-116 s).  The first-ever fault
+        # of brk-grown pages is costlier than mmap's (5-18 vs ~0.8
+        # s/GiB here), but that is a one-time cost the steady state
+        # amortizes.  FASTQDEDUP_MMAP_THRESHOLD (bytes) overrides —
+        # e.g. 134217728 restores the old 128 MiB split for one-shot
+        # batch invocations on fragmented hosts.
         mmap_threshold = int(os.environ.get(
-            "FASTQDEDUP_MMAP_THRESHOLD", str(128 << 20)))
+            "FASTQDEDUP_MMAP_THRESHOLD", str((1 << 31) - (1 << 12))))
         libc.mallopt(-3, mmap_threshold)  # M_MMAP_THRESHOLD
         libc.mallopt(-1, (1 << 31) - (1 << 12))  # M_TRIM_THRESHOLD
         # M_TRIM_THRESHOLD only governs the main arena's sbrk trim.  The
